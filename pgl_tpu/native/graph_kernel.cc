@@ -1,0 +1,242 @@
+// Host-side graph kernels in C++ (ctypes ABI).
+//
+// Capability parity with the reference Cython module pgl/graph_kernel.pyx:
+//   build_index (:61), map_nodes/map_edges (:106,:125), sample_subset /
+//   sample_subset_with_eid (:268,:302), node2vec_sample (:142),
+//   skip_gram_gen_pair (:343), alias_sample_build_table (:368),
+//   extract_edges_from_nodes (:396) — re-implemented from the documented
+//   behavior, not translated.  These run on TPU *hosts* to prepare
+//   CSR/subgraph/walk data that is then device_put to the chips.
+//
+// Build: see Makefile in this directory (g++ -O3 -shared -fPIC).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <random>
+#include <unordered_map>
+#include <vector>
+
+using i64 = long long;
+
+extern "C" {
+
+// -------------------------------------------------------------------------
+// CSR construction: counting sort by u.  O(E + N).
+// Outputs: degree[N], sorted_v[E], sorted_eid[E], indptr[N+1].
+void build_index(const i64* u, const i64* v, i64 num_edges, i64 num_nodes,
+                 i64* degree, i64* sorted_v, i64* sorted_eid, i64* indptr) {
+  std::memset(degree, 0, sizeof(i64) * num_nodes);
+  for (i64 e = 0; e < num_edges; ++e) degree[u[e]]++;
+  indptr[0] = 0;
+  for (i64 n = 0; n < num_nodes; ++n) indptr[n + 1] = indptr[n] + degree[n];
+  std::vector<i64> fill(indptr, indptr + num_nodes);
+  for (i64 e = 0; e < num_edges; ++e) {
+    i64 pos = fill[u[e]]++;
+    sorted_v[pos] = v[e];
+    sorted_eid[pos] = e;
+  }
+}
+
+// -------------------------------------------------------------------------
+// Reindex: build hashmap old_id -> position-in-`nodes`, then map queries.
+// Unknown queries map to -1 (callers filter).  Hot path of minibatch
+// subgraph extraction.
+void map_nodes(const i64* nodes, i64 num_nodes, const i64* query,
+               i64 num_query, i64* out) {
+  std::unordered_map<i64, i64> index;
+  index.reserve(static_cast<size_t>(num_nodes) * 2);
+  for (i64 i = 0; i < num_nodes; ++i) index.emplace(nodes[i], i);
+  for (i64 q = 0; q < num_query; ++q) {
+    auto it = index.find(query[q]);
+    out[q] = (it == index.end()) ? -1 : it->second;
+  }
+}
+
+// -------------------------------------------------------------------------
+// Per-node uniform neighbor sampling from CSR, at most max_degree neighbors
+// per queried node, without replacement (partial Fisher–Yates when the
+// neighborhood is larger than max_degree; full copy otherwise).
+// Outputs are packed: out_indptr[num_query+1] then caller reads
+// out_v/out_eid[0:out_indptr[num_query]].  out_v/out_eid must be sized
+// num_query*max_degree.
+void sample_subset_with_eid(const i64* indptr, const i64* sorted_v,
+                            const i64* sorted_eid, const i64* query,
+                            i64 num_query, i64 max_degree, i64 seed,
+                            i64* out_indptr, i64* out_v, i64* out_eid) {
+  std::mt19937_64 rng(static_cast<uint64_t>(seed));
+  i64 cursor = 0;
+  out_indptr[0] = 0;
+  std::vector<i64> perm;
+  for (i64 q = 0; q < num_query; ++q) {
+    i64 node = query[q];
+    i64 begin = indptr[node], end = indptr[node + 1];
+    i64 deg = end - begin;
+    if (deg <= max_degree) {
+      for (i64 i = begin; i < end; ++i) {
+        out_v[cursor] = sorted_v[i];
+        out_eid[cursor] = sorted_eid[i];
+        ++cursor;
+      }
+    } else {
+      perm.resize(deg);
+      for (i64 i = 0; i < deg; ++i) perm[i] = i;
+      for (i64 i = 0; i < max_degree; ++i) {  // partial Fisher–Yates
+        std::uniform_int_distribution<i64> dist(i, deg - 1);
+        std::swap(perm[i], perm[dist(rng)]);
+        out_v[cursor] = sorted_v[begin + perm[i]];
+        out_eid[cursor] = sorted_eid[begin + perm[i]];
+        ++cursor;
+      }
+    }
+    out_indptr[q + 1] = cursor;
+  }
+}
+
+// -------------------------------------------------------------------------
+// First-order random walk: walks[num_starts * walk_len], padded with -1 when
+// a walk hits a node with no outgoing edges.
+void random_walk(const i64* indptr, const i64* sorted_v, const i64* starts,
+                 i64 num_starts, i64 walk_len, i64 seed, i64* walks) {
+  std::mt19937_64 rng(static_cast<uint64_t>(seed));
+  for (i64 w = 0; w < num_starts; ++w) {
+    i64 cur = starts[w];
+    walks[w * walk_len] = cur;
+    for (i64 step = 1; step < walk_len; ++step) {
+      i64 begin = indptr[cur], end = indptr[cur + 1];
+      if (begin == end) {
+        for (i64 s = step; s < walk_len; ++s) walks[w * walk_len + s] = -1;
+        break;
+      }
+      std::uniform_int_distribution<i64> dist(begin, end - 1);
+      cur = sorted_v[dist(rng)];
+      walks[w * walk_len + step] = cur;
+    }
+  }
+}
+
+// -------------------------------------------------------------------------
+// Second-order (node2vec) biased walk with return parameter p and in-out
+// parameter q, rejection-sampling formulation (KnightKing-style): accept a
+// uniform neighbor candidate with prob 1 (dst==prev: 1/p; dst adjacent to
+// prev: 1; else 1/q), normalized by max of the three.
+void node2vec_walk(const i64* indptr, const i64* sorted_v, const i64* starts,
+                   i64 num_starts, i64 walk_len, double p, double q, i64 seed,
+                   i64* walks) {
+  std::mt19937_64 rng(static_cast<uint64_t>(seed));
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  double inv_p = 1.0 / p, inv_q = 1.0 / q;
+  double upper = std::max({inv_p, 1.0, inv_q});
+  for (i64 w = 0; w < num_starts; ++w) {
+    i64 prev = -1;
+    i64 cur = starts[w];
+    walks[w * walk_len] = cur;
+    for (i64 step = 1; step < walk_len; ++step) {
+      i64 begin = indptr[cur], end = indptr[cur + 1];
+      if (begin == end) {
+        for (i64 s = step; s < walk_len; ++s) walks[w * walk_len + s] = -1;
+        break;
+      }
+      i64 next = -1;
+      if (prev < 0) {
+        std::uniform_int_distribution<i64> dist(begin, end - 1);
+        next = sorted_v[dist(rng)];
+      } else {
+        const i64* pbegin = sorted_v + indptr[prev];
+        const i64* pend = sorted_v + indptr[prev + 1];
+        for (int attempt = 0; attempt < 128; ++attempt) {
+          std::uniform_int_distribution<i64> dist(begin, end - 1);
+          i64 cand = sorted_v[dist(rng)];
+          double w_cand;
+          if (cand == prev) {
+            w_cand = inv_p;
+          } else if (std::binary_search(pbegin, pend, cand)) {
+            w_cand = 1.0;
+          } else {
+            w_cand = inv_q;
+          }
+          if (unif(rng) * upper <= w_cand) { next = cand; break; }
+        }
+        if (next < 0) {  // fall back to uniform after rejection budget
+          std::uniform_int_distribution<i64> dist(begin, end - 1);
+          next = sorted_v[dist(rng)];
+        }
+      }
+      walks[w * walk_len + step] = next;
+      prev = cur;
+      cur = next;
+    }
+  }
+}
+
+// -------------------------------------------------------------------------
+// Skip-gram positive pair generation with a random window per position
+// (reference behavior at pgl/graph_kernel.pyx:343-364: for each center t,
+// draw win in [1, max_win], pair with up to `win` predecessors in the walk).
+// Returns pair count; src/dst must be sized num_walks*walk_len*max_win.
+i64 skip_gram_gen_pair(const i64* walks, i64 num_walks, i64 walk_len,
+                       i64 max_win, i64 seed, i64* src, i64* dst) {
+  std::mt19937_64 rng(static_cast<uint64_t>(seed));
+  std::uniform_int_distribution<i64> windist(1, max_win);
+  i64 cnt = 0;
+  for (i64 w = 0; w < num_walks; ++w) {
+    const i64* walk = walks + w * walk_len;
+    for (i64 t = 0; t < walk_len; ++t) {
+      if (walk[t] < 0) break;
+      i64 win = windist(rng);
+      for (i64 b = 1; b <= win && t - b >= 0; ++b) {
+        if (walk[t - b] < 0) continue;
+        src[cnt] = walk[t];
+        dst[cnt] = walk[t - b];
+        ++cnt;
+      }
+    }
+  }
+  return cnt;
+}
+
+// -------------------------------------------------------------------------
+// O(n) alias-method table construction for weighted sampling.
+// probs normalized internally; outputs alias[n] (index) and events[n] (prob).
+void alias_sample_build_table(const double* weights, i64 n, double* events,
+                              i64* alias) {
+  std::vector<double> scaled(n);
+  double total = 0.0;
+  for (i64 i = 0; i < n; ++i) total += weights[i];
+  for (i64 i = 0; i < n; ++i) scaled[i] = weights[i] * n / total;
+  std::vector<i64> small, large;
+  small.reserve(n); large.reserve(n);
+  for (i64 i = 0; i < n; ++i)
+    (scaled[i] < 1.0 ? small : large).push_back(i);
+  while (!small.empty() && !large.empty()) {
+    i64 s = small.back(); small.pop_back();
+    i64 l = large.back(); large.pop_back();
+    events[s] = scaled[s];
+    alias[s] = l;
+    scaled[l] = scaled[l] + scaled[s] - 1.0;
+    (scaled[l] < 1.0 ? small : large).push_back(l);
+  }
+  while (!large.empty()) { events[large.back()] = 1.0; alias[large.back()] = large.back(); large.pop_back(); }
+  while (!small.empty()) { events[small.back()] = 1.0; alias[small.back()] = small.back(); small.pop_back(); }
+}
+
+// -------------------------------------------------------------------------
+// Induced-subgraph edge extraction: all eids (u,v) with both endpoints in
+// `nodes` (GraphSAINT style).  Scans CSR rows of the kept nodes.
+// Returns count; out_eid must be sized total degree of `nodes`.
+i64 extract_edges_from_nodes(const i64* indptr, const i64* sorted_v,
+                             const i64* sorted_eid, i64 num_nodes_graph,
+                             const i64* nodes, i64 num_nodes, i64* out_eid) {
+  std::vector<char> in_set(num_nodes_graph, 0);
+  for (i64 i = 0; i < num_nodes; ++i) in_set[nodes[i]] = 1;
+  i64 cnt = 0;
+  for (i64 i = 0; i < num_nodes; ++i) {
+    i64 u = nodes[i];
+    for (i64 e = indptr[u]; e < indptr[u + 1]; ++e) {
+      if (in_set[sorted_v[e]]) out_eid[cnt++] = sorted_eid[e];
+    }
+  }
+  return cnt;
+}
+
+}  // extern "C"

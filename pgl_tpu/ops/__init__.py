@@ -1,0 +1,9 @@
+"""Device-side compute primitives: segment reduces, SpMM/SDDMM message
+passing (XLA + Pallas paths)."""
+
+from . import segment
+from . import message_passing
+from .message_passing import send_u_recv, send_ue_recv, send_uv
+
+__all__ = ["segment", "message_passing", "send_u_recv", "send_ue_recv",
+           "send_uv"]

