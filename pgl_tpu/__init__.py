@@ -13,5 +13,7 @@ from .graph import Graph
 from .message import Message
 from . import math
 from . import ops
+from . import nn
+from . import utils
 
-__all__ = ["Graph", "Message", "math", "ops"]
+__all__ = ["Graph", "Message", "math", "ops", "nn", "utils"]

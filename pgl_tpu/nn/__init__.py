@@ -1,0 +1,19 @@
+"""Neural network layers for graphs (flax.linen), mirroring ``pgl/nn``."""
+
+from . import functional
+from .conv import (
+    GCNConv, GATConv, GATv2Conv, APPNP, GPRConv, GCNII, TransformerConv,
+    GINConv, GraphSageConv, PinSageConv, RGCNConv, SGCConv, SSGCConv,
+    NGCFConv, LightGCNConv, FAConv,
+)
+from .pool import GraphPool, GraphNorm, Set2Set, GlobalAttention, SAGPool
+from .gmt_pool import GraphMultisetTransformer
+
+__all__ = [
+    "functional",
+    "GCNConv", "GATConv", "GATv2Conv", "APPNP", "GPRConv", "GCNII",
+    "TransformerConv", "GINConv", "GraphSageConv", "PinSageConv", "RGCNConv",
+    "SGCConv", "SSGCConv", "NGCFConv", "LightGCNConv", "FAConv",
+    "GraphPool", "GraphNorm", "Set2Set", "GlobalAttention", "SAGPool",
+    "GraphMultisetTransformer",
+]

@@ -1,0 +1,101 @@
+"""Host-side graph transforms (reference: ``pgl/utils/transform.py``).
+
+These rewrite edge sets, so they operate on numpy-mode graphs (the reference
+enforces the same, ``transform.py:42-44``); the jit-safe dense-batch helper
+``to_dense_batch`` works on device tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import math as gmath
+
+__all__ = ["to_undirected", "add_self_loops", "to_dense_batch", "filter_adj"]
+
+
+def _require_numpy(graph):
+    if graph.is_tensor:
+        raise TypeError("The input graph should be numpy format.")
+
+
+def to_undirected(graph, copy_node_feat: bool = True,
+                  copy_edge_feat: bool = False):
+    """Symmetrize the edge set (dedup) — reference ``transform.py:25-61``."""
+    from ..graph import Graph
+    _require_numpy(graph)
+    edges = np.asarray(graph.edges)
+    inv = edges[:, ::-1]
+    all_edges = np.unique(np.vstack([edges, inv]), axis=0)
+    if copy_edge_feat:
+        raise NotImplementedError(
+            "edge features cannot be carried through deduplication")
+    node_feat = dict(graph.node_feat) if copy_node_feat else None
+    return Graph(all_edges, num_nodes=graph.num_nodes, node_feat=node_feat)
+
+
+def add_self_loops(graph, copy_node_feat: bool = True,
+                   copy_edge_feat: bool = False, replace: bool = False):
+    """Append (or, with ``replace=True``, first strip then append) self-loop
+    edges — reference ``transform.py:64-98``; ``replace`` mirrors the in-layer
+    rewrite APPNP/GPR do at ``pgl/nn/conv.py:476-485``."""
+    from ..graph import Graph
+    _require_numpy(graph)
+    edges = np.asarray(graph.edges)
+    if replace:
+        edges = edges[edges[:, 0] != edges[:, 1]]
+    loops = np.stack([np.arange(graph.num_nodes)] * 2, axis=1)
+    all_edges = np.vstack([loops, edges]) if replace \
+        else np.vstack([edges, loops])
+    if copy_edge_feat:
+        raise NotImplementedError(
+            "self-loop edges have no feature values to copy")
+    node_feat = dict(graph.node_feat) if copy_node_feat else None
+    return Graph(all_edges.astype(edges.dtype if edges.size else np.int64),
+                 num_nodes=graph.num_nodes, node_feat=node_feat)
+
+
+def to_dense_batch(x, graph, fill_value=0.0,
+                   max_num_nodes: Optional[int] = None):
+    """Pack per-node features into ``[num_graph, max_num_nodes, d]``.
+
+    Returns ``(out, mask)`` where ``mask`` is True at *dummy* (padding)
+    positions, matching the reference contract (``transform.py:101-136``).
+    ``max_num_nodes`` must be static under jit.
+    """
+    graph_node_id = graph.graph_node_id
+    batch_size = graph.num_graph
+    num_nodes = gmath.segment_count(graph_node_id, num_segments=batch_size,
+                                    indices_are_sorted=True)
+    cum = jnp.cumsum(num_nodes) - num_nodes
+    if max_num_nodes is None:
+        max_num_nodes = int(jnp.max(num_nodes))
+    idx = jnp.arange(graph_node_id.shape[0])
+    idx = (idx - cum[graph_node_id]) + graph_node_id * max_num_nodes
+    size = (batch_size * max_num_nodes,) + tuple(x.shape[1:])
+    out = jnp.full(size, fill_value, dtype=x.dtype).at[idx].set(x)
+    out = out.reshape((batch_size, max_num_nodes) + tuple(x.shape[1:]))
+    mask = jnp.ones((batch_size * max_num_nodes,), bool).at[idx].set(False)
+    return out, mask.reshape(batch_size, max_num_nodes)
+
+
+def filter_adj(edge_index, perm, edge_attr=None,
+               num_nodes: Optional[int] = None):
+    """Keep edges whose endpoints both survive ``perm`` and reindex them to
+    the new compact ids (reference ``transform.py:138-168``). Host-side."""
+    edge_index = np.asarray(edge_index)
+    perm = np.asarray(perm)
+    if num_nodes is None:
+        num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
+    lut = np.full(num_nodes, -1, dtype=np.int64)
+    lut[perm] = np.arange(len(perm))
+    row, col = lut[edge_index[:, 0]], lut[edge_index[:, 1]]
+    keep = (row >= 0) & (col >= 0)
+    out = np.stack([row[keep], col[keep]], axis=1)
+    if edge_attr is not None:
+        return out, np.asarray(edge_attr)[keep]
+    return out, None
