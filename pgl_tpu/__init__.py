@@ -10,10 +10,17 @@ edge-partitioned multi-chip training over a `jax.sharding.Mesh`.
 __version__ = "0.1.0"
 
 from .graph import Graph
+from .bigraph import BiGraph
+from .heter_graph import HeterGraph
 from .message import Message
 from . import math
 from . import ops
 from . import nn
 from . import utils
+from . import sampling
+from . import datasets
+from . import models
+from . import parallel
 
-__all__ = ["Graph", "Message", "math", "ops", "nn", "utils"]
+__all__ = ["Graph", "BiGraph", "HeterGraph", "Message", "math", "ops", "nn", "utils", "sampling",
+           "datasets", "models", "parallel"]

@@ -1,0 +1,165 @@
+"""Standard GNN model assemblies, mirroring the reference's
+``examples/citation_benchmark/model.py`` configurations (GCN/GAT/APPNP/SGC/
+GCNII stacks) and ``examples/graphsage`` / ``examples/gin``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..nn import (GCNConv, GATConv, GraphSageConv, GINConv, GCNII, APPNP,
+                  SGCConv)
+
+__all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel", "SGC"]
+
+
+class GCN(nn.Module):
+    """Multi-layer GCN (reference ``examples/citation_benchmark/model.py``
+    GCN: num_layers GCNConv with relu + dropout)."""
+    input_size: int
+    num_class: int
+    num_layers: int = 2
+    hidden_size: int = 16
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        norm = None
+        for i in range(self.num_layers):
+            if training and self.dropout > 0:
+                feature = nn.Dropout(self.dropout, deterministic=False)(
+                    feature)
+            last = i == self.num_layers - 1
+            in_size = self.input_size if i == 0 else self.hidden_size
+            out_size = self.num_class if last else self.hidden_size
+            feature = GCNConv(in_size, out_size,
+                              activation=None if last else "relu",
+                              name=f"gcn_{i}")(graph, feature, norm)
+        return feature
+
+
+class GAT(nn.Module):
+    """2-layer GAT (8 heads, 8 hidden → 1 head num_class) as in the
+    citation benchmark."""
+    input_size: int
+    num_class: int
+    num_heads: int = 8
+    hidden_size: int = 8
+    feat_drop: float = 0.6
+    attn_drop: float = 0.6
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        feature = GATConv(self.input_size, self.hidden_size,
+                          feat_drop=self.feat_drop, attn_drop=self.attn_drop,
+                          num_heads=self.num_heads, activation="elu",
+                          name="gat_0")(graph, feature, training)
+        feature = GATConv(self.hidden_size * self.num_heads, self.num_class,
+                          feat_drop=self.feat_drop, attn_drop=self.attn_drop,
+                          num_heads=1, concat=False,
+                          name="gat_1")(graph, feature, training)
+        return feature
+
+
+class GraphSage(nn.Module):
+    """Stacked GraphSAGE (reference ``examples/graphsage``)."""
+    input_size: int
+    num_class: int
+    num_layers: int = 2
+    hidden_size: int = 128
+    aggr_func: str = "mean"
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            in_size = self.input_size if i == 0 else self.hidden_size
+            feature = GraphSageConv(
+                in_size, self.num_class if last else self.hidden_size,
+                aggr_func=self.aggr_func, normalize=not last,
+                name=f"sage_{i}")(graph, feature,
+                                  act=None if last else "relu")
+            if not last and training and self.dropout > 0:
+                feature = nn.Dropout(self.dropout, deterministic=False)(
+                    feature)
+        return feature
+
+
+class GIN(nn.Module):
+    """Stacked GIN for graph classification (reference ``examples/gin``)."""
+    input_size: int
+    num_class: int
+    num_layers: int = 5
+    hidden_size: int = 64
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import GraphPool
+        outs = []
+        for i in range(self.num_layers):
+            in_size = self.input_size if i == 0 else self.hidden_size
+            feature = GINConv(in_size, self.hidden_size, activation="relu",
+                              name=f"gin_{i}")(graph, feature)
+            outs.append(GraphPool("sum")(graph, feature))
+        h = jnp.concatenate(outs, axis=-1)
+        return nn.Dense(self.num_class, name="classifier")(h)
+
+
+class DeepGCNII(nn.Module):
+    """GCNII stack with in/out MLPs (citation benchmark GCNII config)."""
+    input_size: int
+    num_class: int
+    hidden_size: int = 64
+    k_hop: int = 64
+    lambda_l: float = 0.5
+    alpha: float = 0.1
+    dropout: float = 0.6
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        feature = drop(feature)
+        feature = jax.nn.relu(nn.Dense(self.hidden_size, name="in")(feature))
+        feature = GCNII(self.hidden_size, activation="relu",
+                        lambda_l=self.lambda_l, alpha=self.alpha,
+                        k_hop=self.k_hop, dropout=self.dropout,
+                        name="gcnii")(graph, feature, training=training)
+        feature = drop(feature)
+        return nn.Dense(self.num_class, name="out")(feature)
+
+
+class APPNPModel(nn.Module):
+    """MLP + APPNP propagation (citation benchmark APPNP config)."""
+    input_size: int
+    num_class: int
+    hidden_size: int = 64
+    dropout: float = 0.5
+    k_hop: int = 10
+    alpha: float = 0.1
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        feature = drop(feature)
+        feature = jax.nn.relu(nn.Dense(self.hidden_size, name="l1")(feature))
+        feature = drop(feature)
+        feature = nn.Dense(self.num_class, name="l2")(feature)
+        return APPNP(alpha=self.alpha, k_hop=self.k_hop,
+                     name="appnp")(graph, feature)
+
+
+class SGC(nn.Module):
+    """Single SGCConv (citation benchmark SGC config)."""
+    input_size: int
+    num_class: int
+    k_hop: int = 2
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        return SGCConv(self.input_size, self.num_class, k_hop=self.k_hop,
+                       cached=False, name="sgc")(graph, feature)

@@ -1,0 +1,164 @@
+"""GraphSAGE layered neighbor sampling.
+
+Host path: :func:`graphsage_sample` — behavior parity with the reference
+(``pgl/sampling/sage.py:59-127``: layered reverse sampling with global
+node/eid dedup, ignore-edge filter, reindex, returns a list of
+``(subgraph, sample_index, node_index)``), but vectorized over numpy + the
+C++ sampler instead of per-edge Python loops.
+
+Device path: :class:`NeighborSampler` — the TPU-native analog of the
+reference's GPU sampler (``pgl/sampling/sage.py:130-155``). TPUs need static
+shapes, so it produces *padded* ``[B, k]`` neighbor blocks with masks
+(sampling with replacement), fully jittable with ``jax.random``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph import Graph
+from ..native import graph_kernel as native
+from .custom import subgraph
+
+__all__ = ["graphsage_sample", "NeighborSampler", "sample_neighbors_padded"]
+
+
+def _ordered_union(base: np.ndarray, new: np.ndarray):
+    """Append unseen values of ``new`` (first-occurrence order) to ``base``.
+    Returns (union, fresh)."""
+    if new.size == 0:
+        return base, new
+    mask = ~np.isin(new, base)
+    fresh = new[mask]
+    if fresh.size:
+        _, first = np.unique(fresh, return_index=True)
+        fresh = fresh[np.sort(first)]
+    return np.concatenate([base, fresh]), fresh
+
+
+def graphsage_sample(graph, nodes, samples: Sequence[int],
+                     ignore_edges=(), seed: int = 0):
+    """Layered reverse neighbor sampling.
+
+    Args:
+      graph: numpy-mode Graph.
+      nodes: seed node ids.
+      samples: neighbors per layer, e.g. ``[25, 10]``.
+      ignore_edges: iterable of (src, dst) pairs to skip (e.g. the linkage
+        being predicted).
+
+    Returns a list of ``num_layers`` tuples ``(subgraph, sample_index,
+    node_index)`` where ``sample_index[i]`` is the parent-graph id of
+    subgraph node ``i`` and ``node_index`` are the reindexed seed ids.
+    Layer ``i``'s subgraph contains edges from sampling steps ``i..L-1``
+    (reference accumulation order).
+    """
+    if graph.is_tensor:
+        raise ValueError("You must call Graph.numpy() first.")
+    seeds = np.asarray(nodes, dtype=np.int64)
+    num_layers = len(samples)
+    index = graph.adj_dst_index
+    indptr = np.asarray(index.indptr)
+    sorted_v = np.asarray(index.sorted_v)
+    sorted_eid = np.asarray(index.sorted_eid)
+
+    ignore = None
+    if len(ignore_edges):
+        ig = np.asarray(list(ignore_edges), dtype=np.int64)
+        ignore = set((int(s) * 100000007 + int(d)) for s, d in ig)
+
+    all_nodes = seeds.copy()
+    all_eids = np.zeros((0,), dtype=np.int64)
+    all_edges = np.zeros((0, 2), dtype=np.int64)
+    start_nodes = seeds
+    snapshots = []  # (eids, edges) after each processed layer
+
+    for layer_idx in reversed(range(num_layers)):
+        if start_nodes.size:
+            out_indptr, out_v, out_eid = native.sample_subset_with_eid(
+                indptr, sorted_v, sorted_eid, start_nodes,
+                samples[layer_idx], seed=seed + layer_idx)
+            counts = np.diff(out_indptr)
+            dst = np.repeat(start_nodes, counts)
+            src = out_v
+            eids = out_eid
+            if ignore is not None and src.size:
+                keep = np.fromiter(
+                    ((int(s) * 100000007 + int(d)) not in ignore
+                     for s, d in zip(src, dst)), dtype=bool, count=len(src))
+                src, dst, eids = src[keep], dst[keep], eids[keep]
+            # dedupe eids against everything collected so far
+            if eids.size:
+                mask = ~np.isin(eids, all_eids)
+                fresh_e = eids[mask]
+                if fresh_e.size:
+                    _, first = np.unique(fresh_e, return_index=True)
+                    order = np.sort(first)
+                    all_eids = np.concatenate([all_eids, fresh_e[order]])
+                    all_edges = np.concatenate(
+                        [all_edges,
+                         np.stack([src[mask][order], dst[mask][order]],
+                                  axis=1)])
+            all_nodes, fresh_nodes = _ordered_union(all_nodes, src)
+            start_nodes = fresh_nodes
+        snapshots.append((all_eids.copy(), all_edges.copy()))
+
+    snapshots = snapshots[::-1]  # snapshots[i] for output layer i
+    sample_index = all_nodes
+    node_index = native.map_nodes(all_nodes, seeds)
+
+    graph_list = []
+    for i in range(num_layers):
+        eids_i, edges_i = snapshots[i]
+        sg = subgraph(graph, nodes=all_nodes, eid=eids_i, edges=edges_i)
+        graph_list.append((sg, sample_index, node_index))
+    return graph_list
+
+
+def sample_neighbors_padded(indptr, sorted_v, nodes, k: int, key):
+    """Jittable uniform neighbor sampling (with replacement) from a
+    device-resident CSC: returns ``(neighbors [B, k], mask [B, k])``.
+    Zero-degree nodes get mask 0."""
+    import jax
+    import jax.numpy as jnp
+
+    starts = jnp.take(indptr, nodes)
+    degs = jnp.take(indptr, nodes + 1) - starts
+    u = jax.random.uniform(key, (nodes.shape[0], k))
+    offs = jnp.floor(u * jnp.maximum(degs, 1)[:, None]).astype(starts.dtype)
+    idx = starts[:, None] + offs
+    neigh = jnp.take(sorted_v, idx)
+    mask = (degs > 0)[:, None] & jnp.ones((1, k), bool)
+    return neigh, mask
+
+
+class NeighborSampler:
+    """Device-side layered sampler producing padded neighbor blocks.
+
+    For each layer size ``k`` it emits ``(frontier, neighbors [B, k],
+    mask [B, k])`` where the next frontier is the flattened neighbor block —
+    the fixed-shape analog of the reference's ``reindex_graph`` pipeline,
+    consumable by bipartite-style layers without dynamic compaction.
+    """
+
+    def __init__(self, graph, samples: Sequence[int]):
+        import jax.numpy as jnp
+        idx = graph.adj_dst_index
+        self.indptr = jnp.asarray(np.asarray(idx.indptr), dtype=jnp.int32)
+        self.sorted_v = jnp.asarray(np.asarray(idx.sorted_v),
+                                    dtype=jnp.int32)
+        self.samples = list(samples)
+
+    def sample(self, nodes, key):
+        import jax
+        layers = []
+        frontier = nodes
+        for k in self.samples:
+            key, sub = jax.random.split(key)
+            neigh, mask = sample_neighbors_padded(
+                self.indptr, self.sorted_v, frontier, k, sub)
+            layers.append((frontier, neigh, mask))
+            frontier = neigh.reshape(-1)
+        return layers[::-1], frontier

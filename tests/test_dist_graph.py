@@ -1,0 +1,119 @@
+"""ShardedGraph (edge-partitioned) tests on the virtual 8-device CPU mesh —
+golden-value parity with the single-device Graph, mirroring the reference's
+``tests/test_dist_graph.py:50-69`` ground-truth-matrix style."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pgl_tpu import Graph
+from pgl_tpu.parallel import ShardedGraph, shard_edges
+
+
+N, E, D = 23, 101, 6
+rng = np.random.default_rng(3)
+EDGES = rng.integers(0, N, (E, 2))
+FEAT = rng.normal(size=(N, D)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()), ("edge",))
+
+
+@pytest.fixture(scope="module")
+def graphs(mesh):
+    g = Graph(EDGES, num_nodes=N, node_feat={"h": FEAT})
+    sg = ShardedGraph.from_graph(g, mesh)
+    return g.tensor(), sg
+
+
+@pytest.mark.parametrize("strategy", ["dst_range", "dst_mod", "round_robin"])
+def test_shard_edges_partition(strategy):
+    stacked, mask, perm = shard_edges(EDGES, 8, N, strategy)
+    assert stacked.shape[0] == 8
+    # every edge appears exactly once among valid slots
+    valid = mask.reshape(-1) > 0
+    eids = perm.reshape(-1)[valid]
+    assert sorted(eids.tolist()) == list(range(E))
+
+
+def test_sharded_send_u_recv_matches(graphs):
+    gt, sg = graphs
+    ref = gt.send_recv(gt.node_feat["h"], "sum")
+    out = sg.send_u_recv(jnp.asarray(FEAT), "sum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+    ref = gt.send_recv(gt.node_feat["h"], "mean")
+    out = sg.send_u_recv(jnp.asarray(FEAT), "mean")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_sharded_degree_matches(graphs):
+    gt, sg = graphs
+    np.testing.assert_array_equal(np.asarray(sg.indegree()),
+                                  np.asarray(gt.indegree()))
+    np.testing.assert_array_equal(np.asarray(sg.outdegree()),
+                                  np.asarray(gt.outdegree()))
+
+
+def test_sharded_send_ue_recv_matches(graphs):
+    gt, sg = graphs
+    w = rng.normal(size=(E,)).astype(np.float32)
+    ref = gt.send_ue_recv(gt.node_feat["h"], jnp.asarray(w), "mul", "sum")
+    out = sg.send_ue_recv(jnp.asarray(FEAT), sg.shard_edge_values(w),
+                          "mul", "sum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_sddmm_and_softmax_match(graphs):
+    gt, sg = graphs
+    a = rng.normal(size=(N,)).astype(np.float32)
+    # SDDMM add then edge softmax by dst, compared slot-by-slot via perm
+    ref_scores = np.asarray(gt.send_uv(jnp.asarray(a), jnp.asarray(a), "add"))
+    out = sg.send_uv(jnp.asarray(a), jnp.asarray(a), "add")
+    out = np.asarray(out)
+    perm, mask = np.asarray(sg.perm), np.asarray(sg.mask)
+    got = np.zeros(E, np.float32)
+    got[perm.reshape(-1)[mask.reshape(-1) > 0]] = \
+        out.reshape(-1)[mask.reshape(-1) > 0]
+    np.testing.assert_allclose(got, ref_scores, rtol=1e-5)
+
+    import pgl_tpu.nn.functional as GF
+    ref_sm = np.asarray(GF.edge_softmax(gt, jnp.asarray(ref_scores)))
+    sm = np.asarray(sg.edge_softmax(sg.shard_edge_values(ref_scores)))
+    got = np.zeros(E, np.float32)
+    got[perm.reshape(-1)[mask.reshape(-1) > 0]] = \
+        sm.reshape(-1)[mask.reshape(-1) > 0]
+    np.testing.assert_allclose(got, ref_sm, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_grad_matches(graphs):
+    """Gradients flow through psum identically to the single-device path
+    (the reference needed a custom allreduce VJP, pgl/utils/op.py:90)."""
+    gt, sg = graphs
+
+    def loss_single(x):
+        return (gt.send_recv(x, "sum") ** 2).sum()
+
+    def loss_sharded(x):
+        return (sg.send_u_recv(x, "sum") ** 2).sum()
+
+    g1 = jax.grad(loss_single)(jnp.asarray(FEAT))
+    g2 = jax.grad(loss_sharded)(jnp.asarray(FEAT))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4)
+
+
+def test_sharded_under_jit(graphs):
+    _, sg = graphs
+
+    @jax.jit
+    def f(sg, x):
+        return sg.send_u_recv(x, "sum")
+
+    out = f(sg, jnp.asarray(FEAT))
+    ref = f(sg, jnp.asarray(FEAT))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))

@@ -1,0 +1,130 @@
+"""Sampling tests: graphsage_sample invariants, subgraph reindex golden
+values, walks, device-side padded sampler."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pgl_tpu import Graph
+from pgl_tpu.sampling import (graphsage_sample, subgraph, random_walk,
+                              node2vec_walk, NeighborSampler,
+                              sample_neighbors_padded)
+
+
+def make_graph(n=50, e=300, seed=0, feat=True):
+    rng = np.random.default_rng(seed)
+    edges = rng.integers(0, n, (e, 2))
+    nf = {"h": rng.normal(size=(n, 4)).astype(np.float32)} if feat else None
+    return Graph(edges, num_nodes=n, node_feat=nf,
+                 edge_feat={"w": rng.random(e).astype(np.float32)})
+
+
+def test_subgraph_reindex():
+    g = Graph(np.array([[0, 1], [1, 5], [5, 0], [2, 5]]), num_nodes=6,
+              node_feat={"h": np.arange(12, dtype=np.float32).reshape(6, 2)},
+              edge_feat={"w": np.arange(4, dtype=np.float32)})
+    sub = subgraph(g, nodes=[5, 0, 1], eid=[0, 1, 2])
+    assert sub.num_nodes == 3
+    # edges reindexed: 0->1, 1->2, 5->0
+    np.testing.assert_array_equal(np.asarray(sub.edges),
+                                  [[1, 2], [2, 0], [0, 1]])
+    np.testing.assert_allclose(sub.node_feat["h"][0], [10, 11])
+    np.testing.assert_allclose(sub.edge_feat["w"], [0, 1, 2])
+
+
+def test_subgraph_missing_node_raises():
+    g = make_graph()
+    with pytest.raises(ValueError):
+        subgraph(g, nodes=[0], edges=np.asarray(g.edges)[:5])
+
+
+def test_graphsage_sample_structure():
+    g = make_graph()
+    seeds = np.array([3, 7, 11])
+    out = graphsage_sample(g, seeds, samples=[5, 3])
+    assert len(out) == 2
+    sg0, sample_index, node_index = out[0]
+    # node_index points at the seeds inside the subgraph
+    np.testing.assert_array_equal(sample_index[node_index], seeds)
+    # every subgraph edge maps back to a real parent edge
+    parent_edges = set(map(tuple, np.asarray(g.edges).tolist()))
+    for sg, si, _ in out:
+        for s, d in np.asarray(sg.edges):
+            assert (int(si[s]), int(si[d])) in parent_edges
+    # layer-0 subgraph contains at least the later layer's edges
+    assert out[0][0].num_edges >= out[1][0].num_edges
+    # sampled in-degree of seed nodes bounded by fan-out
+    sg1 = out[1][0]
+    indeg = sg1.indegree()
+    np.testing.assert_array_less(indeg[np.asarray(node_index)], 5 + 1)
+
+
+def test_graphsage_sample_ignore_edges():
+    g = make_graph()
+    seeds = np.array([3])
+    full = graphsage_sample(g, seeds, samples=[100], seed=1)
+    banned = {(int(s), int(d))
+              for s, d in np.asarray(g.edges) if d == 3}
+    out = graphsage_sample(g, seeds, samples=[100], ignore_edges=banned,
+                           seed=1)
+    sg, si, ni = out[0]
+    for s, d in np.asarray(sg.edges):
+        assert (int(si[s]), int(si[d])) not in banned
+    assert sg.num_edges <= full[0][0].num_edges
+
+
+def test_random_walk():
+    g = make_graph(n=30, e=400)
+    walks = random_walk(g, np.arange(30), walk_len=8, seed=2)
+    assert walks.shape == (30, 8)
+    np.testing.assert_array_equal(walks[:, 0], np.arange(30))
+    succ = {i: set(v.tolist()) for i, v in enumerate(g.successor())}
+    for row in walks:
+        for a, b in zip(row[:-1], row[1:]):
+            if b < 0:
+                break
+            assert b in succ[int(a)]
+
+
+def test_node2vec_walk():
+    g = make_graph(n=30, e=400)
+    walks = node2vec_walk(g, np.arange(30), walk_len=6, p=2.0, q=0.5, seed=3)
+    assert walks.shape == (30, 6)
+    succ = {i: set(v.tolist()) for i, v in enumerate(g.successor())}
+    for row in walks:
+        for a, b in zip(row[:-1], row[1:]):
+            if b < 0:
+                break
+            assert b in succ[int(a)]
+
+
+def test_sample_neighbors_padded():
+    g = make_graph(n=40, e=200).tensor()
+    idx = g.adj_dst_index
+    nodes = jnp.arange(10, dtype=jnp.int32)
+    neigh, mask = sample_neighbors_padded(idx.indptr, idx.sorted_v, nodes,
+                                          k=4, key=jax.random.key(0))
+    assert neigh.shape == (10, 4) and mask.shape == (10, 4)
+    # sampled neighbors are true predecessors
+    gn = g.numpy()
+    preds = gn.predecessor()
+    for i in range(10):
+        if bool(mask[i, 0]):
+            for v in np.asarray(neigh[i]):
+                assert v in preds[i]
+
+
+def test_neighbor_sampler_layers():
+    g = make_graph(n=40, e=400)
+    sampler = NeighborSampler(g.tensor(), samples=[3, 2])
+    layers, frontier = sampler.sample(jnp.arange(5, dtype=jnp.int32),
+                                      jax.random.key(1))
+    assert len(layers) == 2
+    (f1, n1, m1) = layers[-1]       # innermost (seeds)
+    assert n1.shape == (5, 3)
+    # jittable end-to-end
+    f = jax.jit(lambda nodes, key: sampler.sample(nodes, key)[1])
+    out = f(jnp.arange(5, dtype=jnp.int32), jax.random.key(2))
+    assert out.shape == (5 * 3 * 2,)
