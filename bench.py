@@ -39,15 +39,20 @@ def _build_train_step(model, opt):
 
 
 def _time_steps(train_step, params, opt_state, g, x, y, warmup=3, iters=20):
+    """Chain optimizer state through iterations: each step's inputs depend on
+    the previous step's outputs, so no runtime/transport layer can serve a
+    cached result and the timing covers real sequential execution."""
     import jax
 
     for _ in range(warmup):
         params, opt_state, loss = train_step(params, opt_state, g, x, y)
-    jax.block_until_ready(loss)
+    float(loss)  # host readback = true synchronization barrier
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = train_step(params, opt_state, g, x, y)
-    jax.block_until_ready(loss)
+    # block_until_ready can return early on tunneled/remote backends; a
+    # scalar host readback cannot — it forces the whole dependent chain.
+    float(loss)
     return (time.perf_counter() - t0) / iters
 
 

@@ -2,6 +2,11 @@
 
 from .synthetic import (random_graph, powerlaw_graph, community_graph,
                         cora_shaped_graph)
+from .loaders import (CitationDataset, CoraDataset, BlogCatalogDataset,
+                      ArXivDataset, RedditDataset, OgbnArxivDataset,
+                      get_default_data_dir)
 
 __all__ = ["random_graph", "powerlaw_graph", "community_graph",
-           "cora_shaped_graph"]
+           "cora_shaped_graph", "CitationDataset", "CoraDataset",
+           "BlogCatalogDataset", "ArXivDataset", "RedditDataset",
+           "OgbnArxivDataset", "get_default_data_dir"]

@@ -1,0 +1,288 @@
+"""Built-in dataset loaders (reference: ``pgl/dataset.py``).
+
+Same on-disk formats and attribute contract as the reference
+(``.graph``, ``.y``, ``.num_classes``, ``.train/val/test_index``), but with
+an explicit ``data_path`` (this environment has no network egress — point
+the loader at already-downloaded files; the docstrings say which files).
+Parsing avoids the reference's networkx dependency (the Planetoid graph
+dict is consumed directly).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import sys
+from typing import Optional
+
+import numpy as np
+
+from ..graph import Graph
+
+__all__ = ["CitationDataset", "CoraDataset", "BlogCatalogDataset",
+           "ArXivDataset", "RedditDataset", "OgbnArxivDataset",
+           "get_default_data_dir"]
+
+
+def get_default_data_dir(name: str) -> str:
+    """``$PGL_TPU_DATA_ROOT/<name>`` (default ``~/.pgl_tpu/data/<name>``)."""
+    root = os.environ.get("PGL_TPU_DATA_ROOT",
+                          os.path.expanduser("~/.pgl_tpu/data"))
+    return os.path.join(root, name)
+
+
+def _require(path, files, hint):
+    missing = [f for f in files if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"dataset files missing under {path}: {missing}. {hint}")
+
+
+def _dedup_edges(all_edges):
+    return np.unique(np.asarray(all_edges, dtype=np.int64), axis=0)
+
+
+def _pickle_load(f):
+    if sys.version_info > (3, 0):
+        return pickle.load(f, encoding="latin1")
+    return pickle.load(f)
+
+
+class CitationDataset:
+    """Planetoid pickle format (``ind.<name>.{x,y,tx,ty,allx,ally,graph}`` +
+    ``ind.<name>.test.index``) for pubmed/citeseer
+    (reference ``pgl/dataset.py:62-161``)."""
+
+    def __init__(self, name: str, symmetry_edges: bool = True,
+                 self_loop: bool = True, data_path: Optional[str] = None):
+        self.name = name
+        self.path = data_path or get_default_data_dir(name)
+        self.symmetry_edges = symmetry_edges
+        self.self_loop = self_loop
+        self._load_data()
+
+    def _load_data(self):
+        names = ["x", "y", "tx", "ty", "allx", "ally", "graph"]
+        _require(self.path, [f"ind.{self.name}.{n}" for n in names],
+                 "Planetoid files (github.com/kimiyoung/planetoid)")
+        objects = []
+        for n in names:
+            with open(os.path.join(self.path, f"ind.{self.name}.{n}"),
+                      "rb") as f:
+                objects.append(_pickle_load(f))
+        x, y, tx, ty, allx, ally, graph_dict = objects
+        with open(os.path.join(self.path,
+                               f"ind.{self.name}.test.index")) as f:
+            test_idx_reorder = np.array([int(line.strip()) for line in f],
+                                        dtype=np.int64)
+        test_idx_range = np.sort(test_idx_reorder)
+
+        allx = np.asarray(allx.todense())
+        tx = np.asarray(tx.todense())
+        if self.name == "citeseer":
+            # isolated test nodes: place tx rows at their real positions
+            full = range(int(test_idx_reorder.min()),
+                         int(test_idx_reorder.max()) + 1)
+            tx_ext = np.zeros((len(full), x.shape[1]), dtype="float32")
+            tx_ext[test_idx_range - test_idx_range.min()] = tx
+            tx = tx_ext
+            ty_ext = np.zeros((len(full), y.shape[1]), dtype="float32")
+            ty_ext[test_idx_range - test_idx_range.min()] = ty
+            ty = ty_ext
+
+        features = np.vstack([allx, tx])
+        features[test_idx_reorder] = features[test_idx_range]
+        features = features / (features.sum(-1, keepdims=True) + 1e-15)
+        features = features.astype("float32")
+
+        onehot = np.vstack([ally, ty])
+        onehot[test_idx_reorder] = onehot[test_idx_range]
+        labels = onehot.argmax(1)
+
+        num_nodes = features.shape[0]
+        all_edges = []
+        for u, nbrs in graph_dict.items():
+            for v in nbrs:
+                all_edges.append((u, v))
+                if self.symmetry_edges:
+                    all_edges.append((v, u))
+        if self.self_loop:
+            all_edges.extend((i, i) for i in range(num_nodes))
+        edges = _dedup_edges(all_edges)
+
+        self.graph = Graph(edges, num_nodes=num_nodes,
+                           node_feat={"words": features})
+        self.y = labels.astype("int64")
+        self.num_classes = onehot.shape[1]
+        self.train_index = np.arange(len(y), dtype="int32")
+        self.val_index = np.arange(len(y), len(y) + 500, dtype="int32")
+        self.test_index = test_idx_range.astype("int32")
+
+
+class CoraDataset:
+    """``cora.content`` / ``cora.cites`` format
+    (reference ``pgl/dataset.py:164-245``)."""
+
+    def __init__(self, symmetry_edges: bool = True, self_loop: bool = True,
+                 data_path: Optional[str] = None):
+        self.path = data_path or get_default_data_dir("cora")
+        self.symmetry_edges = symmetry_edges
+        self.self_loop = self_loop
+        self._load_data()
+
+    def _load_data(self):
+        _require(self.path, ["cora.content", "cora.cites"],
+                 "LINQS cora archive")
+        feats, paper_ids, y, y_dict = [], [], [], {}
+        with open(os.path.join(self.path, "cora.content")) as f:
+            for line in f:
+                parts = line.strip().split()
+                paper_ids.append(int(parts[0]))
+                cls = parts[-1]
+                y_dict.setdefault(cls, len(y_dict))
+                row = np.array([int(v) for v in parts[1:-1]],
+                               dtype="float32")
+                feats.append(row / (row.sum() + 1e-15))
+                y.append(y_dict[cls])
+        paper2vid = {pid: i for i, pid in enumerate(paper_ids)}
+        num_nodes = len(paper_ids)
+        all_edges = []
+        with open(os.path.join(self.path, "cora.cites")) as f:
+            for line in f:
+                u, v = (paper2vid[int(t)] for t in line.split())
+                all_edges.append((u, v))
+                if self.symmetry_edges:
+                    all_edges.append((v, u))
+        if self.self_loop:
+            all_edges.extend((i, i) for i in range(num_nodes))
+        self.graph = Graph(_dedup_edges(all_edges), num_nodes=num_nodes,
+                           node_feat={"words": np.asarray(feats,
+                                                          dtype="float32")})
+        perm = np.arange(num_nodes)
+        self.train_index = perm[:140]
+        self.val_index = perm[200:500]
+        self.test_index = perm[500:1500]
+        self.y = np.asarray(y, dtype="int64")
+        self.num_classes = len(y_dict)
+
+
+class BlogCatalogDataset:
+    """``nodes.csv`` / ``edges.csv`` / ``group-edges.csv`` format
+    (reference ``pgl/dataset.py:249-317``)."""
+
+    def __init__(self, symmetry_edges: bool = True, self_loop: bool = False,
+                 data_path: Optional[str] = None, seed: Optional[int] = None):
+        self.path = data_path or get_default_data_dir("BlogCatalog")
+        self.num_groups = 39
+        self.symmetry_edges = symmetry_edges
+        self.self_loop = self_loop
+        self._seed = seed
+        self._load_data()
+
+    def _load_data(self):
+        _require(self.path, ["nodes.csv", "edges.csv", "group-edges.csv"],
+                 "BlogCatalog3 archive")
+        with io.open(os.path.join(self.path, "nodes.csv")) as f:
+            num_nodes = len(f.readlines())
+        node_feature = np.zeros((num_nodes, self.num_groups))
+        with io.open(os.path.join(self.path, "group-edges.csv")) as f:
+            for line in f:
+                nid, gid = (int(t) - 1 for t in line.strip().split(","))
+                node_feature[nid][gid] = 1
+        all_edges = []
+        with io.open(os.path.join(self.path, "edges.csv")) as f:
+            for line in f:
+                u, v = (int(t) - 1 for t in line.strip().split(","))
+                all_edges.append((u, v))
+                if self.symmetry_edges:
+                    all_edges.append((v, u))
+        if self.self_loop:
+            all_edges.extend((i, i) for i in range(num_nodes))
+        self.graph = Graph(_dedup_edges(all_edges), num_nodes=num_nodes,
+                           node_feat={"group_id": node_feature})
+        perm = np.arange(num_nodes)
+        np.random.default_rng(self._seed).shuffle(perm)
+        train_num = num_nodes // 2
+        self.train_index = perm[:train_num]
+        self.test_index = perm[train_num:]
+
+
+class ArXivDataset:
+    """``arxiv.txt`` whitespace edge list (reference
+    ``pgl/dataset.py:320-383``)."""
+
+    def __init__(self, np_random_seed: int = 123,
+                 data_path: Optional[str] = None):
+        self.path = data_path or get_default_data_dir("arXiv")
+        self.np_random_seed = np_random_seed
+        self._load_data()
+
+    def _load_data(self):
+        _require(self.path, ["arxiv.txt"], "SNAP ca-AstroPh style edge list")
+        edges = np.loadtxt(os.path.join(self.path, "arxiv.txt"),
+                           dtype=np.int64)
+        self.graph = Graph(edges)
+
+
+class RedditDataset:
+    """``reddit.npz`` + ``reddit_adj.npz`` (scipy CSR) format
+    (reference ``pgl/dataset.py:386-473``)."""
+
+    def __init__(self, normalize: bool = True, symmetry: bool = True,
+                 data_path: Optional[str] = None):
+        self.path = data_path or get_default_data_dir("reddit")
+        _require(self.path, ["reddit.npz", "reddit_adj.npz"],
+                 "see FastGCN issue #8 for mirrors")
+        self._load_data(normalize, symmetry)
+
+    def _load_data(self, normalize, symmetry):
+        import scipy.sparse as sp
+
+        data = np.load(os.path.join(self.path, "reddit.npz"))
+        adj = sp.load_npz(os.path.join(self.path, "reddit_adj.npz"))
+        if symmetry:
+            adj = adj + adj.T
+        adj = adj.tocoo()
+        feature = data["feats"].astype("float32")
+        if normalize:
+            mu = feature[data["train_index"]].mean(0)
+            sd = feature[data["train_index"]].std(0) + 1e-9
+            feature = (feature - mu) / sd
+        self.graph = Graph(np.stack([adj.row, adj.col], axis=1),
+                           num_nodes=feature.shape[0])
+        self.feature = feature
+        self.train_index = data["train_index"]
+        self.val_index = data["val_index"]
+        self.test_index = data["test_index"]
+        self.train_label = data["y_train"]
+        self.val_label = data["y_val"]
+        self.test_label = data["y_test"]
+        self.num_classes = 41
+
+
+class OgbnArxivDataset:
+    """ogbn-arxiv through the ``ogb`` package (reference
+    ``pgl/dataset.py:476-523``); requires ogb installed and its data
+    downloaded."""
+
+    def __init__(self):
+        try:
+            from ogb.nodeproppred import NodePropPredDataset
+        except ImportError as e:
+            raise ImportError(
+                "Please run `pip install ogb` to install ogb library.") from e
+        self.dataset = NodePropPredDataset(name="ogbn-arxiv")
+        self._load_data()
+
+    def _load_data(self):
+        split = self.dataset.get_idx_split()
+        ogb_graph, label = self.dataset[0]
+        self.graph = Graph(ogb_graph["edge_index"].T,
+                           num_nodes=ogb_graph["num_nodes"])
+        self.feature = ogb_graph["node_feat"]
+        self.y = label
+        self.num_classes = self.dataset.num_classes
+        self.train_index = split["train"]
+        self.val_index = split["valid"]
+        self.test_index = split["test"]

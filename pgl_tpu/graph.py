@@ -282,12 +282,26 @@ class Graph:
         return self.send_u_recv(feature, reduce_op=reduce_func)
 
     def send_u_recv(self, feature, reduce_op: str = "sum"):
-        """SpMM: out[d] = reduce over incoming edges of feature[s]."""
+        """SpMM: out[d] = reduce over incoming edges of feature[s].
+
+        sum/mean ride the Pallas one-hot-MXU kernel on TPU backends
+        (``ops/pallas/segment_kernels.py``); max/min and non-CSC graphs use
+        the XLA segment path.
+        """
         self._require_tensor()
         if self._adj_dst_index is not None:
             idx = self._adj_dst_index
+            msgs = mp.gather_rows(feature, idx.sorted_v)
+            if reduce_op in ("sum", "mean"):
+                from .ops.dispatch import csc_segment_sum
+                out = csc_segment_sum(msgs, idx.segment_ids, idx.indptr,
+                                      self._num_nodes)
+                if reduce_op == "mean":
+                    deg = jnp.maximum(idx.degree, 1).astype(out.dtype)
+                    out = out / deg[:, None]
+                return out
             return S.segment_pool(
-                mp.gather_rows(feature, idx.sorted_v), idx.segment_ids,
+                msgs, idx.segment_ids,
                 reduce_op, num_segments=self._num_nodes,
                 indices_are_sorted=True)
         return mp.send_u_recv(feature, self._edges[:, 0], self._edges[:, 1],

@@ -240,3 +240,212 @@ i64 extract_edges_from_nodes(const i64* indptr, const i64* sorted_v,
 }
 
 }  // extern "C"
+
+// -------------------------------------------------------------------------
+// Multilevel k-way graph partitioning (METIS-style, original implementation):
+//   1. coarsen by heavy-edge matching until small,
+//   2. greedy BFS-based initial partition balancing vertex weights,
+//   3. uncoarsen with boundary Kernighan-Lin style refinement.
+// Undirected view of the CSR (callers symmetrize or accept direction bias).
+// Outputs parts[n] in [0, k).
+extern "C" {
+
+namespace {
+
+struct CoarseGraph {
+  std::vector<i64> indptr, adj, wgt, vwgt;   // CSR with edge weights
+  std::vector<i64> cmap;                      // fine -> coarse vertex map
+};
+
+// Heavy-edge matching: visit vertices in random order, match with the
+// unmatched neighbor of maximal edge weight.
+CoarseGraph coarsen(const std::vector<i64>& indptr,
+                    const std::vector<i64>& adj,
+                    const std::vector<i64>& wgt,
+                    const std::vector<i64>& vwgt, std::mt19937_64& rng) {
+  i64 n = static_cast<i64>(indptr.size()) - 1;
+  std::vector<i64> match(n, -1), order(n);
+  for (i64 i = 0; i < n; ++i) order[i] = i;
+  std::shuffle(order.begin(), order.end(), rng);
+  i64 nc = 0;
+  std::vector<i64> cmap(n, -1);
+  for (i64 vi = 0; vi < n; ++vi) {
+    i64 v = order[vi];
+    if (match[v] >= 0) continue;
+    i64 best = -1, best_w = -1;
+    for (i64 e = indptr[v]; e < indptr[v + 1]; ++e) {
+      i64 u = adj[e];
+      if (u != v && match[u] < 0 && wgt[e] > best_w) {
+        best = u;
+        best_w = wgt[e];
+      }
+    }
+    if (best >= 0) {
+      match[v] = best;
+      match[best] = v;
+      cmap[v] = cmap[best] = nc++;
+    } else {
+      match[v] = v;
+      cmap[v] = nc++;
+    }
+  }
+  // build coarse CSR by hashing neighbor contributions
+  CoarseGraph cg;
+  cg.cmap = cmap;
+  cg.vwgt.assign(nc, 0);
+  for (i64 v = 0; v < n; ++v) cg.vwgt[cmap[v]] += vwgt[v];
+  std::vector<std::unordered_map<i64, i64>> nbr(nc);
+  for (i64 v = 0; v < n; ++v) {
+    i64 cv = cmap[v];
+    for (i64 e = indptr[v]; e < indptr[v + 1]; ++e) {
+      i64 cu = cmap[adj[e]];
+      if (cu != cv) nbr[cv][cu] += wgt[e];
+    }
+  }
+  cg.indptr.assign(nc + 1, 0);
+  for (i64 c = 0; c < nc; ++c)
+    cg.indptr[c + 1] = cg.indptr[c] + static_cast<i64>(nbr[c].size());
+  cg.adj.resize(cg.indptr[nc]);
+  cg.wgt.resize(cg.indptr[nc]);
+  for (i64 c = 0; c < nc; ++c) {
+    i64 pos = cg.indptr[c];
+    for (auto& kv : nbr[c]) {
+      cg.adj[pos] = kv.first;
+      cg.wgt[pos] = kv.second;
+      ++pos;
+    }
+  }
+  return cg;
+}
+
+// Greedy graph-growing initial partition on the coarsest graph.
+void initial_partition(const std::vector<i64>& indptr,
+                       const std::vector<i64>& adj,
+                       const std::vector<i64>& vwgt, i64 k,
+                       std::vector<i64>& parts, std::mt19937_64& rng) {
+  i64 n = static_cast<i64>(indptr.size()) - 1;
+  i64 total = 0;
+  for (i64 v = 0; v < n; ++v) total += vwgt[v];
+  i64 target = (total + k - 1) / k;
+  parts.assign(n, -1);
+  std::vector<i64> order(n);
+  for (i64 i = 0; i < n; ++i) order[i] = i;
+  std::shuffle(order.begin(), order.end(), rng);
+  i64 cursor = 0;
+  for (i64 p = 0; p < k; ++p) {
+    i64 load = 0;
+    std::vector<i64> frontier;
+    while (load < target && cursor < n) {
+      // find an unassigned seed
+      while (cursor < n && parts[order[cursor]] >= 0) ++cursor;
+      if (cursor >= n) break;
+      frontier.assign(1, order[cursor]);
+      while (!frontier.empty() && load < target) {
+        i64 v = frontier.back();
+        frontier.pop_back();
+        if (parts[v] >= 0) continue;
+        parts[v] = p;
+        load += vwgt[v];
+        for (i64 e = indptr[v]; e < indptr[v + 1]; ++e)
+          if (parts[adj[e]] < 0) frontier.push_back(adj[e]);
+      }
+    }
+  }
+  for (i64 v = 0; v < n; ++v)
+    if (parts[v] < 0) parts[v] = static_cast<i64>(rng() % k);
+}
+
+// One pass of boundary refinement: move a vertex to the neighbor partition
+// with the largest edge-cut gain if balance permits.
+void refine(const std::vector<i64>& indptr, const std::vector<i64>& adj,
+            const std::vector<i64>& wgt, const std::vector<i64>& vwgt,
+            i64 k, std::vector<i64>& parts, int passes) {
+  i64 n = static_cast<i64>(indptr.size()) - 1;
+  i64 total = 0;
+  for (i64 v = 0; v < n; ++v) total += vwgt[v];
+  double max_load = 1.08 * static_cast<double>(total) / k + 1.0;
+  std::vector<i64> load(k, 0);
+  for (i64 v = 0; v < n; ++v) load[parts[v]] += vwgt[v];
+  std::vector<i64> conn(k, 0);
+  for (int pass = 0; pass < passes; ++pass) {
+    i64 moves = 0;
+    for (i64 v = 0; v < n; ++v) {
+      i64 pv = parts[v];
+      std::fill(conn.begin(), conn.end(), 0);
+      for (i64 e = indptr[v]; e < indptr[v + 1]; ++e)
+        conn[parts[adj[e]]] += wgt[e];
+      i64 best = pv, best_gain = 0;
+      for (i64 p = 0; p < k; ++p) {
+        if (p == pv) continue;
+        i64 gain = conn[p] - conn[pv];
+        if (gain > best_gain &&
+            load[p] + vwgt[v] <= static_cast<i64>(max_load)) {
+          best = p;
+          best_gain = gain;
+        }
+      }
+      if (best != pv) {
+        load[pv] -= vwgt[v];
+        load[best] += vwgt[v];
+        parts[v] = best;
+        ++moves;
+      }
+    }
+    if (!moves) break;
+  }
+}
+
+}  // namespace
+
+// parts must be sized num_nodes. Edge weights optional (pass nullptr).
+void metis_style_partition(const i64* indptr_in, const i64* adj_in,
+                           i64 num_nodes, i64 nparts, i64 seed,
+                           i64* parts_out) {
+  std::mt19937_64 rng(static_cast<uint64_t>(seed));
+  std::vector<i64> indptr(indptr_in, indptr_in + num_nodes + 1);
+  std::vector<i64> adj(adj_in, adj_in + indptr[num_nodes]);
+  std::vector<i64> wgt(adj.size(), 1), vwgt(num_nodes, 1);
+
+  if (nparts <= 1 || num_nodes == 0) {
+    std::fill(parts_out, parts_out + num_nodes, 0);
+    return;
+  }
+
+  // coarsening chain
+  std::vector<CoarseGraph> chain;
+  std::vector<i64>*cur_indptr = &indptr, *cur_adj = &adj, *cur_wgt = &wgt,
+                  *cur_vwgt = &vwgt;
+  i64 limit = std::max<i64>(4 * nparts, 64);
+  while (static_cast<i64>(cur_indptr->size()) - 1 > limit) {
+    CoarseGraph cg = coarsen(*cur_indptr, *cur_adj, *cur_wgt, *cur_vwgt, rng);
+    i64 before = static_cast<i64>(cur_indptr->size()) - 1;
+    i64 after = static_cast<i64>(cg.indptr.size()) - 1;
+    chain.push_back(std::move(cg));
+    cur_indptr = &chain.back().indptr;
+    cur_adj = &chain.back().adj;
+    cur_wgt = &chain.back().wgt;
+    cur_vwgt = &chain.back().vwgt;
+    if (after > (before * 95) / 100) break;  // stalled matching
+  }
+
+  std::vector<i64> parts;
+  initial_partition(*cur_indptr, *cur_adj, *cur_vwgt, nparts, parts, rng);
+  refine(*cur_indptr, *cur_adj, *cur_wgt, *cur_vwgt, nparts, parts, 8);
+
+  // project back through the chain with refinement at each level
+  for (i64 level = static_cast<i64>(chain.size()) - 1; level >= 0; --level) {
+    const std::vector<i64>& cmap = chain[level].cmap;
+    std::vector<i64> fine_parts(cmap.size());
+    for (size_t v = 0; v < cmap.size(); ++v) fine_parts[v] = parts[cmap[v]];
+    parts.swap(fine_parts);
+    if (level == 0) {
+      refine(indptr, adj, wgt, vwgt, nparts, parts, 4);
+    } else {
+      refine(chain[level - 1].indptr, chain[level - 1].adj,
+             chain[level - 1].wgt, chain[level - 1].vwgt, nparts, parts, 4);
+    }
+  }
+  std::copy(parts.begin(), parts.end(), parts_out);
+}
+
+}  // extern "C"

@@ -68,6 +68,7 @@ def _load():
         lib.extract_edges_from_nodes.argtypes = [
             _i64, _i64, _i64, _ll, _i64, _ll, _i64]
         lib.extract_edges_from_nodes.restype = _ll
+        lib.metis_style_partition.argtypes = [_i64, _i64, _ll, _ll, _ll, _i64]
         _lib = lib
         return _lib
 
@@ -267,3 +268,18 @@ def extract_edges_from_nodes(indptr, sorted_v, sorted_eid, num_nodes_graph,
             if in_set[sorted_v[e]]:
                 keep.append(sorted_eid[e])
     return np.asarray(keep, dtype=np.int64)
+
+
+def metis_partition(indptr, adj, nparts, seed=0):
+    """Multilevel k-way partition (own METIS-style implementation in C++:
+    heavy-edge-matching coarsening + greedy growth + boundary refinement).
+    Returns parts int64[num_nodes]."""
+    lib = _load()
+    indptr, adj = _c(indptr), _c(adj)
+    n = len(indptr) - 1
+    parts = np.empty(n, dtype=np.int64)
+    if lib is None:
+        raise NotImplementedError(
+            "metis_partition requires the compiled native kernel")
+    lib.metis_style_partition(indptr, adj, n, int(nparts), int(seed), parts)
+    return parts

@@ -1,0 +1,5 @@
+"""Pallas TPU kernels for the hot message-passing ops."""
+
+from . import segment_kernels
+
+__all__ = ["segment_kernels"]

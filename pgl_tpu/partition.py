@@ -1,0 +1,62 @@
+"""Graph partitioning (reference: ``pgl/partition.py``).
+
+``metis_partition`` (reference ``:37``, which binds vendored METIS) is backed
+here by our own C++ multilevel partitioner (heavy-edge-matching coarsening,
+greedy-growth initial partition, boundary Kernighan–Lin refinement) — same
+capability, original implementation. ``random_partition`` mirrors ``:94``.
+Both return an ``[num_nodes]`` int array of part ids, used to order nodes
+for locality before sharding across chips (GNNAutoScale, UniMP-proteins).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .native import graph_kernel as native
+
+__all__ = ["metis_partition", "random_partition", "partition_to_order"]
+
+
+def metis_partition(graph, npart: int, seed: int = 0) -> np.ndarray:
+    """K-way partition minimizing edge cut with ~8% balance slack.
+
+    The graph is viewed undirected (out-adjacency symmetrized on the fly).
+    """
+    g = graph.numpy() if graph.is_tensor else graph
+    if npart <= 1:
+        return np.zeros(g.num_nodes, dtype=np.int64)
+    edges = np.asarray(g.edges)
+    # symmetrize for partitioning quality
+    und = np.vstack([edges, edges[:, ::-1]])
+    und = und[und[:, 0] != und[:, 1]]
+    order = np.argsort(und[:, 0], kind="stable")
+    u = und[order, 0]
+    v = und[order, 1]
+    degree = np.bincount(u, minlength=g.num_nodes)
+    indptr = np.concatenate([[0], np.cumsum(degree)])
+    return native.metis_partition(indptr, v, npart, seed)
+
+
+def random_partition(graph, npart: int, seed: int = 0) -> np.ndarray:
+    """Uniform random node assignment (reference ``partition.py:94``)."""
+    g = graph.numpy() if graph.is_tensor else graph
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, npart, g.num_nodes).astype(np.int64)
+
+
+def partition_to_order(parts: np.ndarray):
+    """Stable node ordering grouping each part contiguously.
+
+    Returns ``(order, indptr)``: ``order`` lists node ids part by part,
+    ``indptr[p]:indptr[p+1]`` delimits part ``p`` — the relabeling used to
+    shard a graph with locality (ShardedGraph dst_range strategy after
+    renumbering by this order).
+    """
+    parts = np.asarray(parts)
+    order = np.argsort(parts, kind="stable")
+    counts = np.bincount(parts, minlength=int(parts.max()) + 1 if parts.size
+                         else 0)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return order, indptr

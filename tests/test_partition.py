@@ -1,0 +1,43 @@
+"""Partitioning tests: balance + cut quality of the multilevel partitioner
+vs random (mirroring reference ``tests/test_partition.py`` behavior checks)."""
+
+import numpy as np
+
+from pgl_tpu.datasets import community_graph, random_graph
+from pgl_tpu.partition import (metis_partition, random_partition,
+                               partition_to_order)
+
+
+def edge_cut(graph, parts):
+    e = np.asarray(graph.edges)
+    return int((parts[e[:, 0]] != parts[e[:, 1]]).sum())
+
+
+def test_random_partition_balance():
+    g = random_graph(1000, 5000, seed=0)
+    parts = random_partition(g, 4, seed=0)
+    counts = np.bincount(parts, minlength=4)
+    assert counts.min() > 150
+
+
+def test_metis_partition_balance_and_cut():
+    # two planted communities -> partitioner should find a low cut
+    g, labels = community_graph(num_nodes=600, num_classes=4, avg_degree=12,
+                                p_inter=0.02, seed=1)
+    parts = metis_partition(g, 4, seed=0)
+    counts = np.bincount(parts, minlength=4)
+    assert parts.min() >= 0 and parts.max() <= 3
+    # balance within slack
+    assert counts.max() <= int(1.25 * 600 / 4)
+    cut = edge_cut(g, parts)
+    rand_cut = edge_cut(g, random_partition(g, 4, seed=0))
+    # multilevel cut should be far better than random
+    assert cut < 0.5 * rand_cut, (cut, rand_cut)
+
+
+def test_partition_to_order():
+    parts = np.array([2, 0, 1, 0, 2, 1])
+    order, indptr = partition_to_order(parts)
+    np.testing.assert_array_equal(parts[order],
+                                  [0, 0, 1, 1, 2, 2])
+    np.testing.assert_array_equal(indptr, [0, 2, 4, 6])
