@@ -1,0 +1,154 @@
+"""Minibatch GraphSAGE (reference: ``examples/graphsage/cpu_sample_version/
+train.py``): multiprocess Dataloader runs ``graphsage_sample`` in workers,
+batches are bucket-padded to static shapes, the jitted train step reuses one
+compilation across batches.
+
+With ``--data-path`` pointing at the Reddit npz files this is the reference
+Reddit pipeline; otherwise a synthetic community graph keeps it runnable.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+from pgl_tpu.utils.platform import select_platform
+
+select_platform()
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pgl_tpu import Graph
+from pgl_tpu.datasets import RedditDataset, community_graph
+from pgl_tpu.models import GraphSage
+from pgl_tpu.sampling import graphsage_sample
+from pgl_tpu.utils.data import Dataset, Dataloader
+
+
+class ShardedNodeDataset(Dataset):
+    def __init__(self, nodes, labels):
+        self.nodes = np.asarray(nodes)
+        self.labels = np.asarray(labels)
+
+    def __getitem__(self, idx):
+        return self.nodes[idx], self.labels[idx]
+
+    def __len__(self):
+        return len(self.nodes)
+
+
+def make_batch_fn(graph, samples, n_bucket, e_bucket, feat):
+    feat = np.asarray(feat, dtype=np.float32)
+
+    def batch_fn(items):
+        nodes = np.asarray([n for n, _ in items])
+        labels = np.asarray([l for _, l in items])
+        sub, sample_index, node_index = graphsage_sample(
+            graph, nodes, samples)[0]
+        if sub.num_nodes > n_bucket or sub.num_edges > e_bucket:
+            raise RuntimeError(
+                f"bucket too small: {sub.num_nodes}/{sub.num_edges}")
+        edges = np.full((e_bucket, 2), n_bucket - 1, np.int32)
+        edges[:sub.num_edges] = np.asarray(sub.edges)
+        x = np.zeros((n_bucket, feat.shape[1]), np.float32)
+        x[:sub.num_nodes] = feat[sample_index]
+        y = np.zeros(n_bucket, np.int32)
+        mask = np.zeros(n_bucket, np.float32)
+        y[node_index] = labels
+        mask[node_index] = 1.0
+        return edges, x, y, mask
+
+    return batch_fn
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data-path", default=None)
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--samples", type=int, nargs="+", default=[25, 10])
+    parser.add_argument("--hidden", type=int, default=128)
+    parser.add_argument("--num-workers", type=int, default=2)
+    args = parser.parse_args()
+
+    if args.data_path:
+        ds = RedditDataset(data_path=args.data_path)
+        graph, feat = ds.graph, ds.feature
+        train_nodes, train_y = ds.train_index, ds.train_label
+        test_nodes, test_y = ds.test_index, ds.test_label
+        num_classes = ds.num_classes
+    else:
+        graph, y = community_graph(num_nodes=3000, num_classes=5,
+                                   feat_dim=64, avg_degree=10, seed=0)
+        feat = graph.node_feat["h"]
+        perm = np.random.default_rng(0).permutation(3000)
+        train_nodes, test_nodes = perm[:2000], perm[2000:]
+        train_y, test_y = y[train_nodes], y[test_nodes]
+        num_classes = 5
+
+    n_bucket = 1 << int(np.ceil(np.log2(
+        args.batch_size * (1 + np.prod(args.samples)) + 1)))
+    e_bucket = n_bucket * 4
+    model = GraphSage(input_size=np.asarray(feat).shape[1],
+                      num_class=num_classes, hidden_size=args.hidden,
+                      dropout=0.0)
+    batch_fn = make_batch_fn(graph, args.samples, n_bucket, e_bucket, feat)
+
+    params = None
+    opt = optax.adam(1e-3)
+    opt_state = None
+
+    @jax.jit
+    def train_step(params, opt_state, g, x, y, mask):
+        def loss_fn(p):
+            logits = model.apply(p, g, x)
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y)
+            return (losses * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for epoch in range(args.epochs):
+        loader = Dataloader(ShardedNodeDataset(train_nodes, train_y),
+                            batch_size=args.batch_size, shuffle=True,
+                            num_workers=args.num_workers,
+                            collate_fn=batch_fn, seed=epoch)
+        t0, steps, total = time.time(), 0, 0.0
+        for edges, x, y_b, mask in loader:
+            g = Graph(jnp.asarray(edges), num_nodes=n_bucket)
+            if params is None:
+                params = model.init(jax.random.key(0), g, jnp.asarray(x))
+                opt_state = opt.init(params)
+            params, opt_state, loss = train_step(
+                params, opt_state, g, jnp.asarray(x), jnp.asarray(y_b),
+                jnp.asarray(mask))
+            steps += 1
+            total += float(loss)
+        print(f"epoch {epoch}: loss {total/max(steps,1):.4f} "
+              f"({steps} steps, {time.time()-t0:.1f}s)")
+
+    # evaluation with the same sampler
+    correct = tested = 0
+    eval_loader = Dataloader(ShardedNodeDataset(test_nodes, test_y),
+                             batch_size=args.batch_size,
+                             collate_fn=batch_fn)
+    for edges, x, y_b, mask in eval_loader:
+        g = Graph(jnp.asarray(edges), num_nodes=n_bucket)
+        logits = model.apply(params, g, jnp.asarray(x))
+        pred = np.asarray(logits.argmax(-1))
+        m = np.asarray(mask) > 0
+        correct += int((pred[m] == np.asarray(y_b)[m]).sum())
+        tested += int(m.sum())
+    print(f"test acc: {correct / max(tested, 1):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,57 +1,120 @@
-"""Pallas TPU kernel: sorted-segment sum — the SpMM reduction behind
-``send_u_recv``/``recv`` (replaces the reference's CUDA
-``paddle.geometric.segment_sum`` scatter kernels, ``pgl/math.py:36``).
+"""Pallas TPU SpMM: gather + sorted-segment-sum — the kernel behind
+``send_u_recv``/``recv`` (replacing the reference's CUDA
+``paddle.geometric`` scatter kernels, ``pgl/math.py:36``, ``pgl/graph.py:860``).
 
 Design (TPU-first):
-  * The Graph stores edges dst-sorted (CSC), so all messages destined for an
-    output row block ``[i*NB, (i+1)*NB)`` are **contiguous** in the message
-    array: block ``i`` owns edge range ``indptr[i*NB] : indptr[(i+1)*NB]``.
-  * Grid iterates output row blocks. Each step streams that block's edge
-    tiles HBM→VMEM with a double-buffered DMA pipeline and reduces a tile of
-    ``ET`` messages onto ``NB`` rows as a **one-hot matmul on the MXU**:
-    ``acc += onehot(local_dst)[NB, ET] @ msgs[ET, D]`` — turning the scatter
-    XLA would serialize into dense systolic work.
-  * Per-row-block edge offsets ride in as scalar-prefetch (SMEM), messages
-    and segment ids stay in HBM (``pl.ANY``) and are DMA'd manually.
-
-The backward of segment-sum is a gather (``g[seg_ids]``), provided via
-``jax.custom_vjp`` so the op is fully differentiable.
+  * The Graph stores edges dst-sorted (CSC), so the edges of output row
+    block ``[i*NB, (i+1)*NB)`` are contiguous. The kernel grid iterates row
+    blocks; each step streams the covering edge tiles HBM→VMEM with
+    double-buffered DMA and reduces ``ET`` messages onto ``NB`` rows as a
+    **one-hot matmul on the MXU**:
+    ``acc += onehot(ids - row_base)[NB, ET] @ msgs[ET, D]`` — the scatter
+    XLA would serialize becomes dense systolic work.
+  * Tiles are ``ET``-aligned *supersets* of the block's edge range: because
+    segment ids are globally sorted, edges outside the range simply fail
+    the one-hot compare — no per-block padding, only a trailing sentinel
+    pad to a tile multiple. Every DMA offset/shape is tile-aligned.
+  * The backward of the SpMM is the transposed SpMM; ``spmm`` takes the
+    CSR (src-sorted) layout too and runs the same kernel over it, so no XLA
+    scatter appears in either direction.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sorted_segment_sum", "available"]
+__all__ = ["BlockedLayout", "build_blocked_layout", "spmm",
+           "sorted_segment_sum", "available", "NB_DEFAULT", "ET_DEFAULT"]
+
+NB_DEFAULT = 256      # output rows per grid step
+ET_DEFAULT = 1024     # edges per DMA tile (1-D int32 slices tile at 1024)
 
 
-def _kernel(block_starts_ref,    # [G+1] SMEM scalar prefetch
-            msgs_ref,            # [E_pad, D] HBM
-            ids_ref,             # [E_pad, 1] HBM (int32, dst-sorted)
-            out_ref,             # [NB, D] VMEM (this block's output rows)
-            msg_tile, ids_tile, sem_m, sem_i,   # scratch
-            *, NB: int, ET: int, D: int, N_BUF: int):
+@jax.tree_util.register_pytree_node_class
+class BlockedLayout:
+    """Device-resident tile-aligned CSC/CSR layout for the SpMM kernel.
+
+    padded_v:     [Ep] int32 gather indices (src for CSC), 0 at tail pad
+    padded_ids:   [Ep/128, 128] int32 sorted segment ids (row-major),
+                  sentinel at tail pad
+    tile_starts:  [G] int32 ET-aligned first edge offset per row block
+    tile_ends:    [G] int32 (exclusive, unaligned) last edge per row block
+    num_segments: static node count (pytree aux data, stays a python int
+                  under jit)
+    """
+
+    def __init__(self, padded_v, padded_ids, tile_starts, tile_ends,
+                 num_segments: int):
+        self.padded_v = padded_v
+        self.padded_ids = padded_ids
+        self.tile_starts = tile_starts
+        self.tile_ends = tile_ends
+        self.num_segments = num_segments
+
+    def tree_flatten(self):
+        return ((self.padded_v, self.padded_ids, self.tile_starts,
+                 self.tile_ends), self.num_segments)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+
+def build_blocked_layout(indptr, sorted_v, num_segments: int,
+                         nb: int = NB_DEFAULT,
+                         et: int = ET_DEFAULT) -> BlockedLayout:
+    """Host-side (numpy) construction; call once at Graph.tensor() time."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    sorted_v = np.asarray(sorted_v, dtype=np.int64)
+    E = len(sorted_v)
+    n_pad = (num_segments + nb - 1) // nb * nb
+    G = n_pad // nb
+    lo_idx = np.minimum(np.arange(G) * nb, num_segments)
+    hi_idx = np.minimum((np.arange(G) + 1) * nb, num_segments)
+    tile_starts = (indptr[lo_idx] // et) * et
+    tile_ends = indptr[hi_idx]
+    Ep = max(((E + et - 1) // et) * et + et, et)
+    padded_v = np.zeros(Ep, dtype=np.int32)
+    padded_v[:E] = sorted_v
+    padded_ids = np.full(Ep, n_pad, dtype=np.int32)  # sentinel
+    padded_ids[:E] = np.repeat(np.arange(num_segments, dtype=np.int32),
+                               np.diff(indptr))
+    padded_ids = padded_ids.reshape(-1, 128)
+    return BlockedLayout(jnp.asarray(padded_v), jnp.asarray(padded_ids),
+                         jnp.asarray(tile_starts.astype(np.int32)),
+                         jnp.asarray(tile_ends.astype(np.int32)),
+                         int(num_segments))
+
+
+def _kernel(tile_starts_ref, tile_ends_ref,   # [G] SMEM scalar prefetch
+            msgs_ref,                         # [Ep, D] HBM
+            ids_ref,                          # [Ep/128, 128] HBM int32
+            out_ref,                          # [NB, D] VMEM
+            msg_tile, ids_tile, onehot_tile, sem_m, sem_i,
+            *, NB: int, ET: int, D: int):
     i = pl.program_id(0)
-    e0 = block_starts_ref[i]
-    e1 = block_starts_ref[i + 1]
+    e0 = tile_starts_ref[i]          # ET-aligned
+    e1 = tile_ends_ref[i]
     num_tiles = (e1 - e0 + ET - 1) // ET
-
     row_base = i * NB
+    ER = ET // 128                   # id rows per tile
 
     def tile_dma(slot, t):
-        start = e0 + t * ET
+        start = pl.multiple_of(e0 + t * ET, ET)
         return (
             pltpu.make_async_copy(
                 msgs_ref.at[pl.ds(start, ET), :],
                 msg_tile.at[slot], sem_m.at[slot]),
             pltpu.make_async_copy(
-                ids_ref.at[pl.ds(start, ET), :],
+                ids_ref.at[pl.ds(start // 128, ER), :],
                 ids_tile.at[slot], sem_i.at[slot]),
         )
 
@@ -62,9 +125,9 @@ def _kernel(block_starts_ref,    # [G+1] SMEM scalar prefetch
 
     out_ref[:] = jnp.zeros((NB, D), out_ref.dtype)
 
-    def body(t, acc):
-        slot = t % N_BUF
-        nxt = (t + 1) % N_BUF
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
 
         @pl.when(t + 1 < num_tiles)
         def _():
@@ -74,115 +137,128 @@ def _kernel(block_starts_ref,    # [G+1] SMEM scalar prefetch
         for d in tile_dma(slot, t):
             d.wait()
 
-        ids = ids_tile[slot]                      # [ET, 1] int32
-        local = ids.reshape(1, ET) - row_base     # [1, ET]
-        # mask tail beyond e1 (the DMA may overread into the next block's
-        # edges; their ids fall outside [0, NB) only if the next block is
-        # different — same-value ids from the next block's range can't
-        # happen because ids are sorted and >= (i+1)*NB there)
-        e_idx = e0 + t * ET + jax.lax.broadcasted_iota(
-            jnp.int32, (1, ET), 1)
-        valid = (e_idx < e1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (NB, ET), 0)
-        onehot = jnp.where(
-            (rows == local) & valid, 1.0, 0.0).astype(msg_tile.dtype)
-        acc = acc + jax.lax.dot(
-            onehot, msg_tile[slot], preferred_element_type=jnp.float32)
-        return acc
+        # ids sorted globally: anything outside [row_base, row_base+NB)
+        # fails the compare, which masks both the aligned-superset head and
+        # the next block's edges in the tail — no explicit masking needed.
+        # Build the full [NB, ET] one-hot in VMEM, then a single wide dot
+        # (K=ET) so the MXU pipeline stays filled.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
+        for r in range(ER):          # 128-edge sub-tiles, unrolled
+            local = ids_tile[slot, r].reshape(1, 128) - row_base
+            onehot_tile[:, r * 128:(r + 1) * 128] = jnp.where(
+                rows == local, 1.0, 0.0).astype(onehot_tile.dtype)
+        out_ref[:] = out_ref[:] + jax.lax.dot(
+            onehot_tile[:], msg_tile[slot],
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        return ()
 
-    acc = jax.lax.fori_loop(
-        0, num_tiles, body,
-        jnp.zeros((NB, D), jnp.float32))
-    out_ref[:] = acc.astype(out_ref.dtype)
+    jax.lax.fori_loop(0, num_tiles, body, ())
 
 
-def _round_up(x, m):
-    return (x + m - 1) // m * m
-
-
-@functools.partial(jax.jit, static_argnames=("num_segments", "nb", "et",
-                                             "interpret"))
-def _sorted_segment_sum_impl(msgs, seg_ids, indptr, num_segments: int,
-                             nb: int = 256, et: int = 512,
-                             interpret: bool = False):
-    E, D = msgs.shape
-    NB, ET = nb, et
-    N_pad = _round_up(max(num_segments, NB), NB)
-    G = N_pad // NB
-    # overread slack: tiles may read up to ET rows past e1
-    E_pad = _round_up(E, ET) + ET
-    msgs_p = jnp.zeros((E_pad, D), msgs.dtype).at[:E].set(msgs)
-    # padding ids point at an out-of-range row so they never hit a one-hot
-    ids_p = jnp.full((E_pad, 1), jnp.int32(N_pad), jnp.int32)
-    ids_p = ids_p.at[:E, 0].set(seg_ids.astype(jnp.int32))
-    # per-block edge offsets from indptr (indptr[N] == E)
-    indptr = indptr.astype(jnp.int32)
-    idx = jnp.minimum(
-        jnp.arange(G + 1, dtype=jnp.int32) * NB, num_segments)
-    block_starts = indptr[idx]
-
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "nb", "et", "interpret"))
+def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
+                  num_segments: int, nb: int, et: int, interpret: bool):
+    D = feature.shape[1]
+    msgs = jnp.take(feature, padded_v, axis=0)
+    n_pad = (num_segments + nb - 1) // nb * nb
+    G = n_pad // nb
     out = pl.pallas_call(
-        functools.partial(_kernel, NB=NB, ET=ET, D=D, N_BUF=2),
+        functools.partial(_kernel, NB=nb, ET=et, D=D),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=pl.BlockSpec(
-                (NB, D), lambda i, *_: (i, 0),
-                memory_space=pltpu.VMEM),
+                (nb, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, ET, D), msgs.dtype),
-                pltpu.VMEM((2, ET, 1), jnp.int32),
+                pltpu.VMEM((2, et, D), msgs.dtype),
+                pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.VMEM((nb, et), msgs.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((N_pad, D), msgs.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), feature.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (E_pad // ET) * NB * ET * D,
-            bytes_accessed=E_pad * D * msgs.dtype.itemsize
-            + N_pad * D * msgs.dtype.itemsize,
+            flops=2 * int(msgs.shape[0]) * nb * D,
+            bytes_accessed=int(msgs.shape[0]) * D * 4 + n_pad * D * 4,
             transcendentals=0),
-    )(block_starts, msgs_p, ids_p)
+    )(tile_starts, tile_ends, msgs, padded_ids)
     return out[:num_segments]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def sorted_segment_sum(msgs, seg_ids, indptr, num_segments: int,
-                       nb: int = 256, et: int = 512,
-                       interpret: bool = False):
-    """Segment sum over *sorted* segment ids via one-hot MXU matmuls.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def spmm(feature, csc: BlockedLayout, csr: BlockedLayout,
+         nb: int = NB_DEFAULT, et: int = ET_DEFAULT,
+         interpret: bool = False):
+    """out[d] = Σ_{edges s→d} feature[s], via the one-hot-MXU kernel.
 
-    Args:
-      msgs: ``[E, D]`` float messages, dst-sorted (Graph CSC order).
-      seg_ids: ``[E]`` int32 sorted segment ids.
-      indptr: ``[num_segments+1]`` CSC row pointer (``indptr[k]`` = first
-        edge of segment ``k``).
-      num_segments: output rows (static).
-      nb / et: output row-block size and edge-tile size (tuning knobs).
+    ``csc`` aggregates by dst (forward); ``csr`` is the same graph grouped
+    by src, used to run the *transposed* SpMM in the backward pass.
     """
-    return _sorted_segment_sum_impl(msgs, seg_ids, indptr, num_segments,
-                                    nb, et, interpret)
+    return _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
+                         csc.tile_starts, csc.tile_ends, csc.num_segments,
+                         nb, et, interpret)
 
 
-def _fwd(msgs, seg_ids, indptr, num_segments, nb, et, interpret):
-    out = _sorted_segment_sum_impl(msgs, seg_ids, indptr, num_segments,
-                                   nb, et, interpret)
+def _spmm_fwd(feature, csc, csr, nb, et, interpret):
+    out = _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
+                        csc.tile_starts, csc.tile_ends, csc.num_segments,
+                        nb, et, interpret)
+    return out, csr
+
+
+def _spmm_bwd(nb, et, interpret, csr, g):
+    # d/dfeature: transposed SpMM — aggregate cotangents over out-edges.
+    dx = _blocked_spmm(g, csr.padded_v, csr.padded_ids, csr.tile_starts,
+                       csr.tile_ends, csr.num_segments, nb, et, interpret)
+    return dx, None, None
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def sorted_segment_sum(msgs, seg_ids, indptr, num_segments: int,
+                       nb: int = NB_DEFAULT, et: int = ET_DEFAULT,
+                       interpret: bool = False):
+    """Standalone sorted segment sum (messages already materialized).
+
+    Builds the layout on the fly from *concrete* inputs — intended for
+    tests and one-off use; hot paths pre-build a :class:`BlockedLayout`
+    and call :func:`spmm`. Backward is a gather.
+    """
+    layout = build_blocked_layout(np.asarray(indptr),
+                                  np.arange(len(np.asarray(seg_ids))),
+                                  num_segments, nb, et)
+    return _segsum_vjp(msgs, seg_ids, layout, num_segments, nb, et,
+                       interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _segsum_vjp(msgs, seg_ids, layout, num_segments, nb, et, interpret):
+    return _blocked_spmm(msgs, layout.padded_v, layout.padded_ids,
+                         layout.tile_starts, layout.tile_ends, num_segments,
+                         nb, et, interpret)
+
+
+def _segsum_fwd(msgs, seg_ids, layout, num_segments, nb, et, interpret):
+    out = _blocked_spmm(msgs, layout.padded_v, layout.padded_ids,
+                        layout.tile_starts, layout.tile_ends, num_segments,
+                        nb, et, interpret)
     return out, seg_ids
 
 
-def _bwd(num_segments, nb, et, interpret, seg_ids, g):
-    # d/dmsgs of segment-sum = gather of the output cotangent
+def _segsum_bwd(num_segments, nb, et, interpret, seg_ids, g):
     return jnp.take(g, seg_ids, axis=0), None, None
 
 
-sorted_segment_sum.defvjp(_fwd, _bwd)
+_segsum_vjp.defvjp(_segsum_fwd, _segsum_bwd)
 
 
 def available() -> bool:
-    """Pallas TPU path usable on this backend?"""
     return jax.default_backend() == "tpu"

@@ -1,0 +1,77 @@
+"""Config, export/serving, profiler, sharded embedding tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pgl_tpu.utils.config import Config, load_config
+from pgl_tpu.utils.export import export_model, Predictor
+from pgl_tpu.utils.profiler import StageTimer
+
+
+def test_config_basic(tmp_path):
+    cfg = Config({"model": {"hidden": 64}, "lr": 0.01})
+    assert cfg.model.hidden == 64
+    assert cfg.lr == 0.01
+    assert cfg.missing is None
+    cfg2 = cfg.merge({"model": {"heads": 4}})
+    assert cfg2.model.hidden == 64 and cfg2.model.heads == 4
+    cfg3 = cfg.override("model.hidden", 128)
+    assert cfg3.model.hidden == 128 and cfg.model.hidden == 64
+    p = tmp_path / "c.yaml"
+    cfg.save(str(p))
+    loaded = load_config(str(p))
+    assert loaded.model.hidden == 64
+
+
+def test_export_roundtrip(tmp_path):
+    from pgl_tpu import Graph
+    from pgl_tpu.models import GCN
+
+    rng = np.random.default_rng(0)
+    g = Graph(rng.integers(0, 20, (60, 2)), num_nodes=20,
+              node_feat={"h": rng.normal(size=(20, 8)).astype(np.float32)})
+    gt = g.tensor()
+    model = GCN(input_size=8, num_class=3, hidden_size=8, dropout=0.0)
+    params = model.init(jax.random.key(0), gt, gt.node_feat["h"])
+
+    def infer(x):
+        return model.apply(params, gt, x)
+
+    path = str(tmp_path / "model.bin")
+    export_model(infer, [gt.node_feat["h"]], path)
+    assert os.path.getsize(path) > 0
+
+    pred = Predictor(path)
+    out = pred.run(gt.node_feat["h"])
+    ref = infer(gt.node_feat["h"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_stage_timer(caplog):
+    timer = StageTimer()
+    with timer.stage("a"):
+        x = jnp.ones((10,)) * 2
+    with timer.stage("a", sync_value=x):
+        x = x + 1
+    totals = timer.report()
+    assert totals["a"] > 0
+
+
+def test_sharded_embedding():
+    from jax.sharding import Mesh
+    from pgl_tpu.parallel.embedding import ShardedEmbedding
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    emb = ShardedEmbedding(100, 16, mesh, axis="data", seed=0)
+    ids = jnp.asarray([3, 50, 99])
+    rows = emb.lookup(ids)
+    assert rows.shape == (3, 16)
+    before = np.asarray(rows)
+    emb.apply_sparse_grad(ids, jnp.ones((3, 16)), lr=0.5)
+    after = np.asarray(emb.lookup(ids))
+    np.testing.assert_allclose(after, before - 0.5, rtol=1e-6)
