@@ -1,7 +1,8 @@
 """Application mini-frameworks (reference: ``apps/``): GNNAutoScale
-historical embeddings, large-scale unsupervised graph engines, rec/KG
+historical embeddings, the PGLBox-style unsupervised engine, rec/KG
 toolkits built on the core framework."""
 
 from . import gnn_autoscale
+from . import unsupervised
 
-__all__ = ["gnn_autoscale"]
+__all__ = ["gnn_autoscale", "unsupervised"]

@@ -81,6 +81,7 @@ class Graph:
         self._graph_node_index = kwargs.get("_graph_node_index", None)
         self._graph_edge_index = kwargs.get("_graph_edge_index", None)
         self._num_graph = int(kwargs.get("_num_graph", 1))
+        self._spmm_layouts = kwargs.get("_spmm_layouts", None)
 
     # ------------------------------------------------------------------
     # basic accessors
@@ -291,17 +292,24 @@ class Graph:
         self._require_tensor()
         if self._adj_dst_index is not None:
             idx = self._adj_dst_index
-            msgs = mp.gather_rows(feature, idx.sorted_v)
             if reduce_op in ("sum", "mean"):
-                from .ops.dispatch import csc_segment_sum
-                out = csc_segment_sum(msgs, idx.segment_ids, idx.indptr,
-                                      self._num_nodes)
+                from .ops.dispatch import use_pallas_spmm
+                if self._spmm_layouts is not None \
+                        and use_pallas_spmm(feature, self._num_edges):
+                    from .ops.pallas.segment_kernels import spmm
+                    csc, csr = self._spmm_layouts
+                    out = spmm(feature, csc, csr)
+                else:
+                    out = S.segment_sum(
+                        mp.gather_rows(feature, idx.sorted_v),
+                        idx.segment_ids, num_segments=self._num_nodes,
+                        indices_are_sorted=True)
                 if reduce_op == "mean":
                     deg = jnp.maximum(idx.degree, 1).astype(out.dtype)
                     out = out / deg[:, None]
                 return out
             return S.segment_pool(
-                msgs, idx.segment_ids,
+                mp.gather_rows(feature, idx.sorted_v), idx.segment_ids,
                 reduce_op, num_segments=self._num_nodes,
                 indices_are_sorted=True)
         return mp.send_u_recv(feature, self._edges[:, 0], self._edges[:, 1],
@@ -348,7 +356,9 @@ class Graph:
         if build_adj:
             adj_src = self.adj_src_index.tensor(sharding)
             adj_dst = self.adj_dst_index.tensor(sharding)
+            spmm_layouts = self._build_spmm_layouts()
         else:
+            spmm_layouts = None
             adj_src = (self._adj_src_index.tensor(sharding)
                        if self._adj_src_index is not None else None)
             adj_dst = (self._adj_dst_index.tensor(sharding)
@@ -365,7 +375,22 @@ class Graph:
             _graph_edge_index=(put(np.asarray(self._graph_edge_index,
                                               dtype=np.int32))
                                if self._graph_edge_index is not None else None),
-            _num_graph=self._num_graph)
+            _num_graph=self._num_graph,
+            _spmm_layouts=spmm_layouts)
+
+    def _build_spmm_layouts(self):
+        """Host-side build of the Pallas SpMM layouts (CSC for forward,
+        CSR for the transposed backward); see ops/pallas/segment_kernels."""
+        from .ops.pallas.segment_kernels import build_blocked_layout
+        dst_idx = self.adj_dst_index
+        src_idx = self.adj_src_index
+        csc = build_blocked_layout(np.asarray(dst_idx.indptr),
+                                   np.asarray(dst_idx.sorted_v),
+                                   self._num_nodes)
+        csr = build_blocked_layout(np.asarray(src_idx.indptr),
+                                   np.asarray(src_idx.sorted_v),
+                                   self._num_nodes)
+        return (csc, csr)
 
     def numpy(self) -> "Graph":
         if not self._is_tensor:
@@ -490,7 +515,8 @@ class Graph:
     def tree_flatten(self):
         children = (self._edges, self._node_feat, self._edge_feat,
                     self._adj_src_index, self._adj_dst_index,
-                    self._graph_node_index, self._graph_edge_index)
+                    self._graph_node_index, self._graph_edge_index,
+                    self._spmm_layouts)
         aux = (self._num_nodes, self._num_edges, self._num_graph,
                self._is_tensor)
         return children, aux
@@ -500,7 +526,7 @@ class Graph:
         obj = object.__new__(cls)
         (obj._edges, obj._node_feat, obj._edge_feat, obj._adj_src_index,
          obj._adj_dst_index, obj._graph_node_index,
-         obj._graph_edge_index) = children
+         obj._graph_edge_index, obj._spmm_layouts) = children
         (obj._num_nodes, obj._num_edges, obj._num_graph,
          obj._is_tensor) = aux
         return obj

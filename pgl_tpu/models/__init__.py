@@ -1,5 +1,8 @@
 """Reference model assemblies built from the layer zoo."""
 
 from .gnn import GCN, GAT, GraphSage, GIN, DeepGCNII, APPNPModel, SGC
+from .unimp import UniMP, RUniMP
+from . import kg
 
-__all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel", "SGC"]
+__all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel",
+           "SGC", "UniMP", "RUniMP", "kg"]

@@ -14,7 +14,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["use_pallas_segment_sum", "csc_segment_sum"]
+__all__ = ["use_pallas_segment_sum", "use_pallas_spmm", "csc_segment_sum"]
 
 _MIN_EDGES = 4096
 
@@ -40,3 +40,17 @@ def csc_segment_sum(msgs, segment_ids, indptr, num_segments: int):
     return jax.ops.segment_sum(msgs, segment_ids,
                                num_segments=num_segments,
                                indices_are_sorted=True)
+
+
+def use_pallas_spmm(feature, num_edges: int) -> bool:
+    """Whether Graph.send_u_recv should take the Pallas spmm path."""
+    flag = os.environ.get("PGL_TPU_USE_PALLAS", "auto").lower()
+    if flag in ("0", "false", "off"):
+        return False
+    if feature.ndim != 2:
+        return False
+    ok = (feature.shape[1] % 128 == 0 and num_edges >= _MIN_EDGES
+          and feature.dtype in (jnp.float32, jnp.bfloat16))
+    if flag in ("1", "true", "on"):
+        return ok
+    return ok and jax.default_backend() == "tpu"

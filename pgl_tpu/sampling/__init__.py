@@ -2,8 +2,10 @@
 (reference: ``pgl/sampling/``)."""
 
 from .sage import graphsage_sample, NeighborSampler, sample_neighbors_padded
-from .walk import random_walk, node2vec_walk
+from .walk import (random_walk, node2vec_walk, metapath_randomwalk,
+                   metapath_randomwalk_dist)
 from .custom import subgraph
 
 __all__ = ["graphsage_sample", "NeighborSampler", "sample_neighbors_padded",
-           "random_walk", "node2vec_walk", "subgraph"]
+           "random_walk", "node2vec_walk", "metapath_randomwalk",
+           "metapath_randomwalk_dist", "subgraph"]

@@ -54,3 +54,66 @@ def walks_to_lists(walks: np.ndarray) -> List[List[int]]:
         stop = np.argmax(row < 0) if (row < 0).any() else len(row)
         out.append(row[:stop].tolist())
     return out
+
+
+def metapath_randomwalk(graph, start_nodes, metapath, walk_length: int,
+                        seed: int = 0, alias=None):
+    """Metapath-guided random walk over a HeterGraph (reference:
+    ``examples/metapath2vec`` sampling at
+    ``examples/metapath2vec/datasets/sampling.py:285-400``).
+
+    ``metapath`` is a string like ``"c2p-p2a-a2p-p2c"`` (edge types joined
+    by '-'); the walk repeats the metapath until ``walk_length``. Returns an
+    int64 [num_starts, walk_length] array padded with -1 at dead ends.
+    """
+    rng = np.random.default_rng(seed)
+    etypes = metapath.split("-")
+    starts = np.asarray(start_nodes, dtype=np.int64)
+    W = len(starts)
+    walks = np.full((W, walk_length), -1, dtype=np.int64)
+    walks[:, 0] = starts
+    cur = starts.copy()
+    alive = np.ones(W, dtype=bool)
+    for step in range(1, walk_length):
+        etype = etypes[(step - 1) % len(etypes)]
+        idx = graph[etype].adj_src_index
+        indptr = np.asarray(idx.indptr)
+        sorted_v = np.asarray(idx.sorted_v)
+        for w in np.nonzero(alive)[0]:
+            lo, hi = indptr[cur[w]], indptr[cur[w] + 1]
+            if lo == hi:
+                alive[w] = False
+                continue
+            cur[w] = sorted_v[rng.integers(lo, hi)]
+            walks[w, step] = cur[w]
+        if not alive.any():
+            break
+    return walks
+
+
+def metapath_randomwalk_dist(client, start_nodes, metapath,
+                             walk_length: int, seed: int = 0):
+    """Metapath walk against a :class:`~pgl_tpu.distributed.DistGraphClient`
+    — one batched RPC per hop (reference walk-over-graph-engine pattern,
+    ``examples/metapath2vec/utils/walk.py:32-90``)."""
+    etypes = metapath.split("-")
+    starts = np.asarray(start_nodes, dtype=np.int64)
+    W = len(starts)
+    walks = np.full((W, walk_length), -1, dtype=np.int64)
+    walks[:, 0] = starts
+    cur = starts.copy()
+    alive = np.ones(W, dtype=bool)
+    for step in range(1, walk_length):
+        etype = etypes[(step - 1) % len(etypes)]
+        live_idx = np.nonzero(alive)[0]
+        if live_idx.size == 0:
+            break
+        nbrs = client.sample_successor(cur[live_idx], max_degree=1,
+                                      edge_type=etype, seed=seed + step)
+        for w, nb in zip(live_idx, nbrs):
+            if nb is None or len(nb) == 0:
+                alive[w] = False
+            else:
+                cur[w] = int(nb[0])
+                walks[w, step] = cur[w]
+    return walks

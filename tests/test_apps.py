@@ -1,0 +1,88 @@
+"""App-layer tests: UniMP/R-UniMP models, unsupervised engine, stream pool,
+mp_reader."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pgl_tpu import Graph, HeterGraph
+from pgl_tpu.datasets import community_graph
+from pgl_tpu.models.unimp import UniMP, RUniMP
+
+
+def test_unimp_forward_and_label_masking():
+    g, y = community_graph(num_nodes=100, num_classes=4, feat_dim=16,
+                           avg_degree=6, seed=0)
+    gt = g.tensor()
+    x = gt.node_feat["h"]
+    label = jnp.asarray(y)
+    mask = jnp.asarray(np.arange(100) < 50)
+    model = UniMP(input_size=16, num_class=4, num_layers=2, hidden_size=8,
+                  dropout=0.0)
+    params = model.init(jax.random.key(0), gt, x, label, mask)
+    out = model.apply(params, gt, x, label, mask)
+    assert out.shape == (100, 4)
+    # feeding labels must change the output vs an all-masked run
+    out_nolabel = model.apply(params, gt, x, label,
+                              jnp.zeros(100, bool))
+    assert not np.allclose(np.asarray(out), np.asarray(out_nolabel))
+
+
+def test_runimp_hetero():
+    edges = {
+        "cites": np.random.default_rng(0).integers(0, 50, (200, 2)),
+        "refs": np.random.default_rng(1).integers(0, 50, (150, 2)),
+    }
+    hg = HeterGraph(edges, num_nodes=50).tensor()
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(50, 12)).astype(np.float32))
+    model = RUniMP(input_size=12, num_class=3, etypes=["cites", "refs"],
+                   num_layers=2, hidden_size=8, dropout=0.0)
+    params = model.init(jax.random.key(0), hg, x)
+    out = model.apply(params, hg, x)
+    assert out.shape == (50, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("neighbor_samples", [None, 4])
+def test_unsupervised_trainer(neighbor_samples):
+    from pgl_tpu.apps.unsupervised import UnsupervisedGraphTrainer
+    g, labels = community_graph(num_nodes=300, num_classes=3, feat_dim=1,
+                                avg_degree=8, seed=1)
+    trainer = UnsupervisedGraphTrainer(
+        g, embed_dim=32, neighbor_samples=neighbor_samples,
+        pair_batch=1024, lr=2e-2)
+    loss0 = trainer.train(epochs=1, walk_len=10, batch_nodes=300)
+    loss1 = trainer.train(epochs=3, walk_len=10, batch_nodes=300)
+    assert loss1 < loss0
+    emb = trainer.embeddings()
+    assert emb.shape == (300, 32)
+
+
+def test_stream_pool():
+    from pgl_tpu.utils.stream_pool import StreamPool
+    pool = StreamPool(pool_size=2)
+    host = np.arange(50, dtype=np.float32).reshape(10, 5)
+    fut = pool.async_pull(host, [2, 4])
+    rows = fut.result()
+    np.testing.assert_allclose(np.asarray(rows), host[[2, 4]])
+    pool.async_push(host, [0], jnp.full((1, 5), -1.0))
+    pool.synchronize()
+    np.testing.assert_allclose(host[0], -1.0)
+    pool.close()
+
+
+def test_mp_reader():
+    from pgl_tpu.utils.mp_reader import multiprocess_reader
+
+    def make(lo, hi):
+        def reader():
+            for i in range(lo, hi):
+                yield {"x": np.full((2,), i)}
+        return reader
+
+    items = list(multiprocess_reader([make(0, 5), make(5, 9)]))
+    vals = sorted(int(d["x"][0]) for d in items)
+    assert vals == list(range(9))

@@ -128,3 +128,23 @@ def test_neighbor_sampler_layers():
     f = jax.jit(lambda nodes, key: sampler.sample(nodes, key)[1])
     out = f(jnp.arange(5, dtype=jnp.int32), jax.random.key(2))
     assert out.shape == (5 * 3 * 2,)
+
+
+def test_metapath_randomwalk():
+    from pgl_tpu.heter_graph import HeterGraph
+    from pgl_tpu.sampling import metapath_randomwalk
+    # bipartite-ish: u2t edges from {0,1} -> {2,3}; t2u back
+    edges = {
+        "u2t": np.array([[0, 2], [0, 3], [1, 2]]),
+        "t2u": np.array([[2, 0], [2, 1], [3, 0]]),
+    }
+    hg = HeterGraph(edges, num_nodes=4)
+    walks = metapath_randomwalk(hg, [0, 1], "u2t-t2u", walk_length=5,
+                                seed=0)
+    assert walks.shape == (2, 5)
+    # odd steps land on t-nodes {2,3}, even on u-nodes {0,1}
+    for row in walks:
+        for step, node in enumerate(row):
+            if node < 0:
+                continue
+            assert node in ((2, 3) if step % 2 else (0, 1))
