@@ -140,14 +140,35 @@ class GATConv(nn.Module):
                            (self.num_heads, self.hidden_size))
         attn_src = jnp.sum(feature * w_src, axis=-1)
         attn_dst = jnp.sum(feature * w_dst, axis=-1)
-        alpha = graph.send_uv(attn_src, attn_dst, "add")
-        alpha = jax.nn.leaky_relu(alpha, negative_slope=0.2)
-        alpha = GF.edge_softmax(graph, alpha)
-        alpha = alpha.reshape(-1, self.num_heads, 1)
-        if self.attn_drop > 1e-15:
-            alpha = nn.Dropout(self.attn_drop, deterministic=not training)(
-                alpha)
-        output = graph.send_ue_recv(feature, alpha, "mul", "sum")
+        from ..ops.dispatch import use_fused_attention
+        if use_fused_attention(graph, graph.num_edges,
+                               training and self.attn_drop > 1e-15):
+            # fused SDDMM+softmax+aggregate Pallas kernel (additive scores
+            # expressed as a dot; value width padded to the lane size)
+            from ..ops.pallas.attention_kernels import (
+                fused_graph_attention, gat_score_features)
+            H, Dh = self.num_heads, self.hidden_size
+            q, k = gat_score_features(attn_dst, attn_src)
+            dsh = q.shape[1] // H
+            dv_pad = max(128, -(-H * Dh // 128) * 128)
+            v = feature.reshape(-1, H * Dh)
+            if dv_pad > H * Dh:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((v.shape[0], dv_pad - H * Dh),
+                                  v.dtype)], axis=1)
+            out = fused_graph_attention(
+                q, k, v, graph._spmm_layouts[0], H, 0.2,
+                dsh=dsh, dvh=Dh)
+            output = out[:, :H * Dh].reshape(-1, H, Dh)
+        else:
+            alpha = graph.send_uv(attn_src, attn_dst, "add")
+            alpha = jax.nn.leaky_relu(alpha, negative_slope=0.2)
+            alpha = GF.edge_softmax(graph, alpha)
+            alpha = alpha.reshape(-1, self.num_heads, 1)
+            if self.attn_drop > 1e-15:
+                alpha = nn.Dropout(self.attn_drop,
+                                   deterministic=not training)(alpha)
+            output = graph.send_ue_recv(feature, alpha, "mul", "sum")
         if self.concat:
             output = output.reshape(-1, self.num_heads * self.hidden_size)
         else:
@@ -352,22 +373,35 @@ class TransformerConv(nn.Module):
                 edge_feat = fdrop(edge_feat)
             edge_feat = edge_feat.reshape(-1, H, D)
 
-        src, dst = graph.edges[:, 0], graph.edges[:, 1]
-        k_e = jnp.take(k, src, axis=0)
-        v_e = jnp.take(v, src, axis=0)
-        q_e = jnp.take(q, dst, axis=0)
-        if edge_feat is not None:
-            k_e = k_e + edge_feat
-            v_e = v_e + edge_feat
-        alpha = jnp.sum(q_e * k_e, axis=-1)                 # [E, H]
-        alpha = GF.edge_softmax(graph, alpha)
-        alpha = alpha.reshape(-1, H, 1)
-        if self.attn_drop > 1e-15:
-            alpha = adrop(alpha)
-        msg = v_e * alpha
-        msg = msg.reshape(-1, H * D) if self.concat else msg.mean(axis=1)
-        from .. import math as gmath
-        output = gmath.segment_sum(msg, dst, num_segments=graph.num_nodes)
+        from ..ops.dispatch import use_fused_attention
+        if (use_fused_attention(graph, graph.num_edges,
+                                training and self.attn_drop > 1e-15)
+                and edge_feat is None and self.concat
+                and (H * D) % 128 == 0):
+            # fused SDDMM+softmax+aggregate Pallas kernel
+            from ..ops.pallas.attention_kernels import fused_graph_attention
+            output = fused_graph_attention(
+                q.reshape(-1, H * D), k.reshape(-1, H * D),
+                v.reshape(-1, H * D), graph._spmm_layouts[0], H, 0.0,
+                dsh=D, dvh=D)
+        else:
+            src, dst = graph.edges[:, 0], graph.edges[:, 1]
+            k_e = jnp.take(k, src, axis=0)
+            v_e = jnp.take(v, src, axis=0)
+            q_e = jnp.take(q, dst, axis=0)
+            if edge_feat is not None:
+                k_e = k_e + edge_feat
+                v_e = v_e + edge_feat
+            alpha = jnp.sum(q_e * k_e, axis=-1)             # [E, H]
+            alpha = GF.edge_softmax(graph, alpha)
+            alpha = alpha.reshape(-1, H, 1)
+            if self.attn_drop > 1e-15:
+                alpha = adrop(alpha)
+            msg = v_e * alpha
+            msg = msg.reshape(-1, H * D) if self.concat else msg.mean(axis=1)
+            from .. import math as gmath
+            output = gmath.segment_sum(msg, dst,
+                                       num_segments=graph.num_nodes)
 
         if self.skip_feat:
             skip = nn.Dense(H * D if self.concat else D,

@@ -54,3 +54,23 @@ def use_pallas_spmm(feature, num_edges: int) -> bool:
     if flag in ("1", "true", "on"):
         return ok
     return ok and jax.default_backend() == "tpu"
+
+
+def use_fused_attention(graph, num_edges: int, training_attn_drop: bool
+                        ) -> bool:
+    """Whether attention layers should take the fused Pallas path.
+
+    Attention-prob dropout can't run inside the fused kernel, so training
+    with attn_drop falls back to the unfused composition.
+    """
+    flag = os.environ.get("PGL_TPU_FUSED_ATTN", "auto").lower()
+    if flag in ("0", "false", "off"):
+        return False
+    if training_attn_drop:
+        return False
+    if getattr(graph, "_spmm_layouts", None) is None:
+        return False
+    ok = num_edges >= _MIN_EDGES
+    if flag in ("1", "true", "on"):
+        return ok
+    return ok and jax.default_backend() == "tpu"

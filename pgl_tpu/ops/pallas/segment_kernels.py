@@ -52,20 +52,21 @@ class BlockedLayout:
     """
 
     def __init__(self, padded_v, padded_ids, tile_starts, tile_ends,
-                 num_segments: int):
+                 num_segments: int, num_edges: int = 0):
         self.padded_v = padded_v
         self.padded_ids = padded_ids
         self.tile_starts = tile_starts
         self.tile_ends = tile_ends
         self.num_segments = num_segments
+        self.num_edges = num_edges
 
     def tree_flatten(self):
         return ((self.padded_v, self.padded_ids, self.tile_starts,
-                 self.tile_ends), self.num_segments)
+                 self.tile_ends), (self.num_segments, self.num_edges))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux)
+        return cls(*children, aux[0], aux[1])
 
 
 def build_blocked_layout(indptr, sorted_v, num_segments: int,
@@ -91,7 +92,7 @@ def build_blocked_layout(indptr, sorted_v, num_segments: int,
     return BlockedLayout(jnp.asarray(padded_v), jnp.asarray(padded_ids),
                          jnp.asarray(tile_starts.astype(np.int32)),
                          jnp.asarray(tile_ends.astype(np.int32)),
-                         int(num_segments))
+                         int(num_segments), int(E))
 
 
 def _kernel(tile_starts_ref, tile_ends_ref,   # [G] SMEM scalar prefetch

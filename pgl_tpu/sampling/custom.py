@@ -52,3 +52,18 @@ def subgraph(graph, nodes, eid=None, edges=None, with_node_feat: bool = True,
 
     return Graph(sub_edges, num_nodes=len(nodes), node_feat=sub_node_feat,
                  edge_feat=sub_edge_feat)
+
+
+def graph_saint_node_sample(graph, batch_nodes, seed: int = 0):
+    """GraphSAINT-style node-induced subgraph: keep all edges whose endpoints
+    both fall in ``batch_nodes`` (reference ``extract_edges_from_nodes``
+    usage, ``pgl/graph_kernel.pyx:396-432`` + Graph4Rec's graphsaint
+    sampler). Returns a reindexed subgraph plus the kept nodes."""
+    if graph.is_tensor:
+        raise ValueError("You must call Graph.numpy() first.")
+    nodes = np.unique(np.asarray(batch_nodes, dtype=np.int64))
+    idx = graph.adj_src_index
+    eids = native.extract_edges_from_nodes(
+        np.asarray(idx.indptr), np.asarray(idx.sorted_v),
+        np.asarray(idx.sorted_eid), graph.num_nodes, nodes)
+    return subgraph(graph, nodes=nodes, eid=np.sort(eids)), nodes

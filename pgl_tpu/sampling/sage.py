@@ -162,3 +162,41 @@ class NeighborSampler:
             layers.append((frontier, neigh, mask))
             frontier = neigh.reshape(-1)
         return layers[::-1], frontier
+
+
+class HeteroNeighborSampler:
+    """Per-edge-type padded device sampler over a HeterGraph (analog of the
+    reference's ``HeteroNeighborSampler``, ``pgl/sampling/sage.py:158``):
+    each layer samples ``k`` neighbors for every requested edge type,
+    returning fixed-shape blocks per etype."""
+
+    def __init__(self, hetergraph, samples: Sequence[int],
+                 etypes: Optional[Sequence[str]] = None):
+        import jax.numpy as jnp
+        self.etypes = list(etypes or hetergraph.edge_types)
+        self.samples = list(samples)
+        self._csc = {}
+        for etype in self.etypes:
+            idx = hetergraph[etype].adj_dst_index
+            self._csc[etype] = (
+                jnp.asarray(np.asarray(idx.indptr), dtype=jnp.int32),
+                jnp.asarray(np.asarray(idx.sorted_v), dtype=jnp.int32))
+
+    def sample(self, nodes, key):
+        import jax
+        layers = []
+        frontier = nodes
+        for k in self.samples:
+            per_etype = {}
+            nexts = [frontier]
+            for etype in self.etypes:
+                key, sub = jax.random.split(key)
+                indptr, sorted_v = self._csc[etype]
+                neigh, mask = sample_neighbors_padded(
+                    indptr, sorted_v, frontier, k, sub)
+                per_etype[etype] = (neigh, mask)
+                nexts.append(neigh.reshape(-1))
+            layers.append((frontier, per_etype))
+            import jax.numpy as jnp
+            frontier = jnp.concatenate(nexts)
+        return layers[::-1], frontier

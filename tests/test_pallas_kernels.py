@@ -73,3 +73,67 @@ def test_graph_integration_forced_pallas(monkeypatch):
     for s, d in np.asarray(g.edges):
         exp[d] += h[s]
     np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-3, atol=1e-3)
+
+
+def make_attention_case(N, E, H, dsh, dvh, seed=0):
+    from pgl_tpu.ops.pallas.segment_kernels import build_blocked_layout
+    rng = np.random.default_rng(seed)
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    layout = build_blocked_layout(indptr, src, N)
+    q = jnp.asarray(rng.normal(size=(N, H * dsh)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(N, H * dsh)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(N, H * dvh)).astype(np.float32))
+    return layout, q, k, v, jnp.asarray(src), jnp.asarray(dst)
+
+
+@pytest.mark.parametrize("H,leaky", [(1, 0.0), (2, 0.0), (2, 0.2)])
+def test_fused_attention_matches_xla(H, leaky):
+    from pgl_tpu.ops.pallas.attention_kernels import (fused_graph_attention,
+                                                      _xla_reference)
+    layout, q, k, v, src, dst = make_attention_case(200, 3000, H,
+                                                    128 // H, 128 // H)
+    out = fused_graph_attention(q, k, v, layout, H, leaky, 128, 256, True)
+    ref = _xla_reference(q, k, v, src, dst, 200, H, leaky)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_gat_mode_padded_heads():
+    """GAT additive scores via augmented q/k, value width padded to 128."""
+    from pgl_tpu.ops.pallas.attention_kernels import (fused_graph_attention,
+                                                      _xla_reference,
+                                                      gat_score_features)
+    N, E, H, Dh = 150, 2000, 8, 8
+    layout, _, _, _, src, dst = make_attention_case(N, E, H, 16, 16)
+    rng = np.random.default_rng(1)
+    a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    q, k = gat_score_features(a_dst, a_src)
+    v = jnp.zeros((N, 128)).at[:, :H * Dh].set(
+        jnp.asarray(rng.normal(size=(N, H * Dh)).astype(np.float32)))
+    out = fused_graph_attention(q, k, v, layout, H, 0.2, 128, 256, True,
+                                q.shape[1] // H, Dh)
+    ref = _xla_reference(q, k, v, src, dst, N, H, 0.2, q.shape[1] // H, Dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_grad():
+    from pgl_tpu.ops.pallas.attention_kernels import (fused_graph_attention,
+                                                      _xla_reference)
+    layout, q, k, v, src, dst = make_attention_case(100, 1500, 2, 64, 64)
+
+    def loss_fused(q, k, v):
+        return (fused_graph_attention(q, k, v, layout, 2, 0.0, 128, 256,
+                                      True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_reference(q, k, v, src, dst, 100, 2, 0.0) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)

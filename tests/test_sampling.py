@@ -148,3 +148,35 @@ def test_metapath_randomwalk():
             if node < 0:
                 continue
             assert node in ((2, 3) if step % 2 else (0, 1))
+
+
+def test_graph_saint_node_sample():
+    from pgl_tpu.sampling import graph_saint_node_sample
+    g = make_graph(n=40, e=300)
+    sub, nodes = graph_saint_node_sample(g, [1, 5, 9, 13, 17, 21, 25])
+    assert sub.num_nodes == 7
+    # every kept edge's endpoints are inside the node set
+    parent = np.asarray(g.edges)
+    kept = set(map(tuple, parent[np.isin(parent[:, 0], nodes)
+                                 & np.isin(parent[:, 1], nodes)].tolist()))
+    got = set((int(nodes[s]), int(nodes[d]))
+              for s, d in np.asarray(sub.edges))
+    assert got == kept
+
+
+def test_hetero_neighbor_sampler():
+    from pgl_tpu.heter_graph import HeterGraph
+    from pgl_tpu.sampling import HeteroNeighborSampler
+    rng = np.random.default_rng(0)
+    hg = HeterGraph({
+        "a": rng.integers(0, 30, (100, 2)),
+        "b": rng.integers(0, 30, (80, 2)),
+    }, num_nodes=30).tensor()
+    sampler = HeteroNeighborSampler(hg, samples=[3, 2])
+    layers, frontier = sampler.sample(jnp.arange(4, dtype=jnp.int32),
+                                      jax.random.key(0))
+    assert len(layers) == 2
+    frontier0, per_etype = layers[-1]
+    assert set(per_etype) == {"a", "b"}
+    neigh, mask = per_etype["a"]
+    assert neigh.shape == (4, 3)
