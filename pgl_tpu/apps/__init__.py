@@ -4,5 +4,6 @@ toolkits built on the core framework."""
 
 from . import gnn_autoscale
 from . import unsupervised
+from . import graph4rec
 
-__all__ = ["gnn_autoscale", "unsupervised"]
+__all__ = ["gnn_autoscale", "unsupervised", "graph4rec"]

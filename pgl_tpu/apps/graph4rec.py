@@ -1,0 +1,167 @@
+"""Graph4Rec — config-driven recommendation-GNN toolkit.
+
+Capability parity with ``apps/Graph4Rec`` (yaml presets in
+``user_configs/``; walk-based models and ego-graph sage models over the
+distributed graph engine — ``env_run/src/dist_cpu_train.py``,
+``datasets/sampling.py:172-551``, ``models/model.py:35,159``).
+
+One trainer, one config:
+
+```yaml
+model_type: walk_based            # or ego_sage
+metapath: "u2i-i2u"               # walk_based
+walk_len: 12
+win_size: 3
+neg_num: 5
+samples: [5, 5]                   # ego_sage fan-out
+embed_dim: 64
+lr: 0.005
+epochs: 10
+batch_pairs: 1024
+```
+
+Graph source is either a local :class:`HeterGraph` or a
+:class:`~pgl_tpu.distributed.DistGraphClient` (walks go through RPC).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..heter_graph import HeterGraph
+from ..sampling import (metapath_randomwalk, metapath_randomwalk_dist,
+                        sample_neighbors_padded)
+from ..native.graph_kernel import skip_gram_gen_pair
+from ..utils.config import Config, load_config
+from ..utils.logger import log
+
+__all__ = ["Graph4RecTrainer"]
+
+
+class Graph4RecTrainer:
+    def __init__(self, config, graph=None, client=None,
+                 num_nodes: Optional[int] = None, seed: int = 0):
+        self.cfg = config if isinstance(config, Config) \
+            else load_config(config)
+        if graph is None and client is None:
+            raise ValueError("provide a HeterGraph or a DistGraphClient")
+        self.graph = graph
+        self.client = client
+        self.num_nodes = num_nodes or (graph.num_nodes if graph else None)
+        if self.num_nodes is None:
+            raise ValueError("num_nodes required with a client source")
+        dim = int(self.cfg.embed_dim or 64)
+        self.params = {
+            "emb": jax.random.normal(jax.random.key(seed),
+                                     (self.num_nodes, dim)) * 0.1,
+            "ctx": jnp.zeros((self.num_nodes, dim)),
+        }
+        if (self.cfg.model_type or "walk_based") == "ego_sage":
+            if graph is None:
+                raise ValueError("ego_sage needs a local graph")
+            etype = self.cfg.sage_etype or graph.edge_types[0]
+            idx = graph[etype].adj_dst_index
+            self._indptr = jnp.asarray(np.asarray(idx.indptr), jnp.int32)
+            self._sorted_v = jnp.asarray(np.asarray(idx.sorted_v), jnp.int32)
+            self.params["w_self"] = jax.random.normal(
+                jax.random.key(seed + 1), (dim, dim)) * 0.1
+            self.params["w_neigh"] = jax.random.normal(
+                jax.random.key(seed + 2), (dim, dim)) * 0.1
+        self.opt = optax.adam(float(self.cfg.lr or 5e-3))
+        self.opt_state = self.opt.init(self.params)
+        self._jit_step = jax.jit(self._make_step())
+        self._seed = seed
+
+    # -- model --------------------------------------------------------------
+
+    def _encode(self, params, ids, key):
+        h = params["emb"][ids]
+        if (self.cfg.model_type or "walk_based") != "ego_sage":
+            return h
+        k = int((self.cfg.samples or [5])[0])
+        neigh, mask = sample_neighbors_padded(
+            self._indptr, self._sorted_v, ids, k, key)
+        nh = params["emb"][neigh] * mask[..., None]
+        agg = nh.sum(1) / jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
+        return jax.nn.relu(h @ params["w_self"] + agg @ params["w_neigh"])
+
+    def _make_step(self):
+        neg_num = int(self.cfg.neg_num or 5)
+
+        def step(params, opt_state, src, dst, key):
+            def loss_fn(p):
+                k1, k2 = jax.random.split(key)
+                h = self._encode(p, src, k1)
+                pos_ctx = p["ctx"][dst]
+                pos = jnp.sum(h * pos_ctx, -1)
+                perm = jax.random.permutation(
+                    k2, src.shape[0] * neg_num) % src.shape[0]
+                neg_ctx = pos_ctx[perm].reshape(src.shape[0], neg_num, -1)
+                negs = jnp.einsum("bd,bkd->bk", h, neg_ctx)
+                return (-jax.nn.log_sigmoid(pos).mean()
+                        - jax.nn.log_sigmoid(-negs).mean())
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    # -- data ---------------------------------------------------------------
+
+    def _walks(self, starts, epoch: int):
+        metapath = self.cfg.metapath
+        walk_len = int(self.cfg.walk_len or 12)
+        if self.client is not None:
+            return metapath_randomwalk_dist(self.client, starts, metapath,
+                                            walk_len,
+                                            seed=self._seed + epoch)
+        return metapath_randomwalk(self.graph, starts, metapath, walk_len,
+                                   seed=self._seed + epoch)
+
+    def _start_nodes(self):
+        first = (self.cfg.first_node_type
+                 or str(self.cfg.metapath).split("-")[0].split("2")[0])
+        if self.graph is not None and self.graph.node_types is not None:
+            return self.graph.nodes_by_type(first)
+        if self.client is not None:
+            return np.asarray(self.client.random_sample_nodes(
+                node_type=first, size=int(self.cfg.walk_nodes or 512)))
+        return np.arange(self.num_nodes)
+
+    # -- training -----------------------------------------------------------
+
+    def train(self, epochs: Optional[int] = None) -> float:
+        epochs = epochs or int(self.cfg.epochs or 10)
+        walks_per_node = int(self.cfg.walks_per_node or 2)
+        win = int(self.cfg.win_size or 3)
+        bp = int(self.cfg.batch_pairs or 1024)
+        key = jax.random.key(self._seed + 17)
+        last = 0.0
+        for epoch in range(epochs):
+            starts = np.tile(self._start_nodes(), walks_per_node)
+            walks = self._walks(starts, epoch)
+            src, dst = skip_gram_gen_pair(walks, win,
+                                          seed=self._seed + epoch)
+            total, steps = 0.0, 0
+            for lo in range(0, len(src) - bp + 1, bp):
+                key, sub = jax.random.split(key)
+                self.params, self.opt_state, loss = self._jit_step(
+                    self.params, self.opt_state,
+                    jnp.asarray(src[lo:lo + bp]),
+                    jnp.asarray(dst[lo:lo + bp]), sub)
+                total += float(loss)
+                steps += 1
+            last = total / max(steps, 1)
+            log.info("graph4rec epoch %d: loss %.4f (%d steps)", epoch,
+                     last, steps)
+        return last
+
+    def embeddings(self) -> np.ndarray:
+        return np.asarray(self.params["emb"])

@@ -298,7 +298,19 @@ class Graph:
                         and use_pallas_spmm(feature, self._num_edges):
                     from .ops.pallas.segment_kernels import spmm
                     csc, csr = self._spmm_layouts
-                    out = spmm(feature, csc, csr)
+                    d = feature.shape[1]
+                    if d % 128:
+                        # zero-pad narrow features to the lane width: the
+                        # gather is row-count-bound, so padding is ~free
+                        # compared to falling back to the XLA scatter
+                        pad = (-d) % 128
+                        fpad = jnp.concatenate(
+                            [feature,
+                             jnp.zeros((feature.shape[0], pad),
+                                       feature.dtype)], axis=1)
+                        out = spmm(fpad, csc, csr)[:, :d]
+                    else:
+                        out = spmm(feature, csc, csr)
                 else:
                     out = S.segment_sum(
                         mp.gather_rows(feature, idx.sorted_v),

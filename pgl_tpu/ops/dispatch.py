@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 __all__ = ["use_pallas_segment_sum", "use_pallas_spmm", "csc_segment_sum"]
 
-_MIN_EDGES = 4096
+_MIN_EDGES = 32768
 
 
 def use_pallas_segment_sum(msgs) -> bool:
@@ -49,7 +49,7 @@ def use_pallas_spmm(feature, num_edges: int) -> bool:
         return False
     if feature.ndim != 2:
         return False
-    ok = (feature.shape[1] % 128 == 0 and num_edges >= _MIN_EDGES
+    ok = (num_edges >= _MIN_EDGES
           and feature.dtype in (jnp.float32, jnp.bfloat16))
     if flag in ("1", "true", "on"):
         return ok

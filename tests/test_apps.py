@@ -86,3 +86,27 @@ def test_mp_reader():
     items = list(multiprocess_reader([make(0, 5), make(5, 9)]))
     vals = sorted(int(d["x"][0]) for d in items)
     assert vals == list(range(9))
+
+
+@pytest.mark.parametrize("model_type", ["walk_based", "ego_sage"])
+def test_graph4rec_trainer(model_type):
+    from pgl_tpu.apps.graph4rec import Graph4RecTrainer
+    from pgl_tpu.utils.config import Config
+    rng = np.random.default_rng(0)
+    n_u, n_i = 80, 120
+    src = rng.integers(0, n_u, 600)
+    dst = n_u + rng.integers(0, n_i, 600)
+    hg = HeterGraph({"u2i": np.stack([src, dst], 1),
+                     "i2u": np.stack([dst, src], 1)},
+                    num_nodes=n_u + n_i,
+                    node_types=[(i, "u" if i < n_u else "i")
+                                for i in range(n_u + n_i)])
+    cfg = Config({"model_type": model_type, "metapath": "u2i-i2u",
+                  "walk_len": 8, "win_size": 2, "embed_dim": 16,
+                  "lr": 0.02, "batch_pairs": 256, "neg_num": 3,
+                  "sage_etype": "i2u", "samples": [3]})
+    trainer = Graph4RecTrainer(cfg, graph=hg)
+    l0 = trainer.train(epochs=1)
+    l1 = trainer.train(epochs=3)
+    assert l1 < l0
+    assert trainer.embeddings().shape == (200, 16)
