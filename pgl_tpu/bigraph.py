@@ -65,6 +65,7 @@ class BiGraph:
         self._graph_dst_node_index = kwargs.get("_graph_dst_node_index")
         self._graph_edge_index = kwargs.get("_graph_edge_index")
         self._num_graph = int(kwargs.get("_num_graph", 1))
+        self._spmm_layouts = kwargs.get("_spmm_layouts", None)
 
     # -- accessors ----------------------------------------------------------
 
@@ -257,10 +258,29 @@ class BiGraph:
     def send_recv(self, feature, reduce_func: str = "sum"):
         """Fused src→dst SpMM: ``feature`` lives on the src space, output on
         the dst space (reference sum-only at ``:1051``; all four reduces
-        supported here)."""
+        supported here). sum/mean ride the Pallas kernel on TPU backends."""
         self._require_tensor()
         if self._adj_dst_index is not None:
             idx = self._adj_dst_index
+            if reduce_func in ("sum", "mean") \
+                    and self._spmm_layouts is not None:
+                from .ops.dispatch import use_pallas_spmm
+                if use_pallas_spmm(feature, self._num_edges):
+                    from .ops.pallas.segment_kernels import spmm
+                    csc, csr = self._spmm_layouts
+                    d = feature.shape[1]
+                    if d % 128:
+                        pad = (-d) % 128
+                        feature_p = jnp.concatenate(
+                            [feature, jnp.zeros((feature.shape[0], pad),
+                                                feature.dtype)], axis=1)
+                        out = spmm(feature_p, csc, csr)[:, :d]
+                    else:
+                        out = spmm(feature, csc, csr)
+                    if reduce_func == "mean":
+                        deg = jnp.maximum(idx.degree, 1).astype(out.dtype)
+                        out = out / deg[:, None]
+                    return out
             return S.segment_pool(
                 mp.gather_rows(feature, idx.sorted_v), idx.segment_ids,
                 reduce_func, num_segments=self._dst_num_nodes,
@@ -279,7 +299,16 @@ class BiGraph:
         if build_adj:
             adj_src = self.adj_src_index.tensor(sharding)
             adj_dst = self.adj_dst_index.tensor(sharding)
+            from .ops.pallas.segment_kernels import build_blocked_layout
+            spmm_layouts = (
+                build_blocked_layout(np.asarray(self.adj_dst_index.indptr),
+                                     np.asarray(self.adj_dst_index.sorted_v),
+                                     self._dst_num_nodes),
+                build_blocked_layout(np.asarray(self.adj_src_index.indptr),
+                                     np.asarray(self.adj_src_index.sorted_v),
+                                     self._src_num_nodes))
         else:
+            spmm_layouts = None
             adj_src = self._adj_src_index and self._adj_src_index.tensor(
                 sharding)
             adj_dst = self._adj_dst_index and self._adj_dst_index.tensor(
@@ -300,7 +329,7 @@ class BiGraph:
             _graph_src_node_index=conv(self._graph_src_node_index),
             _graph_dst_node_index=conv(self._graph_dst_node_index),
             _graph_edge_index=conv(self._graph_edge_index),
-            _num_graph=self._num_graph)
+            _num_graph=self._num_graph, _spmm_layouts=spmm_layouts)
 
     def numpy(self) -> "BiGraph":
         if not self._is_tensor:
@@ -407,7 +436,8 @@ class BiGraph:
         children = (self._edges, self._src_node_feat, self._dst_node_feat,
                     self._edge_feat, self._adj_src_index,
                     self._adj_dst_index, self._graph_src_node_index,
-                    self._graph_dst_node_index, self._graph_edge_index)
+                    self._graph_dst_node_index, self._graph_edge_index,
+                    self._spmm_layouts)
         aux = (self._src_num_nodes, self._dst_num_nodes, self._num_edges,
                self._num_graph, self._is_tensor)
         return children, aux
@@ -417,7 +447,8 @@ class BiGraph:
         obj = object.__new__(cls)
         (obj._edges, obj._src_node_feat, obj._dst_node_feat, obj._edge_feat,
          obj._adj_src_index, obj._adj_dst_index, obj._graph_src_node_index,
-         obj._graph_dst_node_index, obj._graph_edge_index) = children
+         obj._graph_dst_node_index, obj._graph_edge_index,
+         obj._spmm_layouts) = children
         (obj._src_num_nodes, obj._dst_num_nodes, obj._num_edges,
          obj._num_graph, obj._is_tensor) = aux
         return obj

@@ -488,6 +488,12 @@ class Graph:
             np.save(os.path.join(path, "graph_edge_index.npy"),
                     np.asarray(g._graph_edge_index))
 
+    def to_mmap(self, path: str) -> "Graph":
+        """Dump then reload memory-mapped — zero-copy sharing across
+        processes (reference ``pgl/graph.py:1297``)."""
+        self.dump(path)
+        return Graph.load(path, mmap_mode="r")
+
     @classmethod
     def load(cls, path: str, mmap_mode: Optional[str] = "r") -> "Graph":
         """Load a dumped graph, lazily via mmap (``pgl/graph.py:1243``)."""

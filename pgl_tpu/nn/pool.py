@@ -137,8 +137,6 @@ class SAGPool(nn.Module):
                               num_nodes=score.shape[0])
         counts = np.bincount(new_batch, minlength=graph.num_graph)
         gni = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-        edge_batch = new_batch  # placeholder; edges carry node batch ids
-        gei = None
         g = Graph(np.asarray(edges), num_nodes=int(x.shape[0]),
                   node_feat={"attr": np.asarray(x)},
                   _graph_node_index=gni,

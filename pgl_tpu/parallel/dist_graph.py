@@ -62,7 +62,9 @@ def shard_edges(edges: np.ndarray, num_shards: int, num_nodes: int,
         assign = np.minimum(edges[:, 1] // max(bound, 1), num_shards - 1)
     else:
         raise ValueError(f"unknown strategy {strategy}")
-    order = np.argsort(assign, kind="stable")
+    # stable sort by (shard, dst): within a shard edges are CSC-sorted so
+    # the per-shard Pallas SpMM layout applies directly
+    order = np.lexsort((edges[:, 1], assign))
     counts = np.bincount(assign, minlength=num_shards)
     e_pad = int(counts.max()) if E else 1
     # Round up so the per-device edge count is lane-aligned.
@@ -98,6 +100,7 @@ class ShardedGraph:
         self.axis = axis
         self.node_feat = node_feat or {}
         self.edge_feat = edge_feat or {}
+        self._shard_layouts = None
 
     # -- construction -------------------------------------------------------
 
@@ -121,11 +124,47 @@ class ShardedGraph:
             gathered = v[perm.reshape(-1)].reshape(perm.shape + v.shape[1:])
             spec = P(axis, None) if v.ndim == 1 else P(axis, None, None)
             edge_feat[k] = jax.device_put(gathered, NamedSharding(mesh, spec))
-        return cls(
+        obj = cls(
             jax.device_put(stacked, edge_sharding),
             jax.device_put(mask, mask_sharding),
             jax.device_put(perm, mask_sharding),
             g.num_nodes, mesh, axis, node_feat, edge_feat)
+        obj._build_shard_layouts(stacked, mask)
+        return obj
+
+    def _build_shard_layouts(self, stacked, mask):
+        """Per-shard Pallas SpMM layouts (edges are dst-sorted within each
+        shard), stacked on the shard axis so shard_map slices them."""
+        from ..ops.pallas.segment_kernels import build_blocked_layout
+        S, E_pad, _ = stacked.shape
+        N = self._num_nodes
+        pv, pid, ts, te = [], [], [], []
+        for s_i in range(S):
+            k = int(mask[s_i].sum())
+            dst = stacked[s_i, :k, 1].astype(np.int64)
+            src = stacked[s_i, :k, 0].astype(np.int64)
+            indptr = np.concatenate(
+                [[0], np.cumsum(np.bincount(dst, minlength=N))])
+            lay = build_blocked_layout(indptr, src, N)
+            pv.append(np.asarray(lay.padded_v))
+            pid.append(np.asarray(lay.padded_ids))
+            ts.append(np.asarray(lay.tile_starts))
+            te.append(np.asarray(lay.tile_ends))
+        ep_max = max(len(x) for x in pv)
+        n_pad = (N + 255) // 256 * 256
+        pv = np.stack([np.pad(x, (0, ep_max - len(x))) for x in pv])
+        pid = np.stack([np.pad(x.reshape(-1), (0, ep_max - x.size),
+                               constant_values=n_pad).reshape(-1, 128)
+                        for x in pid])
+        ts = np.stack(ts)
+        te = np.stack(te)
+        sh2 = NamedSharding(self.mesh, P(self.axis, None))
+        sh3 = NamedSharding(self.mesh, P(self.axis, None, None))
+        self._shard_layouts = (
+            jax.device_put(pv.astype(np.int32), sh2),
+            jax.device_put(pid.astype(np.int32), sh3),
+            jax.device_put(ts.astype(np.int32), sh2),
+            jax.device_put(te.astype(np.int32), sh2))
 
     # -- properties ---------------------------------------------------------
 
@@ -158,18 +197,53 @@ class ShardedGraph:
                 "masked pmax path); use a single-device Graph for others")
         N, ax = self._num_nodes, self.axis
 
-        def local(edges, mask, feat):
-            e = edges[0]          # [E_pad, 2] (leading shard dim is 1)
-            m = mask[0]           # [E_pad]
-            msg = jnp.take(feat, e[:, 0], axis=0) * m[:, None]
-            partial = jax.ops.segment_sum(msg, e[:, 1], num_segments=N)
-            return jax.lax.psum(partial, ax)
+        from ..ops.dispatch import use_pallas_spmm
+        use_pallas = (self._shard_layouts is not None
+                      and use_pallas_spmm(feature,
+                                          int(self.edges.shape[1])))
+        if use_pallas:
+            out = self._pallas_send_u_recv(feature)
+        else:
+            def local(edges, mask, feat):
+                e = edges[0]      # [E_pad, 2] (leading shard dim is 1)
+                m = mask[0]       # [E_pad]
+                msg = jnp.take(feat, e[:, 0], axis=0) * m[:, None]
+                partial = jax.ops.segment_sum(msg, e[:, 1], num_segments=N)
+                return jax.lax.psum(partial, ax)
 
-        out = self._shard_map(local, feature)
+            out = self._shard_map(local, feature)
         if reduce_op == "mean":
             deg = self.indegree().astype(out.dtype)
             out = out / jnp.maximum(deg, 1.0)[:, None]
         return out
+
+    def _pallas_send_u_recv(self, feature):
+        """Local Pallas SpMM per shard (dst-sorted within shard) + psum —
+        the partial sums ride the one-hot-MXU kernel instead of XLA's
+        scatter, and the psum still rides ICI."""
+        from ..ops.pallas.segment_kernels import _blocked_spmm
+        N, ax = self._num_nodes, self.axis
+        pv, pid, ts, te = self._shard_layouts
+        d = feature.shape[1]
+        pad = (-d) % 128
+
+        def local(pv, pid, ts, te, feat):
+            x = feat
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((x.shape[0], pad), x.dtype)], axis=1)
+            partial = _blocked_spmm(x, pv[0], pid[0], ts[0], te[0], N,
+                                    256, 1024, False)
+            if pad:
+                partial = partial[:, :d]
+            return jax.lax.psum(partial, ax)
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None, None), P(ax, None),
+                      P(ax, None), P()),
+            out_specs=P(), check_vma=False,
+        )(pv, pid, ts, te, feature)
 
     send_recv = send_u_recv
 
@@ -291,14 +365,14 @@ class ShardedGraph:
 
     def tree_flatten(self):
         return ((self.edges, self.mask, self.perm, self.node_feat,
-                 self.edge_feat),
+                 self.edge_feat, self._shard_layouts),
                 (self._num_nodes, self.mesh, self.axis))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         (obj.edges, obj.mask, obj.perm, obj.node_feat,
-         obj.edge_feat) = children
+         obj.edge_feat, obj._shard_layouts) = children
         obj._num_nodes, obj.mesh, obj.axis = aux
         return obj
 
