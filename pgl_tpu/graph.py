@@ -329,8 +329,35 @@ class Graph:
 
     def send_ue_recv(self, feature, edge_feat, message_op: str = "mul",
                      reduce_op: str = "sum"):
-        """Edge-weighted SpMM (``pgl/graph.py:889-937``)."""
+        """Edge-weighted SpMM (``pgl/graph.py:889-937``).
+
+        Scalar edge weights with mul/sum ride the weighted Pallas kernel on
+        TPU backends (dx via the transposed weighted SpMM, dw via SDDMM).
+        """
         self._require_tensor()
+        ew = edge_feat
+        scalar_w = (ew.ndim == 1 or (ew.ndim == 2 and ew.shape[1] == 1))
+        if (scalar_w and message_op == "mul" and reduce_op == "sum"
+                and self._spmm_layouts is not None):
+            from .ops.dispatch import use_pallas_spmm
+            if use_pallas_spmm(feature, self._num_edges):
+                from .ops.pallas.segment_kernels import spmm_weighted
+                csc, csr = self._spmm_layouts
+                w = ew.reshape(-1).astype(feature.dtype)
+                w_csc = jnp.zeros(csc.padded_v.shape[0], feature.dtype
+                                  ).at[:self._num_edges].set(
+                    jnp.take(w, self.adj_dst_index.sorted_eid))
+                w_csr = jnp.zeros(csr.padded_v.shape[0], feature.dtype
+                                  ).at[:self._num_edges].set(
+                    jnp.take(w, self.adj_src_index.sorted_eid))
+                d = feature.shape[1]
+                if d % 128:
+                    pad = (-d) % 128
+                    fpad = jnp.concatenate(
+                        [feature, jnp.zeros((feature.shape[0], pad),
+                                            feature.dtype)], axis=1)
+                    return spmm_weighted(fpad, w_csc, w_csr, csc, csr)[:, :d]
+                return spmm_weighted(feature, w_csc, w_csr, csc, csr)
         if self._adj_dst_index is not None:
             idx = self._adj_dst_index
             ef = jnp.take(edge_feat, idx.sorted_eid, axis=0)

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["BlockedLayout", "build_blocked_layout", "spmm",
+           "spmm_weighted",
            "sorted_segment_sum", "available", "NB_DEFAULT", "ET_DEFAULT"]
 
 NB_DEFAULT = 256      # output rows per grid step
@@ -159,11 +160,19 @@ def _kernel(tile_starts_ref, tile_ends_ref,   # [G] SMEM scalar prefetch
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "nb", "et", "interpret"))
 def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
-                  num_segments: int, nb: int, et: int, interpret: bool):
+                  num_segments: int, nb: int, et: int, interpret: bool,
+                  edge_w=None):
     D = feature.shape[1]
     msgs = jnp.take(feature, padded_v, axis=0)
+    if edge_w is not None:
+        msgs = msgs * edge_w[:, None]
     n_pad = (num_segments + nb - 1) // nb * nb
     G = n_pad // nb
+    if tile_starts.shape[0] != G:
+        raise ValueError(
+            f"layout was built for a different row-block size: "
+            f"{tile_starts.shape[0]} blocks vs grid {G} — pass the same "
+            f"nb/et to build_blocked_layout and the kernel")
     out = pl.pallas_call(
         functools.partial(_kernel, NB=nb, ET=et, D=D),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -263,3 +272,43 @@ _segsum_vjp.defvjp(_segsum_fwd, _segsum_bwd)
 
 def available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def spmm_weighted(feature, w_csc, w_csr, csc: BlockedLayout,
+                  csr: BlockedLayout, nb: int = NB_DEFAULT,
+                  et: int = ET_DEFAULT, interpret: bool = False):
+    """Edge-weighted SpMM: out[d] = Σ_e w_e · feature[src_e].
+
+    ``w_csc``/``w_csr`` are the per-edge weights permuted into CSC/CSR edge
+    order and zero-padded to the layouts' lengths (``w_csr`` is auxiliary —
+    used only to run the transposed weighted SpMM in the backward pass; its
+    cotangent is zero, so route weight gradients through ``w_csc`` only).
+    """
+    return _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
+                         csc.tile_starts, csc.tile_ends, csc.num_segments,
+                         nb, et, interpret, edge_w=w_csc)
+
+
+def _spmm_w_fwd(feature, w_csc, w_csr, csc, csr, nb, et, interpret):
+    out = _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
+                        csc.tile_starts, csc.tile_ends, csc.num_segments,
+                        nb, et, interpret, edge_w=w_csc)
+    return out, (feature, w_csc, w_csr, csc, csr)
+
+
+def _spmm_w_bwd(nb, et, interpret, res, g):
+    feature, w_csc, w_csr, csc_l, csr_l = res
+    # dx: transposed weighted SpMM over the CSR layout
+    dx = _blocked_spmm(g, csr_l.padded_v, csr_l.padded_ids,
+                       csr_l.tile_starts, csr_l.tile_ends,
+                       csr_l.num_segments, nb, et, interpret, edge_w=w_csr)
+    # dw (CSC order): <g[dst_e], x[src_e]> per edge — two gathers + rowdot
+    g_e = jnp.take(g, csc_l.padded_ids.reshape(-1), axis=0,
+                   mode="fill", fill_value=0)
+    x_e = jnp.take(feature, csc_l.padded_v, axis=0)
+    dw_csc = jnp.sum(g_e * x_e, axis=1)
+    return dx, dw_csc, jnp.zeros_like(w_csr), None, None
+
+
+spmm_weighted.defvjp(_spmm_w_fwd, _spmm_w_bwd)

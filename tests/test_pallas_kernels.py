@@ -137,3 +137,59 @@ def test_fused_attention_grad():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_weighted_spmm_matches_xla():
+    from pgl_tpu.ops.pallas.segment_kernels import (build_blocked_layout,
+                                                    spmm_weighted)
+    rng = np.random.default_rng(5)
+    N, E, D = 150, 3000, 128
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    csc = build_blocked_layout(indptr, src, N, 128, 256)
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate([[0],
+                               np.cumsum(np.bincount(src, minlength=N))])
+    csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    w = rng.normal(size=(E,)).astype(np.float32)
+    w_csc = np.zeros(len(np.asarray(csc.padded_v)), np.float32)
+    w_csc[:E] = w
+    w_csr = np.zeros(len(np.asarray(csr.padded_v)), np.float32)
+    w_csr[:E] = w[order]
+    out = spmm_weighted(x, jnp.asarray(w_csc), jnp.asarray(w_csr), csc,
+                        csr, 128, 256, True)
+    ref = jax.ops.segment_sum(
+        jnp.take(x, jnp.asarray(src), axis=0) * jnp.asarray(w)[:, None],
+        jnp.asarray(dst), num_segments=N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+    gx1, gw1 = jax.grad(
+        lambda x, wc: (spmm_weighted(x, wc, jnp.asarray(w_csr), csc, csr,
+                                     128, 256, True) ** 2).sum(),
+        argnums=(0, 1))(x, jnp.asarray(w_csc))
+    gx2, gw2 = jax.grad(
+        lambda x, w_: (jax.ops.segment_sum(
+            jnp.take(x, jnp.asarray(src), axis=0) * w_[:, None],
+            jnp.asarray(dst), num_segments=N) ** 2).sum(),
+        argnums=(0, 1))(x, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1[:E]), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_layout_block_size_mismatch_raises():
+    from pgl_tpu.ops.pallas.segment_kernels import (build_blocked_layout,
+                                                    spmm)
+    rng = np.random.default_rng(0)
+    N, E = 1000, 5000
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    lay = build_blocked_layout(indptr, src, N, 256, 1024)
+    x = jnp.ones((N, 128))
+    with pytest.raises(ValueError, match="different row-block size"):
+        spmm(x, lay, lay, 128, 256, True)
