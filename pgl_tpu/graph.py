@@ -297,7 +297,7 @@ class Graph:
                 if self._spmm_layouts is not None \
                         and use_pallas_spmm(feature, self._num_edges):
                     from .ops.pallas.segment_kernels import spmm
-                    csc, csr = self._spmm_layouts
+                    csc, csr = self._spmm_layouts[:2]
                     d = feature.shape[1]
                     if d % 128:
                         # zero-pad narrow features to the lane width: the
@@ -342,7 +342,7 @@ class Graph:
             from .ops.dispatch import use_pallas_spmm
             if use_pallas_spmm(feature, self._num_edges):
                 from .ops.pallas.segment_kernels import spmm_weighted
-                csc, csr = self._spmm_layouts
+                csc, csr = self._spmm_layouts[:2]
                 w = ew.reshape(-1).astype(feature.dtype)
                 w_csc = jnp.zeros(csc.padded_v.shape[0], feature.dtype
                                   ).at[:self._num_edges].set(
@@ -429,7 +429,13 @@ class Graph:
         csr = build_blocked_layout(np.asarray(src_idx.indptr),
                                    np.asarray(src_idx.sorted_v),
                                    self._num_nodes)
-        return (csc, csr)
+        # for each CSR edge position, its CSC position (gather spec used by
+        # the transposed backward passes: w_csr = w_csc[perm])
+        inv_csc = np.empty(self._num_edges, dtype=np.int64)
+        inv_csc[np.asarray(dst_idx.sorted_eid)] = np.arange(self._num_edges)
+        perm = jnp.asarray(
+            inv_csc[np.asarray(src_idx.sorted_eid)].astype(np.int32))
+        return (csc, csr, perm)
 
     def numpy(self) -> "Graph":
         if not self._is_tensor:

@@ -156,9 +156,9 @@ class GATConv(nn.Module):
                 v = jnp.concatenate(
                     [v, jnp.zeros((v.shape[0], dv_pad - H * Dh),
                                   v.dtype)], axis=1)
+            csc, csr, perm = graph._spmm_layouts
             out = fused_graph_attention(
-                q, k, v, graph._spmm_layouts[0], H, 0.2,
-                dsh=dsh, dvh=Dh)
+                q, k, v, csc, (csr, perm), H, 0.2, dsh=dsh, dvh=Dh)
             output = out[:, :H * Dh].reshape(-1, H, Dh)
         else:
             alpha = graph.send_uv(attn_src, attn_dst, "add")
@@ -380,9 +380,10 @@ class TransformerConv(nn.Module):
                 and (H * D) % 128 == 0):
             # fused SDDMM+softmax+aggregate Pallas kernel
             from ..ops.pallas.attention_kernels import fused_graph_attention
+            csc, csr, perm = graph._spmm_layouts
             output = fused_graph_attention(
                 q.reshape(-1, H * D), k.reshape(-1, H * D),
-                v.reshape(-1, H * D), graph._spmm_layouts[0], H, 0.0,
+                v.reshape(-1, H * D), csc, (csr, perm), H, 0.0,
                 dsh=D, dvh=D)
         else:
             src, dst = graph.edges[:, 0], graph.edges[:, 1]

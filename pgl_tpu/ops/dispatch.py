@@ -14,32 +14,9 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["use_pallas_segment_sum", "use_pallas_spmm", "csc_segment_sum"]
+__all__ = ["use_pallas_spmm", "use_fused_attention"]
 
 _MIN_EDGES = 32768
-
-
-def use_pallas_segment_sum(msgs) -> bool:
-    flag = os.environ.get("PGL_TPU_USE_PALLAS", "auto").lower()
-    if flag in ("0", "false", "off"):
-        return False
-    if msgs.ndim != 2:
-        return False
-    ok_shape = (msgs.shape[1] % 128 == 0 and msgs.shape[0] >= _MIN_EDGES
-                and msgs.dtype in (jnp.float32, jnp.bfloat16))
-    if flag in ("1", "true", "on"):
-        return ok_shape
-    return ok_shape and jax.default_backend() == "tpu"
-
-
-def csc_segment_sum(msgs, segment_ids, indptr, num_segments: int):
-    """Sorted segment sum: Pallas kernel when profitable, XLA otherwise."""
-    if use_pallas_segment_sum(msgs):
-        from .pallas.segment_kernels import sorted_segment_sum
-        return sorted_segment_sum(msgs, segment_ids, indptr, num_segments)
-    return jax.ops.segment_sum(msgs, segment_ids,
-                               num_segments=num_segments,
-                               indices_are_sorted=True)
 
 
 def use_pallas_spmm(feature, num_edges: int) -> bool:

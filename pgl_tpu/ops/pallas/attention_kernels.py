@@ -45,6 +45,7 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
                  v_ref,                 # [Ep, DV] HBM (gathered, CSC order)
                  ids_ref,               # [Ep/128, 128] HBM int32
                  out_ref,               # [NB, DV] VMEM
+                 lse_ref,               # [NB, H] VMEM
                  k_tile, v_tile, ids_tile, acc, m_s, l_s, sem_k, sem_v,
                  sem_i,
                  *, NB: int, ET: int, DS: int, DV: int, H: int,
@@ -143,6 +144,8 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
     # rows with no incoming edges produce zeros (reference contract)
     out = jnp.where((l.max(axis=1) > 0.0)[:, None], out, 0.0)
     out_ref[:] = out.astype(out_ref.dtype)
+    lse_ref[:] = jnp.where(l > 0.0, m_s[:] + jnp.log(jnp.maximum(l, 1e-30)),
+                           0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "num_heads",
@@ -175,8 +178,10 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
-            out_specs=pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((nb, num_heads), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM)),
             scratch_shapes=[
                 pltpu.VMEM((2, et, DS), k_e.dtype),
                 pltpu.VMEM((2, et, DV), v_e.dtype),
@@ -189,10 +194,12 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, DV), v.dtype),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, DV), v.dtype),
+                   jax.ShapeDtypeStruct((n_pad, num_heads), jnp.float32)),
         interpret=interpret,
     )(tile_starts, tile_ends, q_pad, k_e, v_e, padded_ids)
-    return out[:num_segments]
+    out, lse = out
+    return out[:num_segments], lse[:num_segments]
 
 
 def _xla_reference(q, k, v, src, dst, num_segments, num_heads, leaky_slope,
@@ -223,11 +230,11 @@ def _xla_reference(q, k, v, src, dst, num_segments, num_heads, leaky_slope,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
-def fused_graph_attention(q, k, v, layout: BlockedLayout, num_heads: int,
-                          leaky_slope: float = 0.0, nb: int = 256,
-                          et: int = 1024, interpret: bool = False,
-                          dsh=None, dvh=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def fused_graph_attention(q, k, v, layout: BlockedLayout, bwd_aux,
+                          num_heads: int, leaky_slope: float = 0.0,
+                          nb: int = 256, et: int = 1024,
+                          interpret: bool = False, dsh=None, dvh=None):
     """out[r] = Σ_{e: dst=r} softmax_r(q[r]·k[src_e]) · v[src_e].
 
     Args:
@@ -235,37 +242,138 @@ def fused_graph_attention(q, k, v, layout: BlockedLayout, num_heads: int,
       k: [N, DS] source-side score features.
       v: [N, DV] value features (DV = H·dvh).
       layout: the Graph's CSC BlockedLayout.
+      bwd_aux: None (XLA-recompute backward), or ``(csr_layout, perm)``
+        where ``perm[j]`` maps CSC edge position j to its CSR position —
+        enables the analytical flash-style backward built from the
+        weighted-SpMM kernel (3 kernel calls, no scatter).
       num_heads: H.
       leaky_slope: if nonzero, leaky_relu applied to raw scores (GAT).
     """
-    return _fused_attention_fwd(q, k, v, layout.padded_v, layout.padded_ids,
-                                layout.tile_starts, layout.tile_ends,
-                                layout.num_segments, num_heads, leaky_slope,
-                                nb, et, interpret, dsh, dvh)
+    out, _ = _fused_attention_fwd(q, k, v, layout.padded_v,
+                                  layout.padded_ids, layout.tile_starts,
+                                  layout.tile_ends, layout.num_segments,
+                                  num_heads, leaky_slope, nb, et, interpret,
+                                  dsh, dvh)
+    return out
 
 
-def _fga_fwd(q, k, v, layout, num_heads, leaky_slope, nb, et, interpret,
-             dsh, dvh):
-    out = _fused_attention_fwd(q, k, v, layout.padded_v, layout.padded_ids,
-                               layout.tile_starts, layout.tile_ends,
-                               layout.num_segments, num_heads, leaky_slope,
-                               nb, et, interpret, dsh, dvh)
-    return out, (q, k, v, layout)
+def _fga_fwd(q, k, v, layout, bwd_aux, num_heads, leaky_slope, nb, et,
+             interpret, dsh, dvh):
+    out, lse = _fused_attention_fwd(
+        q, k, v, layout.padded_v, layout.padded_ids, layout.tile_starts,
+        layout.tile_ends, layout.num_segments, num_heads, leaky_slope,
+        nb, et, interpret, dsh, dvh)
+    return out, (q, k, v, layout, bwd_aux, out, lse)
 
 
 def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
-    q, k, v, layout = res
+    q, k, v, layout, bwd_aux, out, lse = res
     E = layout.num_edges
     src = layout.padded_v[:E]
     dst = layout.padded_ids.reshape(-1)[:E]
+    H = num_heads
+    DS, DV = q.shape[1], v.shape[1]
+    DSH = dsh or DS // H
+    DVH = dvh or DV // H
 
-    def ref(q, k, v):
-        return _xla_reference(q, k, v, src, dst, layout.num_segments,
-                              num_heads, leaky_slope, dsh, dvh)
+    import os as _os
+    analytic = (_os.environ.get("PGL_TPU_ATTN_ANALYTIC_BWD", "0") == "1"
+                or interpret)
+    if bwd_aux is None or 128 % H != 0 or not analytic:
+        # The analytical flash-style backward below is numerically exact
+        # but gather-bound (each weighted SpMM re-gathers edge rows) and
+        # measured *slower* than XLA's recompute-differentiate on v5e
+        # (588ms vs 333ms for a 2-layer GAT step) — keep it opt-in until a
+        # fused-gather kernel lands. interpret mode always exercises it so
+        # tests keep covering the math.
+        def ref(q, k, v):
+            return _xla_reference(q, k, v, src, dst, layout.num_segments,
+                                  H, leaky_slope, dsh, dvh)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None, None
+
+    # Flash-style analytical backward: recompute per-edge scores/probs from
+    # the saved LSE, then three per-head-weighted SpMMs (no scatter).
+    from .segment_kernels import _blocked_spmm
+    csr, perm = bwd_aux
+    qs = q[:, :H * DSH].reshape(-1, H, DSH)
+    ks = k[:, :H * DSH].reshape(-1, H, DSH)
+    vs = v[:, :H * DVH].reshape(-1, H, DVH)
+    gs = g[:, :H * DVH].reshape(-1, H, DVH)
+    os_ = out[:, :H * DVH].reshape(-1, H, DVH)
+    q_e = jnp.take(qs, dst, axis=0)                  # [E, H, DSH]
+    k_e = jnp.take(ks, src, axis=0)
+    s_raw = jnp.sum(q_e * k_e, axis=-1)              # [E, H]
+    if leaky_slope:
+        s_act = jnp.where(s_raw >= 0, s_raw, s_raw * leaky_slope)
+    else:
+        s_act = s_raw
+    p = jnp.exp(s_act - jnp.take(lse, dst, axis=0))  # [E, H]
+    g_e = jnp.take(gs, dst, axis=0)                  # [E, H, DVH]
+    v_e = jnp.take(vs, src, axis=0)
+    gv = jnp.sum(g_e * v_e, axis=-1)                 # [E, H]
+    delta = jnp.sum(gs * os_, axis=-1)               # [N, H]
+    ds = p * (gv - jnp.take(delta, dst, axis=0))     # [E, H]
+    if leaky_slope:
+        ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
+
+    Ep_csc = layout.padded_v.shape[0]
+    Ep_csr = csr.padded_v.shape[0]
+
+    def pad_w(w_e, Ep):
+        return jnp.zeros((Ep, H), w_e.dtype).at[:E].set(w_e)
+
+    def pad128(x, width):
+        """Head-major features padded so every per-head block is 128/H wide
+        (keeps the per-head weight multiply aligned with head slices)."""
+        dh = width // H
+        dh_pad = -(-dh * H // 128) * 128 // H if (dh * H) % 128 else dh
+        if dh_pad == dh:
+            return x[:, :width], dh
+        xs = x[:, :width].reshape(-1, H, dh)
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((xs.shape[0], H, dh_pad - dh), x.dtype)],
+            axis=2)
+        return xs.reshape(-1, H * dh_pad), dh_pad
+
+    def unpad(y, dh_pad, dh, width):
+        if dh_pad == dh:
+            return y
+        return y.reshape(-1, H, dh_pad)[:, :, :dh].reshape(-1, width)
+
+    k_in, kdh = pad128(k, H * DSH)
+    q_in, qdh = pad128(q, H * DSH)
+    g_in, gdh = pad128(g, H * DVH)
+
+    # dq[r] = Σ_{e: dst=r} ds_e · k[src_e]  — CSC-side weighted SpMM
+    dq_h = _blocked_spmm(k_in, layout.padded_v,
+                         layout.padded_ids, layout.tile_starts,
+                         layout.tile_ends, layout.num_segments, nb, et,
+                         interpret, edge_w=pad_w(ds, Ep_csc))
+    dq_h = unpad(dq_h, kdh, DSH, H * DSH)
+    # dk[s] = Σ_{e: src=s} ds_e · q[dst_e]  — CSR-side (perm moves weights)
+    ds_csr = jnp.take(ds, perm, axis=0)
+    dk_h = _blocked_spmm(q_in, csr.padded_v, csr.padded_ids,
+                         csr.tile_starts, csr.tile_ends, csr.num_segments,
+                         nb, et, interpret, edge_w=pad_w(ds_csr, Ep_csr))
+    dk_h = unpad(dk_h, qdh, DSH, H * DSH)
+    # dv[s] = Σ_{e: src=s} p_e · g[dst_e]
+    p_csr = jnp.take(p, perm, axis=0)
+    dv_h = _blocked_spmm(g_in, csr.padded_v, csr.padded_ids,
+                         csr.tile_starts, csr.tile_ends, csr.num_segments,
+                         nb, et, interpret, edge_w=pad_w(p_csr, Ep_csr))
+    dv_h = unpad(dv_h, gdh, DVH, H * DVH)
+
+    def widen(x, D_full):
+        if x.shape[1] < D_full:
+            x = jnp.concatenate(
+                [x, jnp.zeros((x.shape[0], D_full - x.shape[1]),
+                              x.dtype)], axis=1)
+        return x
+
+    return (widen(dq_h, DS), widen(dk_h, DS), widen(dv_h, DV), None, None)
 
 
 fused_graph_attention.defvjp(_fga_fwd, _fga_bwd)

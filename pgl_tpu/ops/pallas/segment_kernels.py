@@ -165,7 +165,14 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
     D = feature.shape[1]
     msgs = jnp.take(feature, padded_v, axis=0)
     if edge_w is not None:
-        msgs = msgs * edge_w[:, None]
+        if edge_w.ndim == 2:
+            # per-head weights: [Ep, H] against [Ep, H*dh] head-major rows
+            H = edge_w.shape[1]
+            dh = D // H
+            msgs = (msgs.reshape(-1, H, dh)
+                    * edge_w[:, :, None]).reshape(-1, D)
+        else:
+            msgs = msgs * edge_w[:, None]
     n_pad = (num_segments + nb - 1) // nb * nb
     G = n_pad // nb
     if tile_starts.shape[0] != G:

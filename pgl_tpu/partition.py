@@ -60,3 +60,27 @@ def partition_to_order(parts: np.ndarray):
                          else 0)
     indptr = np.concatenate([[0], np.cumsum(counts)])
     return order, indptr
+
+
+def reorder_graph(graph, parts: Optional[np.ndarray] = None,
+                  npart: Optional[int] = None, seed: int = 0):
+    """Renumber nodes so partition members are contiguous — improves HBM
+    locality of the SpMM gather (hub/community edges hit nearby rows).
+
+    Returns ``(new_graph, order)`` where ``order[new_id] = old_id``; node
+    features and labels must be permuted with ``old[order]`` (node features
+    attached to the graph are permuted automatically).
+    """
+    from .graph import Graph
+    g = graph.numpy() if graph.is_tensor else graph
+    if parts is None:
+        if npart is None:
+            npart = max(g.num_nodes // 4096, 2)
+        parts = metis_partition(g, npart, seed)
+    order, _ = partition_to_order(parts)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    edges = inv[np.asarray(g.edges)]
+    node_feat = {k: np.asarray(v)[order] for k, v in g.node_feat.items()}
+    return Graph(edges, num_nodes=g.num_nodes, node_feat=node_feat,
+                 edge_feat=dict(g.edge_feat)), order

@@ -94,7 +94,7 @@ def test_fused_attention_matches_xla(H, leaky):
                                                       _xla_reference)
     layout, q, k, v, src, dst = make_attention_case(200, 3000, H,
                                                     128 // H, 128 // H)
-    out = fused_graph_attention(q, k, v, layout, H, leaky, 128, 256, True)
+    out = fused_graph_attention(q, k, v, layout, None, H, leaky, 128, 256, True)
     ref = _xla_reference(q, k, v, src, dst, 200, H, leaky)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
@@ -113,8 +113,8 @@ def test_fused_attention_gat_mode_padded_heads():
     q, k = gat_score_features(a_dst, a_src)
     v = jnp.zeros((N, 128)).at[:, :H * Dh].set(
         jnp.asarray(rng.normal(size=(N, H * Dh)).astype(np.float32)))
-    out = fused_graph_attention(q, k, v, layout, H, 0.2, 128, 256, True,
-                                q.shape[1] // H, Dh)
+    out = fused_graph_attention(q, k, v, layout, None, H, 0.2, 128, 256,
+                                True, q.shape[1] // H, Dh)
     ref = _xla_reference(q, k, v, src, dst, N, H, 0.2, q.shape[1] // H, Dh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
@@ -126,8 +126,8 @@ def test_fused_attention_grad():
     layout, q, k, v, src, dst = make_attention_case(100, 1500, 2, 64, 64)
 
     def loss_fused(q, k, v):
-        return (fused_graph_attention(q, k, v, layout, 2, 0.0, 128, 256,
-                                      True) ** 2).sum()
+        return (fused_graph_attention(q, k, v, layout, None, 2, 0.0, 128,
+                                      256, True) ** 2).sum()
 
     def loss_ref(q, k, v):
         return (_xla_reference(q, k, v, src, dst, 100, 2, 0.0) ** 2).sum()
@@ -193,3 +193,79 @@ def test_layout_block_size_mismatch_raises():
     x = jnp.ones((N, 128))
     with pytest.raises(ValueError, match="different row-block size"):
         spmm(x, lay, lay, 128, 256, True)
+
+
+def test_fused_attention_analytical_bwd():
+    """Flash-style backward (weighted-SpMM based) matches XLA autodiff."""
+    from pgl_tpu.ops.pallas.attention_kernels import (fused_graph_attention,
+                                                      _xla_reference)
+    from pgl_tpu.ops.pallas.segment_kernels import build_blocked_layout
+    rng = np.random.default_rng(2)
+    N, E, H, DSH, DVH = 200, 3000, 2, 64, 64
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    csc = build_blocked_layout(indptr, src, N, 128, 256)
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate([[0],
+                               np.cumsum(np.bincount(src, minlength=N))])
+    csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
+    # perm[csr_pos] = csc position of that edge (csc order == orig here)
+    perm = jnp.asarray(order.astype(np.int32))
+    q = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(N, H * DVH)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(N, H * DVH)).astype(np.float32))
+
+    for leaky in (0.0, 0.2):
+        def loss_fused(q, k, v):
+            return ((fused_graph_attention(q, k, v, csc, (csr, perm), H,
+                                           leaky, 128, 256, True)
+                     - tgt) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            return ((_xla_reference(q, k, v, jnp.asarray(src),
+                                    jnp.asarray(dst), N, H, leaky)
+                     - tgt) ** 2).sum()
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
+
+
+def test_fused_attention_analytical_bwd_narrow_heads():
+    """Analytical backward with H*DVH < 128 (the GAT second-layer shape)."""
+    from pgl_tpu.ops.pallas.attention_kernels import (fused_graph_attention,
+                                                      _xla_reference)
+    from pgl_tpu.ops.pallas.segment_kernels import build_blocked_layout
+    rng = np.random.default_rng(4)
+    N, E, H, DSH, DVH = 120, 2000, 1, 128, 16
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    csc = build_blocked_layout(indptr, src, N, 128, 256)
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate([[0],
+                               np.cumsum(np.bincount(src, minlength=N))])
+    csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
+    perm = jnp.asarray(order.astype(np.int32))
+    q = jnp.asarray(rng.normal(size=(N, 128)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(N, 128)).astype(np.float32)) * 0.3
+    v = jnp.zeros((N, 128)).at[:, :DVH].set(
+        jnp.asarray(rng.normal(size=(N, DVH)).astype(np.float32)))
+
+    def loss_fused(q, k, v):
+        return (fused_graph_attention(q, k, v, csc, (csr, perm), H, 0.2,
+                                      128, 256, True, DSH, DVH) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_reference(q, k, v, jnp.asarray(src), jnp.asarray(dst),
+                               N, H, 0.2, DSH, DVH) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

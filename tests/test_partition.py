@@ -41,3 +41,18 @@ def test_partition_to_order():
     np.testing.assert_array_equal(parts[order],
                                   [0, 0, 1, 1, 2, 2])
     np.testing.assert_array_equal(indptr, [0, 2, 4, 6])
+
+
+def test_reorder_graph():
+    from pgl_tpu.partition import reorder_graph
+    import jax.numpy as jnp
+    g, labels = community_graph(num_nodes=300, num_classes=3, feat_dim=8,
+                                avg_degree=6, seed=0)
+    g2, order = reorder_graph(g, npart=4, seed=0)
+    assert g2.num_nodes == 300 and g2.num_edges == g.num_edges
+    # aggregation result is the same up to the permutation
+    out1 = np.asarray(g.tensor().send_recv(
+        jnp.asarray(g.node_feat["h"]), "sum"))
+    out2 = np.asarray(g2.tensor().send_recv(
+        jnp.asarray(g2.node_feat["h"]), "sum"))
+    np.testing.assert_allclose(out2, out1[order], rtol=1e-4, atol=1e-5)
