@@ -58,6 +58,12 @@ def _time_steps(train_step, params, opt_state, g, x, y, warmup=3, iters=20):
 
 def main():
     import jax
+    # Persistent compile cache: the tunnel's remote Mosaic compiles are slow
+    # (minutes); cache executables so repeat runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
     from pgl_tpu.datasets import powerlaw_graph, cora_shaped_graph

@@ -12,37 +12,37 @@ from pgl_tpu.distributed import DistGraphServer, DistGraphClient
 from pgl_tpu.distributed.helper import (parse_files, reverse_etype,
                                         get_all_edge_type)
 
-EDGES = """37\t45\t0.34
-37\t145\t0.31
-37\t112\t0.21
-96\t48\t1.4
-96\t247\t0.31
-96\t111\t1.21
-59\t45\t0.34
-59\t145\t0.31
-59\t122\t0.21
-97\t48\t0.34
-98\t133\t0.31
-7\t133\t0.31
-59\t133\t1.21
-97\t250\t0.21
+EDGES = """11\t201\t0.50
+11\t202\t0.25
+11\t203\t0.75
+12\t204\t1.10
+12\t205\t0.40
+12\t206\t0.90
+13\t201\t0.30
+13\t202\t0.60
+13\t207\t0.20
+14\t204\t0.80
+15\t208\t0.45
+16\t208\t0.55
+13\t208\t1.30
+14\t209\t0.15
 """
 
-NODES = """u\t37
-u\t96
-u\t59
-u\t97
-u\t98
-u\t7
-t\t45
-t\t145
-t\t112
-t\t48
-t\t247
-t\t111
-t\t122
-t\t133
-t\t250
+NODES = """u\t11
+u\t12
+u\t13
+u\t14
+u\t15
+u\t16
+t\t201
+t\t202
+t\t203
+t\t204
+t\t205
+t\t206
+t\t207
+t\t208
+t\t209
 """
 
 
@@ -94,26 +94,26 @@ def test_edge_and_node_types(service):
 
 def test_sample_successor(service):
     c = service[0]
-    out = c.sample_successor([37, 96], max_degree=10, edge_type="u2e2t")
-    assert sorted(out[0].tolist()) == [45, 112, 145]
-    assert sorted(out[1].tolist()) == [48, 111, 247]
+    out = c.sample_successor([11, 12], max_degree=10, edge_type="u2e2t")
+    assert sorted(out[0].tolist()) == [201, 202, 203]
+    assert sorted(out[1].tolist()) == [204, 205, 206]
     # bounded fan-out
-    out = c.sample_successor([59], max_degree=2, edge_type="u2e2t")
+    out = c.sample_successor([13], max_degree=2, edge_type="u2e2t")
     assert len(out[0]) == 2
-    assert set(out[0].tolist()) <= {45, 145, 122, 133}
+    assert set(out[0].tolist()) <= {201, 202, 207, 208}
 
 
 def test_sample_predecessor_via_reverse(service):
     c = service[1]
-    out = c.sample_predecessor([133], max_degree=10, edge_type="u2e2t")
-    assert sorted(out[0].tolist()) == [7, 59, 98]
+    out = c.sample_predecessor([208], max_degree=10, edge_type="u2e2t")
+    assert sorted(out[0].tolist()) == [13, 15, 16]
 
 
 def test_random_sample_nodes(service):
     c = service[0]
     out = c.random_sample_nodes(node_type="u", size=4, seed=0)
     assert len(out) >= 1
-    assert set(out.tolist()) <= {37, 96, 59, 97, 98, 7}
+    assert set(out.tolist()) <= {11, 12, 13, 14, 15, 16}
 
 
 def test_node_batch_iter_coverage(service):
@@ -122,11 +122,11 @@ def test_node_batch_iter_coverage(service):
     for batch in c.node_batch_iter(4, node_type="t", shuffle=True,
                                    shuffle_size=8, seed=1):
         seen.extend(batch.tolist())
-    assert sorted(seen) == [45, 48, 111, 112, 122, 133, 145, 247, 250]
+    assert sorted(seen) == list(range(201, 210))
 
 
 def test_node_feat(service):
     c = service[0]
-    c.set_node_feat("u", "a", [37, 96], [1.5, 2.5])
-    vals = c.get_node_feat([37, 96, 59], "u", "a")
+    c.set_node_feat("u", "a", [11, 12], [1.5, 2.5])
+    vals = c.get_node_feat([11, 12, 13], "u", "a")
     assert vals[0] == 1.5 and vals[1] == 2.5 and vals[2] is None

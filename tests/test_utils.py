@@ -75,3 +75,30 @@ def test_sharded_embedding():
     emb.apply_sparse_grad(ids, jnp.ones((3, 16)), lr=0.5)
     after = np.asarray(emb.lookup(ids))
     np.testing.assert_allclose(after, before - 0.5, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+    from pgl_tpu.utils.checkpoint import (CheckpointManager, save_pytree,
+                                          load_pytree)
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    p = str(tmp_path / "one")
+    save_pytree(p, params)
+    back = load_pytree(p)
+    np.testing.assert_allclose(np.asarray(back["w"]),
+                               np.asarray(params["w"]))
+
+    mgr = CheckpointManager(str(tmp_path / "mgr"), max_to_keep=2)
+    for step in (1, 2, 3):
+        mgr.save(step, {"params": jax.tree.map(lambda x: x * step, params),
+                        "step": step})
+    assert mgr.latest_step() == 3
+    assert sorted(mgr.all_steps()) == [2, 3]  # retention dropped step 1
+    state = mgr.restore()
+    assert int(state["step"]) == 3
+    np.testing.assert_allclose(np.asarray(state["params"]["b"]),
+                               3 * np.ones(3))
+    mgr.close()
