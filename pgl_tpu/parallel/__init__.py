@@ -2,10 +2,12 @@
 
 Replaces the reference's NCCL/brpc/MPI distributed stack (SURVEY.md §2.3)
 with mesh-sharded programs: edge-partitioned graphs (``ShardedGraph``, the
-``DistGPUGraph`` analog), data-parallel helpers, and sharded embedding
-tables.
+``DistGPUGraph`` analog), data-parallel helpers, sharded embedding tables,
+and multi-host bootstrap/loading helpers.
 """
 
 from .dist_graph import ShardedGraph, shard_edges
+from .embedding import ShardedEmbedding
+from . import multihost
 
-__all__ = ["ShardedGraph", "shard_edges"]
+__all__ = ["ShardedGraph", "shard_edges", "ShardedEmbedding", "multihost"]

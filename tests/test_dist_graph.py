@@ -117,3 +117,23 @@ def test_sharded_under_jit(graphs):
     out = f(sg, jnp.asarray(FEAT))
     ref = f(sg, jnp.asarray(FEAT))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_multihost_helpers_single_process(mesh):
+    """Single-process smoke of the multi-host loader (8 'shards', 1 host)."""
+    from pgl_tpu.parallel.multihost import (edge_mesh,
+                                            sharded_graph_from_host_shards)
+    rng2 = np.random.default_rng(9)
+    n_shards = len(jax.devices())
+    per = 40
+    shards = [rng2.integers(0, N, (per, 2)) for _ in range(n_shards)]
+
+    sg = sharded_graph_from_host_shards(
+        lambda sid: shards[sid], num_nodes=N, mesh=mesh,
+        node_feat={"h": FEAT})
+    out = sg.send_u_recv(jnp.asarray(FEAT), "sum")
+    all_edges = np.concatenate(shards)
+    ref = Graph(all_edges, num_nodes=N).tensor().send_recv(
+        jnp.asarray(FEAT), "sum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
