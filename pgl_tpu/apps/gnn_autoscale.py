@@ -23,11 +23,9 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
-from ..graph import Graph
-from ..partition import metis_partition, random_partition, partition_to_order
+from ..partition import metis_partition, random_partition
 from ..sampling.custom import subgraph as extract_subgraph
 
 __all__ = ["History", "ScalableGNN", "partition_batches"]

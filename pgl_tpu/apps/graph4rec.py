@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..heter_graph import HeterGraph
 from ..sampling import (metapath_randomwalk, metapath_randomwalk_dist,
                         sample_neighbors_padded)
 from ..native.graph_kernel import skip_gram_gen_pair

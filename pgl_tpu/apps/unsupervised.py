@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..graph import Graph
 from ..sampling import random_walk, sample_neighbors_padded
 from ..native.graph_kernel import skip_gram_gen_pair
 

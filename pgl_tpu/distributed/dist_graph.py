@@ -18,8 +18,6 @@ edge-partitioned `ShardedGraph` remains the preferred path for full-batch.
 
 from __future__ import annotations
 
-import os
-import threading
 import time
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence

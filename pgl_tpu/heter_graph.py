@@ -176,8 +176,18 @@ class HeterGraph:
     # -- conversion ---------------------------------------------------------
 
     def tensor(self, sharding=None) -> "HeterGraph":
-        subgraphs = {k: g.tensor(sharding)
-                     for k, g in self._subgraphs.items()}
+        # convert the shared node-feature dict once and inject it into every
+        # per-etype subgraph (naive per-graph conversion would hold one
+        # device copy per edge type)
+        import jax.numpy as jnp
+        put = (lambda x: jax.device_put(np.asarray(x), sharding))             if sharding else (lambda x: jnp.asarray(np.asarray(x)))
+        shared = {k: (v if isinstance(v, jax.Array) else put(v))
+                  for k, v in self._node_feat.items()}
+        subgraphs = {}
+        for k, g in self._subgraphs.items():
+            gt = g.tensor(sharding) if not g.is_tensor else g
+            gt._node_feat = shared
+            subgraphs[k] = gt
         obj = object.__new__(HeterGraph)
         obj._edges_dict = {k: g.edges for k, g in subgraphs.items()}
         obj._num_nodes = self._num_nodes

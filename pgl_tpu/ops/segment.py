@@ -14,7 +14,6 @@ All functions require a static ``num_segments`` when used under ``jax.jit``.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -23,8 +23,7 @@ all-reduces them through a differentiable NCCL allreduce
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

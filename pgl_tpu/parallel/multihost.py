@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .dist_graph import ShardedGraph, shard_edges
+from .dist_graph import ShardedGraph
 
 __all__ = ["initialize", "edge_mesh", "sharded_graph_from_host_shards"]
 

@@ -11,13 +11,11 @@ reference's ``mp_reader`` pipe merge.
 
 from __future__ import annotations
 
-import itertools
 import multiprocessing as mp
-import queue as queue_mod
 import traceback
 from typing import Callable, Iterator, Optional
 
-from .dataset import Dataset, StreamDataset, WorkerInfo
+from .dataset import StreamDataset, WorkerInfo
 from .sampler import Sampler, StreamSampler
 
 __all__ = ["Dataloader"]

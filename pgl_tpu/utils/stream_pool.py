@@ -16,7 +16,6 @@ from typing import Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["StreamPool"]
 
