@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import optax
 
 from pgl_tpu.datasets import CoraDataset, CitationDataset, community_graph
-from pgl_tpu.models import GCN, GAT, APPNPModel, SGC, DeepGCNII
+from pgl_tpu.models import (GCN, GAT, APPNPModel, SGC, DeepGCNII, BernNet,
+                            ChebNetII)
 from pgl_tpu.utils.transform import add_self_loops, to_undirected
 
 
@@ -40,6 +41,8 @@ MODELS = {
     "APPNP": lambda d, c: APPNPModel(input_size=d, num_class=c),
     "SGC": lambda d, c: SGC(input_size=d, num_class=c),
     "GCNII": lambda d, c: DeepGCNII(input_size=d, num_class=c, k_hop=16),
+    "BernNet": lambda d, c: BernNet(input_size=d, num_class=c),
+    "ChebNetII": lambda d, c: ChebNetII(input_size=d, num_class=c),
 }
 
 

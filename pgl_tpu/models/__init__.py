@@ -1,8 +1,9 @@
 """Reference model assemblies built from the layer zoo."""
 
-from .gnn import GCN, GAT, GraphSage, GIN, DeepGCNII, APPNPModel, SGC
+from .gnn import (GCN, GAT, GraphSage, GIN, DeepGCNII, APPNPModel, SGC,
+                  BernNet, ChebNetII)
 from .unimp import UniMP, RUniMP
 from . import kg
 
 __all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel",
-           "SGC", "UniMP", "RUniMP", "kg"]
+           "SGC", "BernNet", "ChebNetII", "UniMP", "RUniMP", "kg"]

@@ -14,7 +14,8 @@ import flax.linen as nn
 from ..nn import (GCNConv, GATConv, GraphSageConv, GINConv, GCNII, APPNP,
                   SGCConv)
 
-__all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel", "SGC"]
+__all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel",
+           "SGC", "BernNet", "ChebNetII"]
 
 
 class GCN(nn.Module):
@@ -163,3 +164,43 @@ class SGC(nn.Module):
     def __call__(self, graph, feature, training: bool = False):
         return SGCConv(self.input_size, self.num_class, k_hop=self.k_hop,
                        cached=False, name="sgc")(graph, feature)
+
+
+class BernNet(nn.Module):
+    """MLP + Bernstein-polynomial propagation (reference
+    ``examples/bernnet/model.py:21``)."""
+    input_size: int
+    num_class: int
+    hidden_size: int = 64
+    k_hop: int = 10
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import BernProp
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        feature = drop(feature)
+        feature = jax.nn.relu(nn.Dense(self.hidden_size, name="l1")(feature))
+        feature = drop(feature)
+        feature = nn.Dense(self.num_class, name="l2")(feature)
+        return BernProp(k_hop=self.k_hop, name="prop")(graph, feature)
+
+
+class ChebNetII(nn.Module):
+    """MLP + Chebyshev-interpolated propagation (reference
+    ``examples/chebnetii/model.py:21``)."""
+    input_size: int
+    num_class: int
+    hidden_size: int = 64
+    k_hop: int = 10
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import ChebProp
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        feature = drop(feature)
+        feature = jax.nn.relu(nn.Dense(self.hidden_size, name="l1")(feature))
+        feature = drop(feature)
+        feature = nn.Dense(self.num_class, name="l2")(feature)
+        return ChebProp(k_hop=self.k_hop, name="prop")(graph, feature)

@@ -4,7 +4,7 @@ from . import functional
 from .conv import (
     GCNConv, GATConv, GATv2Conv, APPNP, GPRConv, GCNII, TransformerConv,
     GINConv, GraphSageConv, PinSageConv, RGCNConv, SGCConv, SSGCConv,
-    NGCFConv, LightGCNConv, FAConv,
+    NGCFConv, LightGCNConv, FAConv, BernProp, ChebProp,
 )
 from .pool import GraphPool, GraphNorm, Set2Set, GlobalAttention, SAGPool
 from .gmt_pool import GraphMultisetTransformer
@@ -14,6 +14,7 @@ __all__ = [
     "GCNConv", "GATConv", "GATv2Conv", "APPNP", "GPRConv", "GCNII",
     "TransformerConv", "GINConv", "GraphSageConv", "PinSageConv", "RGCNConv",
     "SGCConv", "SSGCConv", "NGCFConv", "LightGCNConv", "FAConv",
+    "BernProp", "ChebProp",
     "GraphPool", "GraphNorm", "Set2Set", "GlobalAttention", "SAGPool",
     "GraphMultisetTransformer",
 ]

@@ -26,6 +26,7 @@ __all__ = [
     "GCNConv", "GATConv", "GATv2Conv", "APPNP", "GPRConv", "GCNII",
     "TransformerConv", "GINConv", "GraphSageConv", "PinSageConv",
     "RGCNConv", "SGCConv", "SSGCConv", "NGCFConv", "LightGCNConv", "FAConv",
+    "BernProp", "ChebProp",
 ]
 
 
@@ -614,3 +615,75 @@ class FAConv(nn.Module):
         from .. import math as gmath
         return gmath.segment_sum(h_src * alpha, dst,
                                  num_segments=graph.num_nodes)
+
+
+class BernProp(nn.Module):
+    """Bernstein-polynomial spectral propagation (BernNet; reference
+    ``examples/bernnet/propagation.py:25-62``): learnable non-negative
+    coefficients over the Bernstein basis of the normalized Laplacian,
+    computed with (I+Â)^i / (I−Â)^j propagation chains."""
+    k_hop: int = 10
+
+    @nn.compact
+    def __call__(self, graph, feature, norm=None):
+        from scipy.special import comb
+        K = self.k_hop
+        temp = jax.nn.relu(self.param(
+            "temp", lambda key: jnp.ones((K + 1,), jnp.float32)))
+        if norm is None:
+            norm = GF.degree_norm(graph, dtype=feature.dtype)
+
+        def a_hat(x):                      # Â x (symmetric-normalized)
+            return graph.send_recv(x * norm, "sum") * norm
+
+        tmp = [feature]
+        for _ in range(K):
+            feature = feature + a_hat(feature)       # (I + Â)^i x
+            tmp.append(feature)
+        out = (comb(K, 0) / (2 ** K)) * temp[0] * tmp[K]
+        for i in range(K):
+            feature = tmp[K - i - 1]
+            for _ in range(i + 1):                   # (I − Â)^(i+1)
+                feature = feature - a_hat(feature)
+            out = out + (comb(K, i + 1) / (2 ** K)) * temp[i + 1] * feature
+        return out
+
+
+class ChebProp(nn.Module):
+    """Chebyshev-interpolated spectral propagation (ChebNetII; reference
+    ``examples/chebnetii/propagation.py:25-64``): learnable values at the
+    Chebyshev nodes, expanded into T_k(Â) terms via the three-term
+    recurrence."""
+    k_hop: int = 10
+
+    @nn.compact
+    def __call__(self, graph, feature, norm=None):
+        import math as pymath
+        K = self.k_hop
+        temp = jax.nn.relu(self.param(
+            "temp", lambda key: jnp.ones((K + 1,), jnp.float32)))
+        # Chebyshev interpolation: coe[i] = 2/(K+1) Σ_j temp_j T_i(x_j)
+        xs = [pymath.cos((K - j + 0.5) * pymath.pi / (K + 1))
+              for j in range(K + 1)]      # j = K..0 order as the reference
+
+        def cheby_val(i, x):
+            return pymath.cos(i * pymath.acos(x))
+
+        coes = []
+        for i in range(K + 1):
+            c = sum(temp[j] * cheby_val(i, xs[K - j]) for j in range(K + 1))
+            coes.append(2.0 * c / (K + 1))
+        if norm is None:
+            norm = GF.degree_norm(graph, dtype=feature.dtype)
+
+        def a_hat(x):
+            return graph.send_recv(x * norm, "sum") * norm
+
+        tx0 = feature
+        tx1 = a_hat(feature)
+        out = coes[0] / 2 * tx0 + coes[1] * tx1
+        for i in range(2, K + 1):
+            tx2 = 2 * a_hat(tx1) - tx0
+            out = out + coes[i] * tx2
+            tx0, tx1 = tx1, tx2
+        return out

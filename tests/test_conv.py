@@ -214,3 +214,22 @@ def test_degree_norm(graph):
     norm = GF.degree_norm(graph)
     deg = np.maximum(np.asarray(graph.indegree()), 1)
     np.testing.assert_allclose(np.asarray(norm)[:, 0], deg ** -0.5, rtol=1e-6)
+
+
+def test_bernprop(graph):
+    out = init_and_apply(gnn.BernProp(k_hop=4), graph, graph.node_feat["h"])
+    assert out.shape == (N, D)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # with all-one coefficients the Bernstein basis sums to identity-ish
+    # filter; at least verify gradient flows to the coefficients
+    layer = gnn.BernProp(k_hop=3)
+    variables = layer.init(jax.random.key(0), graph, graph.node_feat["h"])
+    g = jax.grad(lambda v: layer.apply(v, graph,
+                                       graph.node_feat["h"]).sum())(variables)
+    assert float(jnp.abs(g["params"]["temp"]).sum()) > 0
+
+
+def test_chebprop(graph):
+    out = init_and_apply(gnn.ChebProp(k_hop=5), graph, graph.node_feat["h"])
+    assert out.shape == (N, D)
+    assert np.all(np.isfinite(np.asarray(out)))
