@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from .. import math as gmath
 
-__all__ = ["to_undirected", "add_self_loops", "to_dense_batch", "filter_adj"]
+__all__ = ["to_undirected", "add_self_loops", "to_dense_batch",
+           "filter_adj", "drop_edge"]
 
 
 def _require_numpy(graph):
@@ -99,3 +100,20 @@ def filter_adj(edge_index, perm, edge_attr=None,
     if edge_attr is not None:
         return out, np.asarray(edge_attr)[keep]
     return out, None
+
+
+def drop_edge(graph, rate: float = 0.5, seed: int = 0,
+              copy_node_feat: bool = True):
+    """Randomly drop edges (DropEdge regularization; idea from the
+    reference's legacy ``DropEdgeWrapper``, ``legacy/pgl/graph_wrapper.py:
+    737``). Host-side: returns a new Graph with ~``(1-rate)·E`` edges;
+    re-tensor per epoch (or every k epochs) during training."""
+    from ..graph import Graph
+    _require_numpy(graph)
+    rng = np.random.default_rng(seed)
+    keep = rng.random(graph.num_edges) >= rate
+    edges = np.asarray(graph.edges)[keep]
+    edge_feat = {k: np.asarray(v)[keep] for k, v in graph.edge_feat.items()}
+    node_feat = dict(graph.node_feat) if copy_node_feat else None
+    return Graph(edges, num_nodes=graph.num_nodes, node_feat=node_feat,
+                 edge_feat=edge_feat)

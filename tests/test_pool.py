@@ -117,3 +117,16 @@ def test_filter_adj():
                            edge_attr=np.array([10., 20, 30, 40]))
     np.testing.assert_array_equal(out, [[0, 1], [2, 0]])
     np.testing.assert_allclose(attr, [10.0, 40.0])
+
+
+def test_drop_edge():
+    from pgl_tpu.utils.transform import drop_edge
+    g = Graph(np.random.default_rng(0).integers(0, 20, (400, 2)),
+              num_nodes=20,
+              edge_feat={"w": np.arange(400, dtype=np.float32)})
+    g2 = drop_edge(g, rate=0.5, seed=1)
+    assert 100 < g2.num_edges < 300
+    assert g2.edge_feat["w"].shape == (g2.num_edges,)
+    # kept edges are a subset of originals
+    orig = set(map(tuple, np.asarray(g.edges).tolist()))
+    assert all(tuple(e) in orig for e in np.asarray(g2.edges).tolist())
