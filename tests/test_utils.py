@@ -102,3 +102,42 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(state["params"]["b"]),
                                3 * np.ones(3))
     mgr.close()
+
+
+def test_amp_bf16_training_converges():
+    """bf16 params/activations with f32 master weights still learn."""
+    import optax
+    from pgl_tpu.utils.amp import to_bf16, to_f32, bf16_params_policy
+    from pgl_tpu import Graph
+    from pgl_tpu.datasets import community_graph
+    from pgl_tpu.models import GCN
+
+    g, y = community_graph(num_nodes=200, num_classes=3, feat_dim=16,
+                           avg_degree=6, seed=0)
+    gt = g.tensor()
+    x = to_bf16(gt.node_feat["h"])
+    yj = jnp.asarray(y)
+    model = GCN(input_size=16, num_class=3, hidden_size=16, dropout=0.0)
+    params = model.init(jax.random.key(0), gt, x)
+    assert params["params"]["gcn_0"]["linear"]["kernel"].dtype == jnp.float32
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, gt, x).astype(jnp.float32)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, yj).mean()
+
+    grad_fn = bf16_params_policy(jax.value_and_grad(loss_fn))
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = grad_fn(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
