@@ -8,6 +8,7 @@ from .conv import (
 )
 from .pool import GraphPool, GraphNorm, Set2Set, GlobalAttention, SAGPool
 from .gmt_pool import GraphMultisetTransformer
+from .aggregation import LSTMAggregation
 
 __all__ = [
     "functional",
@@ -16,5 +17,5 @@ __all__ = [
     "SGCConv", "SSGCConv", "NGCFConv", "LightGCNConv", "FAConv",
     "BernProp", "ChebProp",
     "GraphPool", "GraphNorm", "Set2Set", "GlobalAttention", "SAGPool",
-    "GraphMultisetTransformer",
+    "GraphMultisetTransformer", "LSTMAggregation",
 ]

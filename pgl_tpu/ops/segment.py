@@ -143,11 +143,17 @@ def segment_padding(data, segment_ids, num_segments: Optional[int] = None,
     # Position of each element inside its segment: i - indptr[segment_ids[i]].
     starts = jnp.cumsum(count) - count
     pos = jnp.arange(segment_ids.shape[0]) - starts[segment_ids]
-    flat_index = segment_ids * max_len + pos
+    # when max_len caps below a segment's size, route the overflow to an
+    # out-of-bounds index — jax drops OOB scatter updates, so capped
+    # elements are truncated instead of spilling into the next segment
+    flat_index = jnp.where(pos < max_len, segment_ids * max_len + pos,
+                           num_segments * max_len)
     out_shape = (num_segments * max_len,) + data.shape[1:]
-    padded = jnp.zeros(out_shape, dtype=data.dtype).at[flat_index].set(data)
+    padded = jnp.zeros(out_shape, dtype=data.dtype).at[flat_index].set(
+        data, mode="drop")
     padded = padded.reshape((num_segments, max_len) + data.shape[1:])
-    mask = (jnp.arange(max_len)[None, :] < count[:, None])
+    mask = (jnp.arange(max_len)[None, :]
+            < jnp.minimum(count, max_len)[:, None])
     return padded, mask, max_len
 
 

@@ -233,3 +233,34 @@ def test_chebprop(graph):
     out = init_and_apply(gnn.ChebProp(k_hop=5), graph, graph.node_feat["h"])
     assert out.shape == (N, D)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_lstm_aggregation(graph):
+    from pgl_tpu.nn.aggregation import LSTMAggregation
+    msgs = jnp.take(graph.node_feat["h"],
+                    jnp.asarray(EDGES[:, 0]), axis=0)
+    layer = LSTMAggregation(hidden_size=12, max_degree=8)
+    variables = layer.init(jax.random.key(0), graph, msgs)
+    out = layer.apply(variables, graph, msgs)
+    assert out.shape == (N, 12)
+    # nodes with no incoming edges output zeros
+    indeg = np.asarray(graph.indegree())
+    if (indeg == 0).any():
+        np.testing.assert_allclose(np.asarray(out)[indeg == 0], 0.0)
+    # jit + capped degree (max_degree < real max) still runs
+    layer2 = LSTMAggregation(hidden_size=12, max_degree=2)
+    v2 = layer2.init(jax.random.key(0), graph, msgs)
+    out2 = jax.jit(lambda g, m: layer2.apply(v2, g, m))(graph, msgs)
+    assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_segment_padding_cap_no_spill():
+    from pgl_tpu import math as gmath
+    data = jnp.arange(10, dtype=jnp.float32).reshape(5, 2)
+    seg = jnp.asarray([0, 0, 0, 1, 1])
+    padded, mask, _ = gmath.segment_padding(data, seg, num_segments=2,
+                                            max_len=2)
+    # segment 0 truncated to its first 2 rows; row 2 must NOT leak into seg 1
+    np.testing.assert_allclose(np.asarray(padded[1, 0]), [6, 7])
+    np.testing.assert_array_equal(np.asarray(mask), [[True, True],
+                                                     [True, True]])
