@@ -86,12 +86,19 @@ def build_index(u, v, num_nodes):
     lib = _load()
     u, v = _c(u), _c(v)
     E, N = len(u), int(num_nodes)
-    degree = np.empty(N, dtype=np.int64)
-    sorted_v = np.empty(E, dtype=np.int64)
-    sorted_eid = np.empty(E, dtype=np.int64)
-    indptr = np.empty(N + 1, dtype=np.int64)
-    lib.build_index(u, v, E, N, degree, sorted_v, sorted_eid, indptr)
-    return degree, sorted_v, sorted_eid, indptr
+    if lib is not None:
+        degree = np.empty(N, dtype=np.int64)
+        sorted_v = np.empty(E, dtype=np.int64)
+        sorted_eid = np.empty(E, dtype=np.int64)
+        indptr = np.empty(N + 1, dtype=np.int64)
+        lib.build_index(u, v, E, N, degree, sorted_v, sorted_eid, indptr)
+        return degree, sorted_v, sorted_eid, indptr
+    # numpy fallback: stable argsort (O(E log E))
+    degree = np.bincount(u, minlength=N).astype(np.int64)
+    indptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(degree, out=indptr[1:])
+    order = np.argsort(u, kind="stable")
+    return degree, v[order], order.astype(np.int64), indptr
 
 
 def map_nodes(nodes, query):

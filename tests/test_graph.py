@@ -204,3 +204,42 @@ def test_numpy_tensor_roundtrip():
     assert not gn.is_tensor
     np.testing.assert_array_equal(np.asarray(gn.edges), EDGES)
     np.testing.assert_allclose(np.asarray(gn.node_feat["h"]), FEAT)
+
+
+def test_native_fallbacks(monkeypatch):
+    """Every host kernel keeps working when the C++ library is unavailable
+    (fresh container without g++, etc.)."""
+    from pgl_tpu.native import graph_kernel as gk
+
+    monkeypatch.setattr(gk, "_load", lambda: None)
+    assert not gk.available()
+
+    deg, sv, se, ip = gk.build_index([0, 1, 0], [1, 2, 2], 3)
+    np.testing.assert_array_equal(deg, [2, 1, 0])
+    np.testing.assert_array_equal(ip, [0, 2, 3, 3])
+    np.testing.assert_array_equal(sv, [1, 2, 2])
+
+    out = gk.map_nodes([5, 9, 2], [2, 9, 7])
+    np.testing.assert_array_equal(out, [2, 1, -1])
+
+    oi, ov, oe = gk.sample_subset_with_eid(ip, sv, se, [0, 1], 1, seed=0)
+    assert oi[-1] == 2  # one sample per queried node
+
+    walks = gk.random_walk(ip, sv, [0, 2], 4, seed=0)
+    assert walks.shape == (2, 4)
+    assert walks[1, 1] == -1  # node 2 has no out-edges
+
+    src, dst = gk.skip_gram_gen_pair(walks, 2, seed=0)
+    assert len(src) == len(dst)
+
+    ev, al = gk.alias_sample_build_table([1.0, 3.0])
+    assert ev.shape == (2,) and al.shape == (2,)
+
+    eids = gk.extract_edges_from_nodes(ip, sv, se, 3, np.array([0, 1, 2]))
+    assert sorted(eids.tolist()) == [0, 1, 2]
+
+    # EdgeIndex + Graph still function end to end on the fallback
+    from pgl_tpu import Graph
+    g = Graph(np.array([[0, 1], [1, 2], [0, 2]]), num_nodes=3)
+    np.testing.assert_array_equal(g.indegree(), [0, 1, 2])
+    assert sorted(g.successor()[0].tolist()) == [1, 2]
