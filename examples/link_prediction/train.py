@@ -1,0 +1,108 @@
+"""Link prediction (reference: graphsage link-pred configs and Graph4Rec's
+in-batch-negative training): GCN encoder + dot-product scorer, trained with
+negative sampling on observed edges, evaluated by AUC on held-out edges.
+Uses ``graphsage_sample``'s ``ignore_edges`` capability semantics — the
+held-out edges are removed from the training graph entirely."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+from pgl_tpu.utils.platform import select_platform
+
+select_platform()
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from pgl_tpu import Graph
+from pgl_tpu.datasets import community_graph
+from pgl_tpu.nn import GCNConv
+from pgl_tpu.utils.transform import add_self_loops, to_undirected
+
+
+class Encoder(nn.Module):
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, g, x):
+        x = GCNConv(x.shape[1], self.hidden, activation="relu")(g, x)
+        return GCNConv(self.hidden, self.hidden)(g, x)
+
+
+def auc_score(pos, neg):
+    scores = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    n_pos, n_neg = len(pos), len(neg)
+    return (ranks[labels == 1].sum() - n_pos * (n_pos + 1) / 2) / (
+        n_pos * n_neg)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=150)
+    parser.add_argument("--hidden", type=int, default=64)
+    parser.add_argument("--lr", type=float, default=5e-3)
+    args = parser.parse_args()
+
+    g, _ = community_graph(num_nodes=1000, num_classes=5, feat_dim=32,
+                           avg_degree=10, seed=0)
+    edges = np.asarray(g.edges)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(edges))
+    test_edges = edges[perm[:len(edges) // 10]]
+    train_edges = edges[perm[len(edges) // 10:]]
+    train_g = Graph(train_edges, num_nodes=g.num_nodes,
+                    node_feat=dict(g.node_feat))
+    gt = add_self_loops(to_undirected(train_g)).tensor()
+    x = gt.node_feat["h"]
+    te = jnp.asarray(train_edges)
+
+    model = Encoder(hidden=args.hidden)
+    params = model.init(jax.random.key(0), gt, x)
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        neg_dst = jax.random.randint(key, (te.shape[0],), 0, gt.num_nodes)
+
+        def loss_fn(p):
+            h = model.apply(p, gt, x)
+            pos = jnp.sum(h[te[:, 0]] * h[te[:, 1]], -1)
+            neg = jnp.sum(h[te[:, 0]] * h[neg_dst], -1)
+            return (-jax.nn.log_sigmoid(pos).mean()
+                    - jax.nn.log_sigmoid(-neg).mean())
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.key(1)
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+
+    h = np.asarray(model.apply(params, gt, x))
+    pos = (h[test_edges[:, 0]] * h[test_edges[:, 1]]).sum(-1)
+    neg_dst = rng.integers(0, g.num_nodes, len(test_edges))
+    neg = (h[test_edges[:, 0]] * h[neg_dst]).sum(-1)
+    # note: the community fixture's structural ceiling is ~0.76 AUC
+    # (≈71% of positives are intra-community, 20% of random negatives are)
+    print(f"link prediction: AUC {auc_score(pos, neg):.4f} "
+          f"({(time.time()-t0)/args.epochs*1000:.1f} ms/epoch)")
+
+
+if __name__ == "__main__":
+    main()
