@@ -98,6 +98,24 @@ def main():
                          gc, gc.node_feat["h"], yc)
     vs_baseline = 0.0047 / t_cora
 
+    # --- fused graph-attention forward (GATConv, 8 heads) -----------------
+    import pgl_tpu.nn as gnn
+    ga = powerlaw_graph(num_nodes=65536, avg_degree=16, feat_dim=128,
+                        seed=1).tensor()
+    gat = gnn.GATConv(128, 16, num_heads=8, feat_drop=0.0, attn_drop=0.0)
+    gat_params = gat.init(jax.random.key(0), ga, ga.node_feat["h"])
+
+    @jax.jit
+    def gat_loop(x):
+        return jax.lax.fori_loop(
+            0, 5, lambda i, v: v * 0.5 +
+            gat.apply(gat_params, ga, v) * 1e-3, x)
+
+    o = gat_loop(ga.node_feat["h"]); float(o[0, 0])
+    t0 = time.perf_counter()
+    o = gat_loop(ga.node_feat["h"]); float(o[0, 0])
+    t_gat = (time.perf_counter() - t0) / 5
+
     print(json.dumps({
         "metric": "gcn3_train_edges_per_s",
         "value": round(edges_per_s, 1),
@@ -107,6 +125,7 @@ def main():
             "graph": f"powerlaw n={num_nodes} e={E} d={feat_dim} h={hidden}",
             "step_time_s": round(t_step, 5),
             "cora_epoch_s": round(t_cora, 5),
+            "gat8_fwd_ms_1M_edges": round(t_gat * 1000, 2),
             "baseline": "V100 GCN-Cora epoch 0.0047s "
                         "(legacy/docs/source/md/introduction.md:46)",
             "backend": jax.default_backend(),
