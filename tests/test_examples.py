@@ -1,0 +1,42 @@
+"""Example-script smoke tests: run a fast configuration of each CLI in a
+subprocess so the runnable surface can't rot. (CPU-forced; tiny settings.)"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_example(rel, *args, timeout=240):
+    env = dict(os.environ, PGL_TPU_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", rel), *args],
+        capture_output=True, text=True, timeout=timeout, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout
+
+
+def test_citation_gcn():
+    out = run_example("citation_benchmark/train.py", "--model", "GCN",
+                      "--epochs", "30")
+    assert "test acc" in out
+
+
+def test_deploy_roundtrip():
+    out = run_example("deploy/export_and_serve.py", "--epochs", "30")
+    assert "served: acc" in out
+    assert "e-0" in out or "e-1" in out  # tiny served-vs-direct error
+
+
+def test_gin_graph_classification():
+    out = run_example("gin/train.py", "--epochs", "3", "--num-graphs",
+                      "128")
+    assert "test acc" in out
+
+
+def test_link_prediction():
+    out = run_example("link_prediction/train.py", "--epochs", "40")
+    assert "AUC" in out
