@@ -180,7 +180,10 @@ class HeterGraph:
         # per-etype subgraph (naive per-graph conversion would hold one
         # device copy per edge type)
         import jax.numpy as jnp
-        put = (lambda x: jax.device_put(np.asarray(x), sharding))             if sharding else (lambda x: jnp.asarray(np.asarray(x)))
+        if sharding:
+            put = lambda x: jax.device_put(np.asarray(x), sharding)
+        else:
+            put = lambda x: jnp.asarray(np.asarray(x))
         shared = {k: (v if isinstance(v, jax.Array) else put(v))
                   for k, v in self._node_feat.items()}
         subgraphs = {}
