@@ -93,8 +93,11 @@ def main():
         opt = optax.adamw(args.lr, weight_decay=args.weight_decay)
         opt_state = opt.init(params)
 
+        # NB: the graph/features are jit *arguments* (pytree), not
+        # closed-over constants — closures would inline the arrays into the
+        # compiled module (huge payloads, recompiles per graph).
         @jax.jit
-        def train_step(params, opt_state, key):
+        def train_step(params, opt_state, gt, x, key):
             def loss_fn(p):
                 logits = model.apply(p, gt, x, training=True,
                                      rngs={"dropout": key})
@@ -106,7 +109,7 @@ def main():
             return optax.apply_updates(params, updates), opt_state, loss
 
         @jax.jit
-        def evaluate(params):
+        def evaluate(params, gt, x):
             logits = model.apply(params, gt, x)
             pred = logits.argmax(-1)
             return ((pred[val_idx] == y[val_idx]).mean(),
@@ -117,9 +120,9 @@ def main():
         t0 = time.time()
         for epoch in range(args.epochs):
             key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(params, opt_state, sub)
+            params, opt_state, loss = train_step(params, opt_state, gt, x, sub)
             if epoch % 10 == 0 or epoch == args.epochs - 1:
-                val_acc, test_acc = evaluate(params)
+                val_acc, test_acc = evaluate(params, gt, x)
                 if float(val_acc) > best_val:
                     best_val, best_test = float(val_acc), float(test_acc)
         dt = (time.time() - t0) / args.epochs

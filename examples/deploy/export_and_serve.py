@@ -42,7 +42,7 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, gt, x):
         loss, grads = jax.value_and_grad(
             lambda p: optax.softmax_cross_entropy_with_integer_labels(
                 model.apply(p, gt, x), yj).mean())(params)
@@ -50,7 +50,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     for _ in range(args.epochs):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, gt, x)
     acc_train = float((model.apply(params, gt, x).argmax(-1) == yj).mean())
     print(f"trained: acc {acc_train:.3f}")
 

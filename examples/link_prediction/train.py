@@ -74,7 +74,7 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, gt, x, key):
         neg_dst = jax.random.randint(key, (te.shape[0],), 0, gt.num_nodes)
 
         def loss_fn(p):
@@ -92,7 +92,7 @@ def main():
     t0 = time.time()
     for epoch in range(args.epochs):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, opt_state, loss = step(params, opt_state, gt, x, sub)
 
     h = np.asarray(model.apply(params, gt, x))
     pos = (h[test_edges[:, 0]] * h[test_edges[:, 1]]).sum(-1)

@@ -70,15 +70,15 @@ def main():
     if args.model == "GCN":
         model = GCN(input_size=x.shape[1], num_class=ncls, num_layers=3,
                     hidden_size=args.hidden, dropout=0.3)
-        apply_kw = lambda p, key: model.apply(
-            p, gt, x, training=True, rngs={"dropout": key})
+        apply_kw_g = lambda p, g_, x_, key: model.apply(
+            p, g_, x_, training=True, rngs={"dropout": key})
         eval_fn = lambda p: model.apply(p, gt, x)
         params = model.init(jax.random.key(0), gt, x)
     else:
         model = UniMP(input_size=x.shape[1], num_class=ncls, num_layers=2,
                       hidden_size=args.hidden // 2, num_heads=2, dropout=0.1)
-        apply_kw = lambda p, key: model.apply(
-            p, gt, x, yj, train_mask, training=True,
+        apply_kw_g = lambda p, g_, x_, key: model.apply(
+            p, g_, x_, yj, train_mask, training=True,
             rngs={"dropout": key})
         eval_fn = lambda p: model.apply(p, gt, x, yj, train_mask)
         params = model.init(jax.random.key(0), gt, x, yj, train_mask)
@@ -87,9 +87,9 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, gt_, x_, key):
         def loss_fn(p):
-            logits = apply_kw(p, key)
+            logits = apply_kw_g(p, gt_, x_, key)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits[train_idx], yj[train_idx]).mean()
 
@@ -101,7 +101,7 @@ def main():
     t0 = time.time()
     for epoch in range(args.epochs):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, opt_state, loss = step(params, opt_state, gt, x, sub)
     logits = eval_fn(params)
     acc = float((logits.argmax(-1)[test_idx] == yj[test_idx]).mean())
     print(f"{args.model}: test acc {acc:.4f} "

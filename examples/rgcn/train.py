@@ -81,7 +81,7 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, hgt, x):
         def loss_fn(p):
             logits = model.apply(p, hgt, x)
             return optax.softmax_cross_entropy_with_integer_labels(
@@ -93,7 +93,7 @@ def main():
 
     t0 = time.time()
     for epoch in range(args.epochs):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, hgt, x)
     logits = model.apply(params, hgt, x)
     acc = float((logits[test_idx].argmax(-1) == y[test_idx]).mean())
     print(f"RGCN: test acc {acc:.4f} "

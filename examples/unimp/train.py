@@ -55,7 +55,7 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, key):
+    def train_step(params, opt_state, gt, x, key):
         k1, k2 = jax.random.split(key)
         # feed a random subset of train labels; predict the rest
         feed = train_mask & (jax.random.uniform(k1, (g.num_nodes,))
@@ -74,7 +74,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def evaluate(params):
+    def evaluate(params, gt, x):
         logits = model.apply(params, gt, x, yj, train_mask)
         return (logits.argmax(-1)[test_idx] == yj[test_idx]).mean()
 
@@ -83,9 +83,9 @@ def main():
     best = 0.0
     for epoch in range(args.epochs):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, sub)
+        params, opt_state, loss = train_step(params, opt_state, gt, x, sub)
         if epoch % 20 == 0 or epoch == args.epochs - 1:
-            acc = float(evaluate(params))
+            acc = float(evaluate(params, gt, x))
             best = max(best, acc)
     print(f"UniMP: test acc {best:.4f} "
           f"({(time.time()-t0)/args.epochs*1000:.1f} ms/epoch)")
