@@ -15,6 +15,7 @@
 #include <cstring>
 #include <random>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 using i64 = long long;
@@ -162,6 +163,64 @@ void node2vec_walk(const i64* indptr, const i64* sorted_v, const i64* starts,
           next = sorted_v[dist(rng)];
         }
       }
+      walks[w * walk_len + step] = next;
+      prev = cur;
+      cur = next;
+    }
+  }
+}
+
+// -------------------------------------------------------------------------
+// node2vec+ variant (reference behavior at pgl/graph_kernel.pyx:179-224 via
+// pgl/sampling/walk.py:125): the "distance-1" class is the union of the
+// neighborhoods of every node visited so far in the walk, not just the
+// previous node's neighbors. Same rejection-sampling formulation as
+// node2vec_walk, with an accumulated hash set instead of a binary search.
+void node2vec_walk_plus(const i64* indptr, const i64* sorted_v,
+                        const i64* starts, i64 num_starts, i64 walk_len,
+                        double p, double q, i64 seed, i64* walks) {
+  std::mt19937_64 rng(static_cast<uint64_t>(seed));
+  std::uniform_real_distribution<double> unif(0.0, 1.0);
+  double inv_p = 1.0 / p, inv_q = 1.0 / q;
+  double upper = std::max({inv_p, 1.0, inv_q});
+  std::unordered_set<i64> seen;
+  for (i64 w = 0; w < num_starts; ++w) {
+    seen.clear();
+    i64 prev = -1;
+    i64 cur = starts[w];
+    walks[w * walk_len] = cur;
+    for (i64 step = 1; step < walk_len; ++step) {
+      i64 begin = indptr[cur], end = indptr[cur + 1];
+      if (begin == end) {
+        for (i64 s = step; s < walk_len; ++s) walks[w * walk_len + s] = -1;
+        break;
+      }
+      i64 next = -1;
+      if (prev < 0) {
+        std::uniform_int_distribution<i64> dist(begin, end - 1);
+        next = sorted_v[dist(rng)];
+      } else {
+        for (int attempt = 0; attempt < 128; ++attempt) {
+          std::uniform_int_distribution<i64> dist(begin, end - 1);
+          i64 cand = sorted_v[dist(rng)];
+          double w_cand;
+          if (cand == prev) {
+            w_cand = inv_p;
+          } else if (seen.count(cand)) {
+            w_cand = 1.0;
+          } else {
+            w_cand = inv_q;
+          }
+          if (unif(rng) * upper <= w_cand) { next = cand; break; }
+        }
+        if (next < 0) {  // fall back to uniform after rejection budget
+          std::uniform_int_distribution<i64> dist(begin, end - 1);
+          next = sorted_v[dist(rng)];
+        }
+      }
+      // the set used at step t covers neighborhoods of nodes visited
+      // strictly before t, matching the reference's accumulation order
+      seen.insert(sorted_v + begin, sorted_v + end);
       walks[w * walk_len + step] = next;
       prev = cur;
       cur = next;

@@ -62,6 +62,8 @@ def _load():
         lib.random_walk.argtypes = [_i64, _i64, _i64, _ll, _ll, _ll, _i64]
         lib.node2vec_walk.argtypes = [
             _i64, _i64, _i64, _ll, _ll, _d, _d, _ll, _i64]
+        lib.node2vec_walk_plus.argtypes = [
+            _i64, _i64, _i64, _ll, _ll, _d, _d, _ll, _i64]
         lib.skip_gram_gen_pair.argtypes = [_i64, _ll, _ll, _ll, _ll, _i64, _i64]
         lib.skip_gram_gen_pair.restype = _ll
         lib.alias_sample_build_table.argtypes = [_f64, _ll, _f64, _i64]
@@ -190,6 +192,46 @@ def node2vec_walk(indptr, sorted_v, starts, walk_len, p=1.0, q=1.0, seed=0):
     lib.node2vec_walk(indptr, sorted_v, starts, W, int(walk_len), float(p),
                       float(q), int(seed), walks)
     return walks.reshape(W, walk_len)
+
+
+def node2vec_walk_plus(indptr, sorted_v, starts, walk_len, p=1.0, q=1.0,
+                       seed=0):
+    """node2vec+ walks: the distance-1 bias class is the union of all
+    neighborhoods seen so far in the walk (not just the previous node's)."""
+    lib = _load()
+    indptr, sorted_v, starts = map(_c, (indptr, sorted_v, starts))
+    W = len(starts)
+    walks = np.empty(W * walk_len, dtype=np.int64)
+    if lib is not None:
+        lib.node2vec_walk_plus(indptr, sorted_v, starts, W, int(walk_len),
+                               float(p), float(q), int(seed), walks)
+        return walks.reshape(W, walk_len)
+    # numpy fallback: exact-probability sampling per step
+    rng = np.random.default_rng(seed)
+    walks = walks.reshape(W, walk_len)
+    for w, start in enumerate(starts):
+        seen = set()
+        prev, cur = -1, int(start)
+        walks[w, 0] = cur
+        for step in range(1, walk_len):
+            lo, hi = int(indptr[cur]), int(indptr[cur + 1])
+            if lo == hi:
+                walks[w, step:] = -1
+                break
+            succ = sorted_v[lo:hi]
+            if prev < 0:
+                nxt = int(succ[rng.integers(len(succ))])
+            else:
+                probs = np.where(
+                    succ == prev, 1.0 / p,
+                    np.array([1.0 if int(s) in seen else 1.0 / q
+                              for s in succ]))
+                probs /= probs.sum()
+                nxt = int(succ[rng.choice(len(succ), p=probs)])
+            seen.update(int(s) for s in succ)
+            walks[w, step] = nxt
+            prev, cur = cur, nxt
+    return walks
 
 
 def skip_gram_gen_pair(walks, max_win, seed=0):

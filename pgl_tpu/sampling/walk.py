@@ -14,7 +14,8 @@ import numpy as np
 
 from ..native import graph_kernel as native
 
-__all__ = ["random_walk", "node2vec_walk", "walks_to_lists"]
+__all__ = ["random_walk", "node2vec_walk", "node2vec_walk_plus",
+           "walks_to_lists"]
 
 
 def _csr(graph):
@@ -44,6 +45,23 @@ def node2vec_walk(graph, nodes, walk_len: int, p: float = 1.0,
     indptr, sorted_v = _csr(graph)
     walks = native.node2vec_walk(indptr, sorted_v, np.asarray(nodes),
                                  walk_len, p, q, seed)
+    return walks_to_lists(walks) if as_list else walks
+
+
+def node2vec_walk_plus(graph, nodes, walk_len: int, p: float = 1.0,
+                       q: float = 1.0, seed: int = 0, as_list: bool = False):
+    """node2vec+ walks (reference ``pgl/sampling/walk.py:125``): like
+    :func:`node2vec_walk` but the distance-1 class accumulates the
+    neighborhoods of every node visited so far in the walk, so revisiting a
+    well-explored region is never penalised by ``q``. ``p==q==1`` degrades
+    to a uniform first-order walk, as in the reference."""
+    if graph.is_tensor:
+        raise ValueError("You must call Graph.numpy() first.")
+    if p == 1.0 and q == 1.0:
+        return random_walk(graph, nodes, walk_len, seed=seed, as_list=as_list)
+    indptr, sorted_v = _csr(graph)
+    walks = native.node2vec_walk_plus(indptr, sorted_v, np.asarray(nodes),
+                                      walk_len, p, q, seed)
     return walks_to_lists(walks) if as_list else walks
 
 

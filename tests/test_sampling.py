@@ -100,6 +100,31 @@ def test_node2vec_walk():
             assert b in succ[int(a)]
 
 
+def test_node2vec_walk_plus():
+    from pgl_tpu.sampling import node2vec_walk_plus
+
+    g = make_graph(n=30, e=400)
+    walks = node2vec_walk_plus(g, np.arange(30), walk_len=6, p=0.5, q=2.0,
+                               seed=3)
+    assert walks.shape == (30, 6)
+    succ = {i: set(v.tolist()) for i, v in enumerate(g.successor())}
+    for row in walks:
+        for a, b in zip(row[:-1], row[1:]):
+            if b < 0:
+                break
+            assert b in succ[int(a)]
+    # deterministic under a fixed seed
+    again = node2vec_walk_plus(g, np.arange(30), walk_len=6, p=0.5, q=2.0,
+                               seed=3)
+    np.testing.assert_array_equal(walks, again)
+    # p == q == 1 degrades to the uniform first-order walk (reference
+    # pgl/sampling/walk.py:143-144)
+    uni = node2vec_walk_plus(g, np.arange(5), walk_len=4, seed=1)
+    np.testing.assert_array_equal(
+        uni, __import__("pgl_tpu").sampling.random_walk(
+            g, np.arange(5), 4, seed=1))
+
+
 def test_sample_neighbors_padded():
     g = make_graph(n=40, e=200).tensor()
     idx = g.adj_dst_index
