@@ -5,5 +5,6 @@ toolkits built on the core framework."""
 from . import gnn_autoscale
 from . import unsupervised
 from . import graph4rec
+from . import pglbox
 
-__all__ = ["gnn_autoscale", "unsupervised", "graph4rec"]
+__all__ = ["gnn_autoscale", "unsupervised", "graph4rec", "pglbox"]

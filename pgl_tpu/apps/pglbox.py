@@ -1,0 +1,272 @@
+"""PGLBox-analog: out-of-core pass-based training for graphs and embedding
+tables larger than device memory.
+
+Capability parity with ``apps/PGLBox`` (reference): the tiered graph store
+``GraphGpuWrapper`` (``src/graph.py:27-140``, SSD→CPU→GPU tiers) becomes
+:class:`DistGraph` — CSR npy files on disk, the OS page cache as the
+host-RAM tier, and only per-pass walk/pair batches ever reaching the
+device; the pass-based GPU parameter server ``PSGPU``
+(``src/embedding.py:22-57``, ``begin_pass``/``end_pass``/``dump_to_mem``)
+becomes :class:`DistEmbedding` — an mmap-backed table on disk from which
+``begin_pass`` stages the pass's working set into HBM and ``end_pass``
+writes trained rows back; and the yaml-driven trainer
+(``src/cluster_train_and_infer.py:52-149``) becomes :class:`PGLBoxTrainer`.
+
+TPU-native shape: walks and skip-gram pairs are produced by the C++ host
+kernels directly over the memory-mapped CSR (no materialisation of the
+graph in RAM), the device trains a fixed-capacity ``[capacity, dim]``
+working-set table (one XLA compilation for every pass), and in-batch
+shuffled negatives replace sampled negatives (the reference's
+``shuffle_batch`` trick, ``src/models/gnn_model.py:158-161``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..graph import Graph
+from ..sampling import random_walk
+from ..native.graph_kernel import skip_gram_gen_pair
+from ..utils.logger import log
+from ..utils.shared_embedding import SharedEmbedding
+
+__all__ = ["DistGraph", "DistEmbedding", "PGLBoxTrainer"]
+
+
+class DistGraph:
+    """Disk-tiered graph store (reference ``GraphGpuWrapper`` analog).
+
+    The CSR lives in npy files opened with ``mmap_mode='r'``: cold pages
+    stay on disk (the reference's SSD tier), hot pages live in the OS page
+    cache (the CPU tier), and the walk kernels read straight through the
+    mapping — a 100B-edge graph never has to fit in RAM.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.graph = Graph.load(path, mmap_mode="r")
+
+    @classmethod
+    def from_graph(cls, graph: Graph, work_dir: str) -> "DistGraph":
+        """Dump a host graph to ``work_dir`` and reopen it memory-mapped."""
+        g = graph.numpy() if graph.is_tensor else graph
+        # force-build both CSRs before dumping so the reopened graph walks
+        # directly over the on-disk index instead of rebuilding it in RAM
+        g.adj_src_index, g.adj_dst_index
+        g.dump(work_dir)
+        return cls(work_dir)
+
+    @classmethod
+    def from_edge_file(cls, files: Union[str, Sequence[str]], work_dir: str,
+                       symmetry: bool = True, delimiter: str = "\t",
+                       num_nodes: Optional[int] = None) -> "DistGraph":
+        """Build from ``src<TAB>dst`` text files (the reference's
+        ``load_edge_file`` ingestion, ``src/graph.py:107-127``).
+
+        ``symmetry=True`` adds reverse edges, matching the reference's
+        default for undirected graphs.
+        """
+        if isinstance(files, str):
+            files = [files]
+        chunks = []
+        for f in files:
+            arr = np.loadtxt(f, dtype=np.int64, delimiter=delimiter,
+                             usecols=(0, 1), ndmin=2)
+            if arr.size:
+                chunks.append(arr)
+        edges = (np.concatenate(chunks) if chunks
+                 else np.zeros((0, 2), dtype=np.int64))
+        if symmetry and len(edges):
+            edges = np.concatenate([edges, edges[:, ::-1]])
+        if num_nodes is None:
+            num_nodes = int(edges.max()) + 1 if len(edges) else 0
+        return cls.from_graph(Graph(edges, num_nodes=num_nodes), work_dir)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.graph.num_nodes
+
+    @property
+    def num_edges(self) -> int:
+        return self.graph.num_edges
+
+    def walk_pass(self, nodes, walk_len: int, seed: int = 0) -> np.ndarray:
+        """Generate walks for one pass directly over the mmap'd CSR."""
+        return random_walk(self.graph, nodes, walk_len, seed=seed)
+
+    def node_batch_iter(self, batch_size: int, seed: int = 0):
+        return self.graph.node_batch_iter(batch_size, seed=seed)
+
+
+class DistEmbedding:
+    """Pass-based sparse embedding table (reference ``PSGPU`` analog).
+
+    The full ``[num_embeddings, dim]`` table is an mmap-backed
+    :class:`SharedEmbedding` on disk. :meth:`begin_pass` stages the unique
+    ids touched by a pass into a fixed-capacity device array (one XLA
+    program for every pass regardless of the working-set size);
+    :meth:`end_pass` writes the trained rows back to the backing store —
+    the ``begin_pass``/``end_pass`` contract of
+    ``apps/PGLBox/src/embedding.py:33-57``.
+    """
+
+    def __init__(self, num_embeddings: int, embedding_dim: int, path: str,
+                 capacity: int, lr: float = 0.1, seed: int = 0):
+        self.table = SharedEmbedding(num_embeddings, embedding_dim, path,
+                                     lr=lr, init_scale=0.1, seed=seed)
+        self.capacity = int(capacity)
+        self.embedding_dim = embedding_dim
+        self._ids: Optional[np.ndarray] = None
+
+    def begin_pass(self, ids: Iterable[int]):
+        """Stage the pass working set; returns the device table
+        ``[capacity, dim]`` (zero-padded past the working set).
+
+        Ids beyond ``capacity`` are dropped most-rare-first; use
+        :meth:`local_ids` afterwards to remap (dropped ids map to -1).
+        """
+        if self._ids is not None:
+            raise RuntimeError("begin_pass called twice without end_pass")
+        ids = np.asarray(ids, dtype=np.int64).ravel()
+        uniq, counts = np.unique(ids, return_counts=True)
+        if len(uniq) > self.capacity:
+            keep = np.sort(np.argsort(counts)[::-1][:self.capacity])
+            log.warning("pass working set %d > capacity %d: dropping %d "
+                        "rarest ids", len(uniq), self.capacity,
+                        len(uniq) - self.capacity)
+            uniq = uniq[keep]
+        self._ids = uniq
+        rows = self.table.pull(uniq).astype(np.float32)
+        padded = np.zeros((self.capacity, self.embedding_dim), np.float32)
+        padded[:len(uniq)] = rows
+        return jnp.asarray(padded)
+
+    def local_ids(self, global_ids) -> np.ndarray:
+        """Map global node ids to working-set rows (-1 when not staged)."""
+        g = np.asarray(global_ids, dtype=np.int64)
+        pos = np.searchsorted(self._ids, g).clip(0, len(self._ids) - 1)
+        hit = self._ids[pos] == g
+        return np.where(hit, pos, -1)
+
+    def end_pass(self, device_table) -> None:
+        """Write the trained working-set rows back to the backing store."""
+        if self._ids is None:
+            raise RuntimeError("end_pass without begin_pass")
+        rows = np.asarray(device_table)[:len(self._ids)]
+        self.table.weight[self._ids] = rows
+        self.table.flush()
+        self._ids = None
+
+    def dump_to_mem(self) -> np.ndarray:
+        """Full table as a host array (reference ``dump_to_mem``)."""
+        return np.asarray(self.table.weight)
+
+
+class PGLBoxTrainer:
+    """Config-driven unsupervised trainer over the two tiers above
+    (reference ``cluster_train_and_infer.py`` assembly).
+
+    Config keys (PGLBox yaml names where they exist): ``emb_size``,
+    ``walk_len``, ``win_size``, ``neg_num``, ``batch_pairs``,
+    ``pass_nodes`` (node batch per pass), ``epochs``, ``lr``,
+    ``pass_capacity`` (working-set rows staged to HBM per pass; defaults
+    to ``pass_nodes * walk_len`` rounded up to a multiple of 1024).
+    """
+
+    def __init__(self, graph: DistGraph, embed_path: str,
+                 config: Optional[Dict] = None, seed: int = 0):
+        cfg = dict(emb_size=64, walk_len=20, win_size=5, neg_num=5,
+                   batch_pairs=4096, pass_nodes=1024, epochs=1, lr=0.05,
+                   pass_capacity=None)
+        cfg.update(config or {})
+        self.cfg = cfg
+        self.graph = graph
+        cap = cfg["pass_capacity"] or -(-cfg["pass_nodes"] *
+                                        cfg["walk_len"] // 1024) * 1024
+        self.embedding = DistEmbedding(graph.num_nodes, cfg["emb_size"],
+                                       embed_path, capacity=cap,
+                                       lr=cfg["lr"], seed=seed)
+        self.opt = optax.adam(cfg["lr"])
+        self._step = jax.jit(self._make_step())
+        self._seed = seed
+
+    def _make_step(self):
+        neg_num = self.cfg["neg_num"]
+
+        def step(table, opt_state, src, dst, valid, key):
+            def loss_fn(t):
+                h = t[src]
+                ctx = t[dst]
+                pos = jnp.sum(h * ctx, -1)
+                perm = jax.random.permutation(
+                    key, src.shape[0] * neg_num) % src.shape[0]
+                neg_ctx = ctx[perm].reshape(src.shape[0], neg_num, -1)
+                negs = jnp.einsum("bd,bkd->bk", h, neg_ctx)
+                per = (-jax.nn.log_sigmoid(pos)
+                       - jax.nn.log_sigmoid(-negs).sum(-1))
+                return (per * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+            loss, grads = jax.value_and_grad(loss_fn)(table)
+            updates, opt_state = self.opt.update(grads, opt_state)
+            return optax.apply_updates(table, updates), opt_state, loss
+
+        return step
+
+    def _train_pass(self, pass_id: int, nodes: np.ndarray, key) -> float:
+        cfg = self.cfg
+        s = self._seed * 9973 + pass_id * 131
+        walks = self.graph.walk_pass(nodes, cfg["walk_len"], seed=s)
+        src, dst = skip_gram_gen_pair(walks, cfg["win_size"], seed=s)
+        table = self.embedding.begin_pass(np.concatenate([src, dst]))
+        src_l = self.embedding.local_ids(src)
+        dst_l = self.embedding.local_ids(dst)
+        keep = (src_l >= 0) & (dst_l >= 0)
+        src_l, dst_l = src_l[keep], dst_l[keep]
+        opt_state = self.opt.init(table)
+        B = cfg["batch_pairs"]
+        total, steps = 0.0, 0
+        for lo in range(0, max(len(src_l), 1), B):
+            bs, bd = src_l[lo:lo + B], dst_l[lo:lo + B]
+            valid = np.ones(len(bs), np.float32)
+            if len(bs) < B:  # static shapes: zero-pad the tail batch
+                pad = B - len(bs)
+                bs = np.pad(bs, (0, pad))
+                bd = np.pad(bd, (0, pad))
+                valid = np.pad(valid, (0, pad))
+            key, sub = jax.random.split(key)
+            table, opt_state, loss = self._step(
+                table, opt_state, jnp.asarray(bs), jnp.asarray(bd),
+                jnp.asarray(valid), sub)
+            total += float(loss)
+            steps += 1
+        self.embedding.end_pass(table)
+        return total / max(steps, 1)
+
+    def train(self, log_every: int = 0) -> float:
+        """Pass-based training over the whole node set; returns the last
+        pass's mean loss. Every pass stages its working set, trains, and
+        writes back — peak device memory is ``capacity * emb_size`` floats
+        no matter how large the graph is."""
+        cfg = self.cfg
+        key = jax.random.key(self._seed + 7)
+        last = 0.0
+        pass_id = 0
+        for epoch in range(cfg["epochs"]):
+            for nodes in self.graph.node_batch_iter(
+                    cfg["pass_nodes"], seed=self._seed + epoch):
+                key, sub = jax.random.split(key)
+                last = self._train_pass(pass_id, nodes, sub)
+                if log_every and pass_id % log_every == 0:
+                    log.info("pass %d: loss %.4f", pass_id, last)
+                pass_id += 1
+        return last
+
+    def embeddings(self) -> np.ndarray:
+        return self.embedding.dump_to_mem()

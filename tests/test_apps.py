@@ -110,3 +110,46 @@ def test_graph4rec_trainer(model_type):
     l1 = trainer.train(epochs=3)
     assert l1 < l0
     assert trainer.embeddings().shape == (200, 16)
+
+
+def test_pglbox_out_of_core(tmp_path):
+    """Disk-tiered PGLBox engine: edge-file ingestion -> mmap'd CSR ->
+    pass-based training with begin_pass/end_pass write-back."""
+    from pgl_tpu.apps.pglbox import DistGraph, DistEmbedding, PGLBoxTrainer
+
+    rng = np.random.default_rng(0)
+    edges = rng.integers(0, 80, (600, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    ef = tmp_path / "edges.txt"
+    with open(ef, "w") as f:
+        for s, d in edges:
+            f.write(f"{s}\t{d}\n")
+
+    dg = DistGraph.from_edge_file(str(ef), str(tmp_path / "g"),
+                                  symmetry=True)
+    assert dg.num_nodes == 80 and dg.num_edges == 2 * len(edges)
+    # the CSR must actually be memory-mapped (the disk tier)
+    assert isinstance(np.asarray(dg.graph.adj_src_index.sorted_v)
+                      .base, np.memmap) or isinstance(
+        dg.graph.adj_src_index.sorted_v, np.memmap)
+
+    tr = PGLBoxTrainer(dg, str(tmp_path / "emb"),
+                       config=dict(emb_size=8, walk_len=6, win_size=2,
+                                   pass_nodes=40, epochs=2,
+                                   batch_pairs=256, lr=0.1))
+    before = tr.embeddings().copy()
+    tr.train()
+    after = tr.embeddings()
+    # pass write-back mutated the on-disk table
+    assert (tmp_path / "emb" / "weight.npy").exists()
+    assert not np.allclose(before, after)
+
+    # begin_pass/end_pass contract: double begin raises, capacity drop works
+    emb = DistEmbedding(80, 8, str(tmp_path / "emb2"), capacity=4)
+    t = emb.begin_pass(np.array([3, 3, 3, 5, 5, 7, 9, 11]))
+    assert t.shape == (4, 8)
+    loc = emb.local_ids(np.array([3, 5, 999]))
+    assert loc[0] >= 0 and loc[1] >= 0 and loc[2] == -1
+    with pytest.raises(RuntimeError):
+        emb.begin_pass([1])
+    emb.end_pass(t)
