@@ -141,4 +141,6 @@ class SAGPool(nn.Module):
                   node_feat={"attr": np.asarray(x)},
                   _graph_node_index=gni,
                   _num_graph=graph.num_graph)
+        if graph.is_tensor:  # keep the caller's device/host mode
+            g = g.tensor()
         return x, jnp.asarray(new_batch), g

@@ -40,3 +40,14 @@ def test_gin_graph_classification():
 def test_link_prediction():
     out = run_example("link_prediction/train.py", "--epochs", "40")
     assert "AUC" in out
+
+
+def test_sag_pool_example():
+    out = run_example("sag_pool/train.py", "--epochs", "3", "--num-graphs",
+                      "64")
+    assert "test acc" in out
+
+
+def test_lightgcn_example():
+    out = run_example("lightgcn/train.py", "--epochs", "20")
+    assert "recall@20" in out
