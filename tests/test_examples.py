@@ -51,3 +51,14 @@ def test_sag_pool_example():
 def test_lightgcn_example():
     out = run_example("lightgcn/train.py", "--epochs", "20")
     assert "recall@20" in out
+
+
+def test_node2vec_example():
+    out = run_example("node2vec/train.py", "--epochs", "1",
+                      "--steps-per-epoch", "80")
+    assert "probe acc" in out
+
+
+def test_clustering_example():
+    out = run_example("clustering/train.py", "--steps", "150")
+    assert "NMI" in out
