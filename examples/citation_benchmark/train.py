@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import optax
 
 from pgl_tpu.datasets import CoraDataset, CitationDataset, community_graph
-from pgl_tpu.models import (GCN, GAT, APPNPModel, SGC, DeepGCNII, BernNet,
-                            ChebNetII)
+from pgl_tpu.models import (GCN, GAT, APPNPModel, SGC, SSGC, GATv2,
+                            GPRGNN, FAGCN, DeepGCNII, BernNet, ChebNetII)
 from pgl_tpu.utils.transform import add_self_loops, to_undirected
 
 
@@ -43,6 +43,10 @@ MODELS = {
     "GCNII": lambda d, c: DeepGCNII(input_size=d, num_class=c, k_hop=16),
     "BernNet": lambda d, c: BernNet(input_size=d, num_class=c),
     "ChebNetII": lambda d, c: ChebNetII(input_size=d, num_class=c),
+    "SSGC": lambda d, c: SSGC(input_size=d, num_class=c),
+    "GATv2": lambda d, c: GATv2(input_size=d, num_class=c),
+    "GPRGNN": lambda d, c: GPRGNN(input_size=d, num_class=c),
+    "FAGCN": lambda d, c: FAGCN(input_size=d, num_class=c),
 }
 
 

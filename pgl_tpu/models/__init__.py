@@ -1,9 +1,10 @@
 """Reference model assemblies built from the layer zoo."""
 
 from .gnn import (GCN, GAT, GraphSage, GIN, DeepGCNII, APPNPModel, SGC,
-                  BernNet, ChebNetII)
+                  SSGC, GATv2, GPRGNN, FAGCN, BernNet, ChebNetII)
 from .unimp import UniMP, RUniMP
 from . import kg
 
 __all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel",
-           "SGC", "BernNet", "ChebNetII", "UniMP", "RUniMP", "kg"]
+           "SGC", "SSGC", "GATv2", "GPRGNN", "FAGCN", "BernNet",
+           "ChebNetII", "UniMP", "RUniMP", "kg"]

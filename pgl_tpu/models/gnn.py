@@ -15,7 +15,8 @@ from ..nn import (GCNConv, GATConv, GraphSageConv, GINConv, GCNII, APPNP,
                   SGCConv)
 
 __all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel",
-           "SGC", "BernNet", "ChebNetII"]
+           "SGC", "SSGC", "GATv2", "GPRGNN", "FAGCN", "BernNet",
+           "ChebNetII"]
 
 
 class GCN(nn.Module):
@@ -204,3 +205,88 @@ class ChebNetII(nn.Module):
         feature = drop(feature)
         feature = nn.Dense(self.num_class, name="l2")(feature)
         return ChebProp(k_hop=self.k_hop, name="prop")(graph, feature)
+
+
+class SSGC(nn.Module):
+    """Single SSGCConv: averaged damped hops plus α·x0 (citation benchmark
+    SSGC config; reference ``pgl/nn/conv.py:1104``)."""
+    input_size: int
+    num_class: int
+    k_hop: int = 16
+    alpha: float = 0.05
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import SSGCConv
+        return SSGCConv(self.input_size, self.num_class, k_hop=self.k_hop,
+                        alpha=self.alpha, cached=False,
+                        name="ssgc")(graph, feature)
+
+
+class GATv2(nn.Module):
+    """2-layer GATv2 (reference ``examples/gatv2`` config: 8 heads x 8
+    hidden, then 1 averaged head)."""
+    input_size: int
+    num_class: int
+    num_heads: int = 8
+    hidden_size: int = 8
+    feat_drop: float = 0.6
+    attn_drop: float = 0.6
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import GATv2Conv
+        feature = GATv2Conv(self.input_size, self.hidden_size,
+                            feat_drop=self.feat_drop,
+                            attn_drop=self.attn_drop,
+                            num_heads=self.num_heads, activation="elu",
+                            name="gatv2_0")(graph, feature, training)
+        feature = GATv2Conv(self.hidden_size * self.num_heads,
+                            self.num_class, feat_drop=self.feat_drop,
+                            attn_drop=self.attn_drop, num_heads=1,
+                            concat=False,
+                            name="gatv2_1")(graph, feature, training)
+        return feature
+
+
+class GPRGNN(nn.Module):
+    """GPR-GNN: MLP + learnable per-hop propagation weights (reference
+    ``examples/gpr`` / ``pgl/nn/conv.py:500``)."""
+    input_size: int
+    num_class: int
+    hidden_size: int = 64
+    k_hop: int = 10
+    alpha: float = 0.1
+    init_method: str = "PPR"
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import GPRConv
+        return GPRConv(self.input_size, self.hidden_size, self.num_class,
+                       k_hop=self.k_hop, alpha=self.alpha,
+                       init_method=self.init_method,
+                       name="gpr")(graph, feature, training)
+
+
+class FAGCN(nn.Module):
+    """FAGCN: linear in, ``num_layer`` tanh-gated FAConv hops each adding
+    an ``eps``-scaled initial-residual, linear out (reference
+    ``examples/fagcn/train.py:26-72``)."""
+    input_size: int
+    num_class: int
+    hidden_size: int = 64
+    num_layer: int = 3
+    eps: float = 0.2
+    dropout: float = 0.6
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import FAConv
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        h = jax.nn.relu(nn.Dense(self.hidden_size, name="t1")(drop(feature)))
+        h = drop(h)
+        h0 = h
+        for i in range(self.num_layer):
+            h = self.eps * h0 + FAConv(self.hidden_size, drop=self.dropout,
+                                       name=f"fa_{i}")(graph, h, training)
+        return nn.Dense(self.num_class, name="t2")(h)

@@ -1,0 +1,63 @@
+"""Model-assembly smoke tests: every standard-signature model in
+``pgl_tpu.models`` must init, forward, and take one finite gradient step
+on a small graph (the citation-benchmark contract)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pgl_tpu import Graph
+from pgl_tpu import models as M
+from pgl_tpu.utils.transform import add_self_loops, to_undirected
+
+STANDARD_MODELS = ["GCN", "GAT", "GATv2", "GraphSage", "GIN", "DeepGCNII",
+                   "APPNPModel", "SGC", "SSGC", "GPRGNN", "FAGCN",
+                   "BernNet", "ChebNetII"]
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    n = 60
+    edges = rng.integers(0, n, (300, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    g = add_self_loops(to_undirected(Graph(edges, num_nodes=n)))
+    gt = g.tensor()
+    x = jnp.asarray(rng.normal(size=(n, 12)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, n))
+    return gt, x, y
+
+
+@pytest.mark.parametrize("name", STANDARD_MODELS)
+def test_model_trains(name, data):
+    gt, x, y = data
+    model = getattr(M, name)(input_size=12, num_class=3)
+    params = model.init(jax.random.key(0), gt, x)
+    logits = model.apply(params, gt, x)
+    # GIN is a graph-classification assembly: it pools to one row per graph
+    rows = gt.num_graph if name == "GIN" else gt.num_nodes
+    assert logits.shape == (rows, 3)
+    assert bool(jnp.isfinite(logits).all())
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    yy = y[:1] if name == "GIN" else y
+
+    def loss_fn(p):
+        out = model.apply(p, gt, x, training=True,
+                          rngs={"dropout": jax.random.key(1)})
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out, yy).mean()
+
+    l0, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+    l1 = loss_fn(params)
+    assert bool(jnp.isfinite(l0)) and bool(jnp.isfinite(l1))
+    # at least one parameter actually moved
+    flat = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
