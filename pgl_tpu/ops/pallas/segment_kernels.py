@@ -157,6 +157,129 @@ def _kernel(tile_starts_ref, tile_ends_ref,   # [G] SMEM scalar prefetch
     jax.lax.fori_loop(0, num_tiles, body, ())
 
 
+def _fused_kernel(tile_starts_ref, tile_ends_ref,  # [G] SMEM scalar prefetch
+                  feature_ref,                     # [N, D] HBM
+                  v_ref,                           # [Ep] HBM int32 (src ids)
+                  ids_ref,                         # [Ep/128, 128] HBM int32
+                  out_ref,                         # [NB, D] VMEM
+                  msg_tile, ids_tile, v_tile, onehot_tile,
+                  sem_ring, sem_i, sem_v,
+                  *, NB: int, ET: int, D: int, K: int):
+    """Fused-gather variant: instead of consuming a pre-gathered ``msgs``
+    operand, each edge tile's source rows are gathered HBM→VMEM inside the
+    kernel by a ring of ``K`` outstanding per-row DMAs (measured ≥ XLA's
+    gather throughput — see ``experiments/fused_gather/``), so the ``[E,D]``
+    message buffer never exists in HBM. Src ids are staged per-tile into
+    SMEM (SMEM caps ids at ~256k, hence per-tile staging, not prefetch)."""
+    i = pl.program_id(0)
+    e0 = tile_starts_ref[i]
+    e1 = tile_ends_ref[i]
+    num_tiles = (e1 - e0 + ET - 1) // ET
+    row_base = i * NB
+    ER = ET // 128
+
+    out_ref[:] = jnp.zeros((NB, D), out_ref.dtype)
+
+    def body(t, _):
+        start = pl.multiple_of(e0 + t * ET, ET)
+        cp_v = pltpu.make_async_copy(v_ref.at[pl.ds(start, ET)],
+                                     v_tile, sem_v)
+        cp_i = pltpu.make_async_copy(ids_ref.at[pl.ds(start // 128, ER), :],
+                                     ids_tile, sem_i)
+        cp_v.start()
+        cp_i.start()
+        cp_v.wait()
+
+        # K-deep ring of per-row gathers HBM -> msg_tile
+        def row_cp(g):
+            return pltpu.make_async_copy(
+                feature_ref.at[pl.ds(v_tile[g], 1), :],
+                msg_tile.at[pl.ds(g, 1), :], sem_ring.at[g % K])
+
+        jax.lax.fori_loop(0, K, lambda g, c: (row_cp(g).start(), c)[1], 0)
+
+        def ring(g, c):
+            row_cp(g - K).wait()
+            row_cp(g).start()
+            return c
+
+        jax.lax.fori_loop(K, ET, ring, 0)
+        jax.lax.fori_loop(ET - K, ET,
+                          lambda g, c: (row_cp(g).wait(), c)[1], 0)
+        cp_i.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
+        for r in range(ER):
+            local = ids_tile[r].reshape(1, 128) - row_base
+            onehot_tile[:, r * 128:(r + 1) * 128] = jnp.where(
+                rows == local, 1.0, 0.0).astype(onehot_tile.dtype)
+        out_ref[:] = out_ref[:] + jax.lax.dot(
+            onehot_tile[:], msg_tile[:],
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, num_tiles, body, ())
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "nb", "et", "interpret"))
+def _blocked_spmm_fused(feature, padded_v, padded_ids, tile_starts,
+                        tile_ends, num_segments: int, nb: int, et: int,
+                        interpret: bool):
+    """Fused-gather SpMM forward (opt-in: ``PGL_TPU_FUSED_GATHER=1``)."""
+    D = feature.shape[1]
+    K = 32
+    n_pad = (num_segments + nb - 1) // nb * nb
+    G = n_pad // nb
+    if tile_starts.shape[0] != G:
+        raise ValueError(
+            f"layout was built for a different row-block size: "
+            f"{tile_starts.shape[0]} blocks vs grid {G} — pass the same "
+            f"nb/et to build_blocked_layout and the kernel")
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, NB=nb, ET=et, D=D, K=K),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (nb, D), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((et, D), feature.dtype),
+                pltpu.VMEM((et // 128, 128), jnp.int32),
+                pltpu.SMEM((et,), jnp.int32),
+                pltpu.VMEM((nb, et), feature.dtype),
+                pltpu.SemaphoreType.DMA((K,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), feature.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(padded_v.shape[0]) * nb * D,
+            bytes_accessed=int(padded_v.shape[0]) * D * 4 + n_pad * D * 4,
+            transcendentals=0),
+    )(tile_starts, tile_ends, feature, padded_v, padded_ids)
+    return out[:num_segments]
+
+
+def _fused_gather_enabled() -> bool:
+    """Opt-in (``PGL_TPU_FUSED_GATHER=1``). The fused kernel is
+    bit-identical to the default path and wins on small graphs (no
+    separate gather dispatch), but the K-deep per-row DMA ring cannot hide
+    HBM latency at large E — its in-flight bytes (K×row) sit far below the
+    bandwidth-delay product, and per-descriptor scalar issue (~20 ns/row)
+    bounds any ring — so XLA's hardware gather path stays the default.
+    Measurements in ``experiments/fused_gather/``."""
+    import os
+    return os.environ.get("PGL_TPU_FUSED_GATHER", "0") == "1"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "nb", "et", "interpret"))
 def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
@@ -218,23 +341,27 @@ def spmm(feature, csc: BlockedLayout, csr: BlockedLayout,
     ``csc`` aggregates by dst (forward); ``csr`` is the same graph grouped
     by src, used to run the *transposed* SpMM in the backward pass.
     """
-    return _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
-                         csc.tile_starts, csc.tile_ends, csc.num_segments,
-                         nb, et, interpret)
+    return _spmm_one(feature, csc, nb, et, interpret)
+
+
+def _spmm_one(feature, layout, nb, et, interpret):
+    if _fused_gather_enabled():
+        return _blocked_spmm_fused(feature, layout.padded_v,
+                                   layout.padded_ids, layout.tile_starts,
+                                   layout.tile_ends, layout.num_segments,
+                                   nb, et, interpret)
+    return _blocked_spmm(feature, layout.padded_v, layout.padded_ids,
+                         layout.tile_starts, layout.tile_ends,
+                         layout.num_segments, nb, et, interpret)
 
 
 def _spmm_fwd(feature, csc, csr, nb, et, interpret):
-    out = _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
-                        csc.tile_starts, csc.tile_ends, csc.num_segments,
-                        nb, et, interpret)
-    return out, csr
+    return _spmm_one(feature, csc, nb, et, interpret), csr
 
 
 def _spmm_bwd(nb, et, interpret, csr, g):
     # d/dfeature: transposed SpMM — aggregate cotangents over out-edges.
-    dx = _blocked_spmm(g, csr.padded_v, csr.padded_ids, csr.tile_starts,
-                       csr.tile_ends, csr.num_segments, nb, et, interpret)
-    return dx, None, None
+    return _spmm_one(g, csr, nb, et, interpret), None, None
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)

@@ -269,3 +269,42 @@ def test_fused_attention_analytical_bwd_narrow_heads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fused_gather_matches_base_and_toggle(monkeypatch):
+    """The fused-gather SpMM (default) must match the gather-then-reduce
+    kernel exactly, forward and backward, and PGL_TPU_FUSED_GATHER=0 must
+    fall back."""
+    from pgl_tpu.ops.pallas.segment_kernels import (
+        build_blocked_layout, _blocked_spmm, _blocked_spmm_fused, spmm)
+
+    rng = np.random.default_rng(1)
+    N, E, D = 900, 7000, 128
+    dst = np.sort(rng.integers(0, N, E))
+    src = rng.integers(0, N, E)
+    indptr = np.cumsum(np.concatenate(
+        [[0], np.bincount(dst, minlength=N)]))
+    csc = build_blocked_layout(indptr, src, N)
+    order = np.argsort(src, kind="stable")
+    indptr_r = np.cumsum(np.concatenate(
+        [[0], np.bincount(src, minlength=N)]))
+    csr = build_blocked_layout(indptr_r, dst[order], N)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    base = _blocked_spmm(x, csc.padded_v, csc.padded_ids, csc.tile_starts,
+                         csc.tile_ends, N, 256, 1024, True)
+    fused = _blocked_spmm_fused(x, csc.padded_v, csc.padded_ids,
+                                csc.tile_starts, csc.tile_ends, N, 256,
+                                1024, True)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(fused),
+                               rtol=0, atol=0)
+
+    def loss(x):
+        return (spmm(x, csc, csr, 256, 1024, True) ** 2).sum()
+
+    monkeypatch.setenv("PGL_TPU_FUSED_GATHER", "1")
+    g_fused = jax.grad(loss)(x)
+    monkeypatch.setenv("PGL_TPU_FUSED_GATHER", "0")
+    g_base = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_base),
+                               rtol=0, atol=0)
