@@ -22,7 +22,6 @@ shuffled negatives replace sampled negatives (the reference's
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Iterable, Optional, Sequence, Union
 
 import numpy as np

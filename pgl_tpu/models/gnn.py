@@ -5,8 +5,6 @@ GCNII stacks) and ``examples/graphsage`` / ``examples/gin``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

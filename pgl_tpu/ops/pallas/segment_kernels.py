@@ -22,8 +22,6 @@ Design (TPU-first):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
-
 import numpy as np
 
 import jax

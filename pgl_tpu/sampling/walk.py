@@ -8,7 +8,7 @@ shape the device pipeline wants) plus list-of-lists helpers for parity.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import numpy as np
 
