@@ -150,6 +150,10 @@ class DistEmbedding:
     def local_ids(self, global_ids) -> np.ndarray:
         """Map global node ids to working-set rows (-1 when not staged)."""
         g = np.asarray(global_ids, dtype=np.int64)
+        if self._ids is None:
+            raise RuntimeError("local_ids outside a begin_pass/end_pass")
+        if len(self._ids) == 0:
+            return np.full(g.shape, -1, dtype=np.int64)
         pos = np.searchsorted(self._ids, g).clip(0, len(self._ids) - 1)
         hit = self._ids[pos] == g
         return np.where(hit, pos, -1)

@@ -81,18 +81,52 @@ class RpcServer:
 
 
 class RpcClient:
-    """Blocking single-connection client (one per worker thread/process)."""
+    """Blocking single-connection client (one per worker thread/process).
 
-    def __init__(self, address: str, timeout: float = 60.0):
+    Every call runs under a deadline (``timeout`` seconds, overridable
+    per-call) so a wedged server raises instead of blocking the trainer
+    forever; transport failures are retried ``retries`` times over a fresh
+    connection (the request is only retried whole, so methods should be
+    idempotent — all graph-engine reads are).
+    """
+
+    def __init__(self, address: str, timeout: float = 60.0,
+                 retries: int = 2, retry_wait: float = 0.5):
         host, port = address.rsplit(":", 1)
-        self._sock = socket.create_connection((host, int(port)),
-                                              timeout=timeout)
+        self._addr = (host, int(port))
+        self._timeout = timeout
+        self._retries = max(int(retries), 0)
+        self._retry_wait = retry_wait
+        self._sock = socket.create_connection(self._addr, timeout=timeout)
         self._lock = threading.Lock()
 
-    def call(self, method: str, *args, **kwargs):
+    def _reconnect(self):
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._sock = socket.create_connection(self._addr,
+                                              timeout=self._timeout)
+
+    def call(self, method: str, *args, timeout: float = None, **kwargs):
+        deadline = timeout if timeout is not None else self._timeout
+        last_err = None
         with self._lock:
-            _send_msg(self._sock, (method, args, kwargs))
-            ok, payload = _recv_msg(self._sock)
+            for attempt in range(self._retries + 1):
+                try:
+                    self._sock.settimeout(deadline)
+                    _send_msg(self._sock, (method, args, kwargs))
+                    ok, payload = _recv_msg(self._sock)
+                    break
+                except (ConnectionError, socket.timeout, OSError) as err:
+                    last_err = err
+                    if attempt == self._retries:
+                        raise TimeoutError(
+                            f"rpc {method} to {self._addr} failed after "
+                            f"{attempt + 1} attempts: {err!r}") from err
+                    import time
+                    time.sleep(self._retry_wait)
+                    self._reconnect()
         if not ok:
             raise RuntimeError(f"remote {method} failed:\n{payload}")
         return payload

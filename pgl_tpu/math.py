@@ -9,6 +9,7 @@ from .ops.segment import (
     segment_softmax,
     segment_padding,
     segment_topk,
+    segment_topk_mask,
     segment_count,
 )
 

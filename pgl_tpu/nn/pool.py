@@ -101,14 +101,22 @@ class SAGPool(nn.Module):
     """Self-attention graph pooling: GNN-scored top-k node selection plus
     induced-subgraph rebuild (reference ``pgl/nn/pool.py:182``).
 
-    Host-side (dynamic output shapes). Returns ``(x, batch, graph)`` like the
-    reference.
+    Two modes:
+
+    * default (dynamic) — like the reference, materializes a smaller graph
+      host-side between jitted stages; returns ``(x, batch, graph)``.
+    * ``static=True`` — fully jittable: selection becomes a boolean
+      keep-mask (``segment_topk_mask``), dropped nodes' features are zeroed
+      in place and the same graph is returned; returns
+      ``(x, keep_mask, graph)``. Sum-pool readouts are exact under this
+      masking; mean readouts should divide by ``segment_sum(keep_mask)``.
     """
     input_dim: int
     ratio: float = 0.5
     gnn: Any = None
     min_score: Optional[float] = None
     nonlinearity: Optional[Callable] = None
+    static: bool = False
 
     @nn.compact
     def __call__(self, graph, x):
@@ -127,6 +135,13 @@ class SAGPool(nn.Module):
             score = gmath.segment_softmax(score, batch,
                                           num_segments=graph.num_graph,
                                           indices_are_sorted=True)
+        if self.static:
+            keep = gmath.segment_topk_mask(score, batch,
+                                           num_segments=graph.num_graph,
+                                           ratio=self.ratio,
+                                           min_score=self.min_score)
+            x = x * (score * keep.astype(score.dtype)).reshape(-1, 1)
+            return x, keep, graph
         out, rank = gmath.segment_topk(x, score, batch,
                                        num_segments=graph.num_graph,
                                        ratio=self.ratio,

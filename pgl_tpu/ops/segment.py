@@ -28,6 +28,7 @@ __all__ = [
     "segment_softmax",
     "segment_padding",
     "segment_topk",
+    "segment_topk_mask",
     "segment_count",
 ]
 
@@ -155,6 +156,36 @@ def segment_padding(data, segment_ids, num_segments: Optional[int] = None,
     mask = (jnp.arange(max_len)[None, :]
             < jnp.minimum(count, max_len)[:, None])
     return padded, mask, max_len
+
+
+def segment_topk_mask(score, segment_ids, num_segments: Optional[int] = None,
+                      ratio: float = 0.5, min_score: Optional[float] = None):
+    """Device-side, jittable per-segment top-k as a boolean keep-mask.
+
+    The static-shape counterpart of :func:`segment_topk` (reference
+    ``pgl/math.py:299-364`` runs on device; this matches its selection):
+    returns ``keep [n] bool`` with ``keep[i]`` true iff element ``i`` is
+    among the ``ceil(ratio * segment_size)`` highest-scored elements of its
+    segment (ties broken toward the earlier index, like the host path's
+    stable sort), or — when ``min_score`` is given — iff
+    ``score[i] > min_score``. Fully static shapes, so SAGPool-style layers
+    can jit by masking instead of materializing a smaller graph.
+    """
+    score = score.reshape(-1)
+    if min_score is not None:
+        return score > min_score
+    num_segments = _infer_num_segments(segment_ids, num_segments)
+    n = score.shape[0]
+    count = segment_count(segment_ids, num_segments)
+    # order by (segment, score desc); lexsort is stable so ties keep the
+    # earlier original index, matching the host path's stable argsort
+    order = jnp.lexsort((-score, segment_ids))
+    starts = jnp.cumsum(count) - count
+    seg_sorted = segment_ids[order]
+    pos_in_seg = jnp.arange(n) - starts[seg_sorted]
+    k = jnp.ceil(ratio * count.astype(score.dtype)).astype(jnp.int32)
+    keep_sorted = pos_in_seg < k[seg_sorted]
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
 
 def segment_topk(data, score, segment_ids, num_segments: Optional[int] = None,

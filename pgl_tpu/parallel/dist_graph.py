@@ -90,7 +90,8 @@ class ShardedGraph:
     """
 
     def __init__(self, edges, mask, perm, num_nodes: int, mesh: Mesh,
-                 axis: str, node_feat=None, edge_feat=None):
+                 axis: str, node_feat=None, edge_feat=None,
+                 perm_scope: str = "global"):
         self.edges = edges            # [S, E_pad, 2] int32, sharded on axis
         self.mask = mask              # [S, E_pad] f32 1=valid
         self.perm = perm              # [S, E_pad] int32 original eid
@@ -100,6 +101,10 @@ class ShardedGraph:
         self.node_feat = node_feat or {}
         self.edge_feat = edge_feat or {}
         self._shard_layouts = None
+        # "global": perm indexes the original whole-graph edge order;
+        # "local": perm indexes each shard's own pre-sort order (multi-host
+        # construction, where no global edge order exists on any one host).
+        self.perm_scope = perm_scope
 
     # -- construction -------------------------------------------------------
 
@@ -353,6 +358,11 @@ class ShardedGraph:
     def shard_edge_values(self, values: np.ndarray):
         """Host helper: permute per-edge values (original order) into the
         sharded ``[S, E_pad, ...]`` layout."""
+        if self.perm_scope != "global":
+            raise ValueError(
+                "this graph was built from per-host edge shards, so no "
+                "global edge order exists; pass per-shard edge values via "
+                "multihost.shard_edge_values_from_host_shards instead")
         values = np.asarray(values)
         perm = np.asarray(self.perm)
         out = values[perm.reshape(-1)].reshape(perm.shape + values.shape[1:])
@@ -365,14 +375,14 @@ class ShardedGraph:
     def tree_flatten(self):
         return ((self.edges, self.mask, self.perm, self.node_feat,
                  self.edge_feat, self._shard_layouts),
-                (self._num_nodes, self.mesh, self.axis))
+                (self._num_nodes, self.mesh, self.axis, self.perm_scope))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         (obj.edges, obj.mask, obj.perm, obj.node_feat,
          obj.edge_feat, obj._shard_layouts) = children
-        obj._num_nodes, obj.mesh, obj.axis = aux
+        obj._num_nodes, obj.mesh, obj.axis, obj.perm_scope = aux
         return obj
 
     def __repr__(self):

@@ -27,20 +27,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .dist_graph import ShardedGraph
 
-__all__ = ["initialize", "edge_mesh", "sharded_graph_from_host_shards"]
+__all__ = ["initialize", "edge_mesh", "sharded_graph_from_host_shards",
+           "shard_edge_values_from_host_shards"]
 
 
 def initialize(**kwargs):
-    """``jax.distributed.initialize`` guarded for single-host runs."""
-    try:
-        if jax.process_count() > 1 or kwargs:
-            return
-    except RuntimeError:
-        pass
-    try:
+    """``jax.distributed.initialize`` guarded for single-host runs.
+
+    With explicit kwargs (coordinator_address, num_processes, process_id, …)
+    this *must* bootstrap the cluster, so failures propagate. Without
+    kwargs it is best-effort auto-detection: on a single host (or when the
+    runtime is already initialized) it is a silent no-op.
+    """
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+        return
+    try:
+        jax.distributed.initialize()
     except Exception:
-        # single-host / already initialized
+        # single-host / no cluster env to auto-detect
         pass
 
 
@@ -71,11 +79,13 @@ def sharded_graph_from_host_shards(
                  if d.process_index == jax.process_index()]
     # load + locally sort/pad this host's shards
     local_shards = {}
+    local_perms = {}
     e_pad_local = 1
     for sid in local_ids:
         e = np.asarray(load_shard(sid))
-        e = e[np.argsort(e[:, 1], kind="stable")]
-        local_shards[sid] = e
+        order = np.argsort(e[:, 1], kind="stable")
+        local_shards[sid] = e[order]
+        local_perms[sid] = order
         e_pad_local = max(e_pad_local, len(e))
     e_pad = int(np.asarray(jax.experimental.multihost_utils
                            .process_allgather(
@@ -107,10 +117,53 @@ def sharded_graph_from_host_shards(
         (n_shards, e_pad), mask_sharding,
         [jax.device_put(mk, devices[sid])
          for sid, mk in zip(local_ids, mask_parts)])
-    perm = jax.device_put(np.zeros((n_shards, e_pad), np.int32),
-                          mask_sharding)
+    # perm records each shard's pre-sort (shard-local) edge order so
+    # per-shard edge values can be resharded later; there is no global
+    # edge order across hosts, hence perm_scope="local".
+    perm_parts = []
+    for sid in local_ids:
+        p = np.zeros((1, e_pad), np.int32)
+        p[0, :len(local_perms[sid])] = local_perms[sid]
+        perm_parts.append(p)
+    perm = jax.make_array_from_single_device_arrays(
+        (n_shards, e_pad), mask_sharding,
+        [jax.device_put(p, devices[sid])
+         for sid, p in zip(local_ids, perm_parts)])
     rep = NamedSharding(mesh, P())
     feats = {k: jax.device_put(np.asarray(v), rep)
              for k, v in (node_feat or {}).items()}
     return ShardedGraph(edges, mask, perm, num_nodes, mesh, axis,
-                        node_feat=feats)
+                        node_feat=feats, perm_scope="local")
+
+
+def shard_edge_values_from_host_shards(
+        sg: ShardedGraph, load_values: Callable[[int], np.ndarray]):
+    """Reshard per-edge values for a multi-host-constructed ShardedGraph.
+
+    ``load_values(shard_id)`` returns that shard's per-edge values in the
+    same order ``load_shard(shard_id)`` returned its edges; they are
+    permuted into the graph's dst-sorted layout and placed shard-by-shard.
+    """
+    mesh, axis = sg.mesh, sg.axis
+    devices = list(mesh.devices.flat)
+    n_shards, e_pad = sg.mask.shape
+    local_ids = [i for i, d in enumerate(devices)
+                 if d.process_index == jax.process_index()]
+    parts, trailing = [], None
+    for sid in local_ids:
+        v = np.asarray(load_values(sid))
+        mask_s = np.asarray(sg.mask.addressable_shards[
+            local_ids.index(sid)].data)[0]
+        k = int(mask_s.sum())
+        perm_s = np.asarray(sg.perm.addressable_shards[
+            local_ids.index(sid)].data)[0, :k]
+        trailing = v.shape[1:]
+        out = np.zeros((1, e_pad) + trailing, v.dtype)
+        out[0, :k] = v[perm_s]
+        parts.append(out)
+    trailing = trailing if trailing is not None else ()
+    spec = P(axis, None) if not trailing else P(axis, None, None)
+    return jax.make_array_from_single_device_arrays(
+        (n_shards, e_pad) + trailing, NamedSharding(mesh, spec),
+        [jax.device_put(p, devices[sid])
+         for sid, p in zip(local_ids, parts)])

@@ -102,3 +102,37 @@ def test_jit_compatible():
         return gmath.segment_sum(data, seg, num_segments=2)
 
     np.testing.assert_allclose(f(DATA, SEG), [[4, 4, 4], [4, 5, 6]])
+
+
+def test_segment_topk_mask_matches_host():
+    rng = np.random.default_rng(3)
+    score = jnp.asarray(rng.normal(size=50).astype(np.float32))
+    seg = jnp.asarray(np.sort(rng.integers(0, 7, 50)).astype(np.int32))
+    for ratio in (0.3, 0.5, 1.0):
+        _, idx = gmath.segment_topk(score.reshape(-1, 1), score, seg,
+                                    num_segments=7, ratio=ratio)
+        mask = gmath.segment_topk_mask(score, seg, num_segments=7,
+                                       ratio=ratio)
+        np.testing.assert_array_equal(np.nonzero(np.asarray(mask))[0],
+                                      np.sort(np.asarray(idx)))
+    # min_score path
+    mask = gmath.segment_topk_mask(score, seg, num_segments=7,
+                                   min_score=0.0)
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  np.asarray(score) > 0.0)
+
+
+def test_segment_topk_mask_jits():
+    import jax
+
+    score = jnp.asarray([0.1, 0.9, 0.5, 0.3, 0.8, 0.2])
+    seg = jnp.asarray([0, 0, 0, 1, 1, 1])
+
+    @jax.jit
+    def f(score, seg):
+        return gmath.segment_topk_mask(score, seg, num_segments=2,
+                                       ratio=0.5)
+
+    # ceil(0.5 * 3) = 2 kept per segment
+    np.testing.assert_array_equal(np.asarray(f(score, seg)),
+                                  [False, True, True, True, True, False])

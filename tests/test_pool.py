@@ -130,3 +130,20 @@ def test_drop_edge():
     # kept edges are a subset of originals
     orig = set(map(tuple, np.asarray(g.edges).tolist()))
     assert all(tuple(e) in orig for e in np.asarray(g2.edges).tolist())
+
+
+def test_sag_pool_static_jits():
+    g = batched_graph()
+    layer = gnn.SAGPool(input_dim=2, ratio=0.5, static=True)
+    variables = layer.init(jax.random.key(0), g, g.node_feat["h"])
+
+    @jax.jit
+    def f(v, g, x):
+        return layer.apply(v, g, x)
+
+    x, keep, newg = f(variables, g.tensor(), g.node_feat["h"])
+    # same survivors as the dynamic path: ceil(0.5*2)+ceil(0.5*3)=3 nodes
+    assert int(np.asarray(keep).sum()) == 3
+    assert x.shape == g.node_feat["h"].shape
+    # dropped nodes' features are zeroed in place
+    np.testing.assert_allclose(np.asarray(x)[~np.asarray(keep)], 0.0)
