@@ -28,7 +28,9 @@ def degree_norm(graph, mode: str = "indegree", dtype=jnp.float32):
             "The degree_norm mode should be in ['indegree', 'outdegree']. "
             f"But receive mode={mode}")
     norm = jnp.maximum(jnp.asarray(degree, dtype=dtype), 1.0) ** -0.5
-    return norm.reshape(-1, 1)
+    # append a feature axis; HaloGraph degrees are [S, N_pad] (sharded), a
+    # plain Graph's are [N] — both broadcast against their feature layout
+    return jnp.expand_dims(norm, -1)
 
 
 def graph_pool(graph, feature, pool_type: str):

@@ -7,7 +7,9 @@ and multi-host bootstrap/loading helpers.
 """
 
 from .dist_graph import ShardedGraph, shard_edges
+from .halo_graph import HaloGraph, build_halo_partition
 from .embedding import ShardedEmbedding
 from . import multihost
 
-__all__ = ["ShardedGraph", "shard_edges", "ShardedEmbedding", "multihost"]
+__all__ = ["ShardedGraph", "shard_edges", "HaloGraph",
+           "build_halo_partition", "ShardedEmbedding", "multihost"]

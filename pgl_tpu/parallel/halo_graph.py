@@ -1,0 +1,552 @@
+"""Node-partitioned multi-device graphs with boundary-only (halo) feature
+exchange — ShardedGraph v2.
+
+The reference's multi-GPU path (``pgl/graph.py:1410-1553``) replicates node
+features on every rank and allreduces the full ``[N, d]`` aggregation each
+layer, so its comm volume is ``O(N * d * layers)`` regardless of how well
+the graph partitions.  This class is the TPU-native design the BASELINE
+north star asks for instead:
+
+  * **Nodes are partitioned** (contiguous ranges by default, or any
+    assignment, e.g. :func:`pgl_tpu.partition.metis_partition`); each
+    device *owns* a block of nodes and holds exactly the edges whose dst it
+    owns.  Node-space tensors are ``[S, N_pad, ...]`` sharded over the mesh
+    axis — no replication.
+  * **Only cut-crossing src features travel.**  At build time each (owner,
+    consumer) pair's unique boundary nodes are enumerated; one
+    ``jax.lax.all_to_all`` per aggregation moves just those rows over ICI.
+    Comm volume is proportional to the partition *cut*, not to ``N``
+    (``test_halo_comm_proportional_to_cut`` asserts this).
+  * **Comm/compute overlap for free.**  Each shard's edges are split into
+    local-src and remote-src groups; the local partial aggregation has no
+    data dependency on the all_to_all, so XLA's latency-hiding scheduler
+    runs the collective concurrently with the local SpMM.
+  * Everything — including the all_to_all — is differentiable, so the
+    backward pass exchanges boundary *gradients* with the same volume.
+
+Per-dst ops (``edge_softmax``, ``indegree``, mean-normalization) become
+fully local: every in-edge of an owned node lives on its owner's shard.
+
+Layout conventions
+------------------
+node space   ``[S, N_pad, ...]``  sharded ``P(axis, None, ...)``
+edge space   ``[S, E_pad, ...]``  sharded, first ``EL_pad`` columns are
+                                  local-src edges, the rest remote-src
+halo         ``[S, H_pad, ...]``  per peer; flattened to ``S * H_pad`` rows
+
+Use :meth:`shard_node_values` / :meth:`unshard_node_values` to move between
+the global ``[N, ...]`` order and the sharded layout, and keep the training
+loop entirely in the sharded layout (labels and masks shard too).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+__all__ = ["HaloGraph", "build_halo_partition"]
+
+
+def _pad_to(x: int, mult: int) -> int:
+    return max((x + mult - 1) // mult * mult, mult)
+
+
+def build_halo_partition(edges: np.ndarray, num_nodes: int, num_shards: int,
+                         parts: Optional[np.ndarray] = None):
+    """Host-side construction of every index structure HaloGraph needs.
+
+    Returns a dict of numpy arrays (see HaloGraph.__init__ for shapes).
+    ``parts[v]`` assigns node ``v`` to a shard; defaults to contiguous
+    ranges.
+    """
+    edges = np.asarray(edges)
+    E = edges.shape[0]
+    S = num_shards
+    if parts is None:
+        per = (num_nodes + S - 1) // S
+        parts = np.minimum(np.arange(num_nodes) // max(per, 1), S - 1)
+    parts = np.asarray(parts).astype(np.int64)
+    if parts.shape != (num_nodes,):
+        raise ValueError(f"parts must be [num_nodes], got {parts.shape}")
+
+    # ownership: node_perm[s, i] = global id of the i-th node owned by s
+    owned = [np.flatnonzero(parts == s) for s in range(S)]
+    n_pad = _pad_to(max((len(o) for o in owned), default=1), 128)
+    node_perm = np.zeros((S, n_pad), np.int32)
+    node_mask = np.zeros((S, n_pad), np.float32)
+    local_rank = np.zeros(num_nodes, np.int64)  # rank within owner block
+    for s in range(S):
+        k = len(owned[s])
+        node_perm[s, :k] = owned[s]
+        node_mask[s, :k] = 1.0
+        local_rank[owned[s]] = np.arange(k)
+
+    src, dst = edges[:, 0], edges[:, 1]
+    e_shard = parts[dst]                     # dst owner holds the edge
+    is_local = parts[src] == e_shard
+
+    # halo: per (consumer s, producer p) the unique global srcs needed
+    needed = [[None] * S for _ in range(S)]
+    h_max = 1
+    rem = ~is_local
+    for s in range(S):
+        sel = rem & (e_shard == s)
+        rsrc = src[sel]
+        powner = parts[rsrc]
+        for p in range(S):
+            u = np.unique(rsrc[powner == p])
+            needed[s][p] = u
+            h_max = max(h_max, len(u))
+    h_pad = _pad_to(h_max, 8)
+
+    # send_idx[p, s] = p-local ranks of the nodes p must send to s
+    send_idx = np.zeros((S, S, h_pad), np.int32)
+    for s in range(S):
+        for p in range(S):
+            u = needed[s][p]
+            send_idx[p, s, :len(u)] = local_rank[u]
+
+    # per-edge halo slot: position of src within the flattened halo buffer
+    halo_slot = np.zeros(E, np.int64)
+    for s in range(S):
+        for p in range(S):
+            u = needed[s][p]
+            sel = rem & (e_shard == s) & (parts[src] == p)
+            if sel.any():
+                pos = np.searchsorted(u, src[sel])
+                halo_slot[sel] = p * h_pad + pos
+
+    # edge grouping: per shard, local-src block then remote-src block
+    def group(sel_mask, col0):
+        counts = np.bincount(e_shard[sel_mask], minlength=S)
+        cap = _pad_to(int(counts.max()) if sel_mask.any() else 1, 128)
+        arr = np.zeros((S, cap, 2), np.int32)
+        msk = np.zeros((S, cap), np.float32)
+        prm = np.zeros((S, cap), np.int32)
+        order = np.flatnonzero(sel_mask)
+        # dst-sorted within shard so a future Pallas layout applies directly
+        order = order[np.lexsort((dst[order], e_shard[order]))]
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for s in range(S):
+            idx = order[offs[s]:offs[s + 1]]
+            k = len(idx)
+            arr[s, :k, 0] = col0[idx]
+            arr[s, :k, 1] = local_rank[dst[idx]]
+            msk[s, :k] = 1.0
+            prm[s, :k] = idx
+        return arr, msk, prm
+
+    ledges, lmask, lperm = group(is_local, local_rank[src])
+    redges, rmask, rperm = group(rem, halo_slot)
+
+    halo_size = int(sum(len(needed[s][p]) for s in range(S)
+                        for p in range(S)))
+    return dict(node_perm=node_perm, node_mask=node_mask,
+                send_idx=send_idx,
+                local_edges=ledges, local_mask=lmask, local_perm=lperm,
+                remote_edges=redges, remote_mask=rmask, remote_perm=rperm,
+                h_pad=h_pad, halo_size=halo_size, parts=parts)
+
+
+@jax.tree_util.register_pytree_node_class
+class HaloGraph:
+    """A node-partitioned graph with halo feature exchange (see module doc).
+
+    Build with :meth:`from_graph`; pass as a jit argument (it is a pytree —
+    never close over it, the index arrays would bake into the program).
+    """
+
+    def __init__(self, arrays: dict, num_nodes: int, mesh: Mesh, axis: str,
+                 h_pad: int, halo_size: int, node_feat=None, edge_feat=None):
+        self.node_perm = arrays["node_perm"]       # [S, N_pad] int32
+        self.node_mask = arrays["node_mask"]       # [S, N_pad] f32
+        self.send_idx = arrays["send_idx"]         # [S, S, H_pad] int32
+        self.local_edges = arrays["local_edges"]   # [S, EL_pad, 2]
+        self.local_mask = arrays["local_mask"]     # [S, EL_pad]
+        self.remote_edges = arrays["remote_edges"]  # [S, ER_pad, 2]
+        self.remote_mask = arrays["remote_mask"]   # [S, ER_pad]
+        self.perm = arrays["perm"]                 # [S, EL_pad+ER_pad] eids
+        self._num_nodes = int(num_nodes)
+        self.mesh = mesh
+        self.axis = axis
+        self.h_pad = int(h_pad)
+        self.halo_size = int(halo_size)
+        self.node_feat = node_feat or {}
+        self.edge_feat = edge_feat or {}
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_graph(cls, graph, mesh: Mesh, axis: str = "node",
+                   parts: Optional[np.ndarray] = None,
+                   partition: str = "range") -> "HaloGraph":
+        """Partition ``graph``'s nodes over ``mesh[axis]``.
+
+        ``partition``: "range" (contiguous ids), "metis" (the native
+        multilevel partitioner — minimizes the cut and therefore the halo),
+        or pass an explicit ``parts`` array.
+        """
+        g = graph.numpy() if graph.is_tensor else graph
+        S = mesh.shape[axis]
+        if parts is None and partition == "metis":
+            from ..partition import metis_partition
+            parts = metis_partition(g, S)
+        built = build_halo_partition(np.asarray(g.edges), g.num_nodes, S,
+                                     parts)
+        sh2 = NamedSharding(mesh, P(axis, None))
+        sh3 = NamedSharding(mesh, P(axis, None, None))
+        perm = np.concatenate([built["local_perm"], built["remote_perm"]],
+                              axis=1)
+        arrays = dict(
+            node_perm=jax.device_put(built["node_perm"], sh2),
+            node_mask=jax.device_put(built["node_mask"], sh2),
+            send_idx=jax.device_put(built["send_idx"], sh3),
+            local_edges=jax.device_put(built["local_edges"], sh3),
+            local_mask=jax.device_put(built["local_mask"], sh2),
+            remote_edges=jax.device_put(built["remote_edges"], sh3),
+            remote_mask=jax.device_put(built["remote_mask"], sh2),
+            perm=jax.device_put(perm, sh2),
+        )
+        obj = cls(arrays, g.num_nodes, mesh, axis,
+                  built["h_pad"], built["halo_size"])
+        obj._host_node_perm = built["node_perm"]
+        obj._host_node_mask = built["node_mask"]
+        obj._host_perm = perm
+        obj._host_lmask = built["local_mask"]
+        obj._host_rmask = built["remote_mask"]
+        for k, v in g.node_feat.items():
+            obj.node_feat[k] = obj.shard_node_values(np.asarray(v))
+        for k, v in g.edge_feat.items():
+            obj.edge_feat[k] = obj.shard_edge_values(np.asarray(v))
+        return obj
+
+    # -- host <-> sharded layout -------------------------------------------
+
+    def shard_node_values(self, values):
+        """``[N, ...]`` global order → ``[S, N_pad, ...]`` sharded."""
+        values = np.asarray(values)
+        perm = self._host_node_perm
+        out = values[perm.reshape(-1)].reshape(perm.shape + values.shape[1:])
+        m = self._host_node_mask.reshape(
+            perm.shape + (1,) * (values.ndim - 1))
+        out = out * m.astype(out.dtype)
+        spec = P(self.axis, *((None,) * values.ndim))
+        return jax.device_put(out, NamedSharding(self.mesh, spec))
+
+    def unshard_node_values(self, x):
+        """``[S, N_pad, ...]`` sharded → ``[N, ...]`` global order (host)."""
+        x = np.asarray(x)
+        perm = self._host_node_perm
+        mask = self._host_node_mask > 0
+        out = np.zeros((self._num_nodes,) + x.shape[2:], x.dtype)
+        out[perm[mask]] = x[mask]
+        return out
+
+    def shard_edge_values(self, values):
+        """Per-edge values (original edge order) → ``[S, E_pad, ...]``."""
+        values = np.asarray(values)
+        perm = self._host_perm
+        out = values[perm.reshape(-1)].reshape(perm.shape + values.shape[1:])
+        mask = np.concatenate([self._host_lmask, self._host_rmask], axis=1)
+        out = out * mask.reshape(
+            mask.shape + (1,) * (values.ndim - 1)).astype(out.dtype)
+        spec = P(self.axis, None) if values.ndim == 1 \
+            else P(self.axis, *((None,) * values.ndim))
+        return jax.device_put(out, NamedSharding(self.mesh, spec))
+
+    def unshard_edge_values(self, x):
+        """``[S, E_pad, ...]`` sharded per-edge values → original order."""
+        x = np.asarray(x)
+        mask = np.concatenate([self._host_lmask, self._host_rmask],
+                              axis=1) > 0
+        perm = self._host_perm
+        num_edges = int(mask.sum())
+        out = np.zeros((num_edges,) + x.shape[2:], x.dtype)
+        out[perm[mask]] = x[mask]
+        return out
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def num_nodes(self) -> int:
+        return self._num_nodes
+
+    @property
+    def num_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def comm_bytes_per_exchange(self) -> int:
+        """Bytes moved by one halo exchange of f32 scalars (× feature dim
+        for vectors) — proportional to the partition cut, the number the
+        full-psum path could never bound."""
+        return self.halo_size * 4
+
+    # -- message passing ----------------------------------------------------
+
+    def send_u_recv(self, feature, reduce_op: str = "sum"):
+        """Halo-exchange aggregation: ``out[v] = reduce_{(u,v)∈E} feat[u]``.
+
+        ``feature`` is ``[S, N_pad, D]`` sharded (from
+        :meth:`shard_node_values`); the result has the same layout.  Comm =
+        one all_to_all of the boundary rows; the local-edge partial sum has
+        no data dependency on it, so XLA overlaps the two.
+        """
+        if reduce_op not in ("sum", "mean", "max", "min"):
+            raise ValueError(reduce_op)
+        ax = self.axis
+
+        def local(node_perm, send_idx, ledges, lmask, redges, rmask, x):
+            xs = x[0]                                   # [N_pad, D]
+            n_pad = xs.shape[0]
+            send = jnp.take(xs, send_idx[0], axis=0)    # [S, H_pad, D]
+            halo = jax.lax.all_to_all(send, ax, 0, 0)
+            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+
+            le, lm = ledges[0], lmask[0]
+            re_, rm = redges[0], rmask[0]
+            if reduce_op in ("sum", "mean"):
+                lmsg = jnp.take(xs, le[:, 0], axis=0) * lm[:, None]
+                out = jax.ops.segment_sum(lmsg, le[:, 1],
+                                          num_segments=n_pad)
+                rmsg = jnp.take(halo_flat, re_[:, 0], axis=0) * rm[:, None]
+                out = out + jax.ops.segment_sum(rmsg, re_[:, 1],
+                                                num_segments=n_pad)
+                if reduce_op == "mean":
+                    deg = (jax.ops.segment_sum(lm, le[:, 1],
+                                               num_segments=n_pad)
+                           + jax.ops.segment_sum(rm, re_[:, 1],
+                                                 num_segments=n_pad))
+                    out = out / jnp.maximum(deg, 1.0)[:, None]
+            else:
+                seg_fn = (jax.ops.segment_max if reduce_op == "max"
+                          else jax.ops.segment_min)
+                fill = (-jnp.inf if reduce_op == "max" else jnp.inf)
+                lmsg = jnp.where(lm[:, None] > 0,
+                                 jnp.take(xs, le[:, 0], axis=0), fill)
+                rmsg = jnp.where(rm[:, None] > 0,
+                                 jnp.take(halo_flat, re_[:, 0], axis=0),
+                                 fill)
+                out = jnp.minimum if reduce_op == "min" else jnp.maximum
+                out = out(seg_fn(lmsg, le[:, 1], num_segments=n_pad),
+                          seg_fn(rmsg, re_[:, 1], num_segments=n_pad))
+                out = jnp.where(jnp.isfinite(out), out, 0.0)
+            return out[None]
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None, None), P(ax, None, None),
+                      P(ax, None), P(ax, None, None), P(ax, None),
+                      P(ax, None, None)),
+            out_specs=P(ax, None, None), check_vma=False,
+        )(self.node_perm, self.send_idx, self.local_edges, self.local_mask,
+          self.remote_edges, self.remote_mask, feature)
+
+    send_recv = send_u_recv
+
+    def send_ue_recv(self, feature, edge_feat, message_op: str = "mul",
+                     reduce_op: str = "sum"):
+        """Edge-weighted halo aggregation; ``edge_feat`` is the sharded
+        ``[S, E_pad(, ...)]`` layout from :meth:`shard_edge_values` (local
+        block then remote block)."""
+        if reduce_op != "sum":
+            raise NotImplementedError("halo send_ue_recv supports sum")
+        ax = self.axis
+        el_pad = self.local_edges.shape[1]
+
+        def local(send_idx, ledges, lmask, redges, rmask, x, ef):
+            xs = x[0]
+            n_pad = xs.shape[0]
+            send = jnp.take(xs, send_idx[0], axis=0)
+            halo = jax.lax.all_to_all(send, ax, 0, 0)
+            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+
+            le, lm = ledges[0], lmask[0]
+            re_, rm = redges[0], rmask[0]
+            w = ef[0]
+            wl, wr = w[:el_pad], w[el_pad:]
+
+            def combine(msg, wv):
+                if wv.ndim < msg.ndim:
+                    wv = wv.reshape(wv.shape
+                                    + (1,) * (msg.ndim - wv.ndim))
+                if message_op == "mul":
+                    return msg * wv
+                if message_op == "add":
+                    return msg + wv
+                raise NotImplementedError(message_op)
+
+            lmsg = combine(jnp.take(xs, le[:, 0], axis=0), wl) \
+                * lm[:, None]
+            out = jax.ops.segment_sum(lmsg, le[:, 1], num_segments=n_pad)
+            rmsg = combine(jnp.take(halo_flat, re_[:, 0], axis=0), wr) \
+                * rm[:, None]
+            out = out + jax.ops.segment_sum(rmsg, re_[:, 1],
+                                            num_segments=n_pad)
+            return out[None]
+
+        ef_spec = P(ax, None) if edge_feat.ndim == 2 \
+            else P(ax, *((None,) * (edge_feat.ndim - 1)))
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None),
+                      P(ax, None, None), ef_spec),
+            out_specs=P(ax, None, None), check_vma=False,
+        )(self.send_idx, self.local_edges, self.local_mask,
+          self.remote_edges, self.remote_mask, feature, edge_feat)
+
+    def send_uv(self, src_feat, dst_feat, message_op: str = "add"):
+        """Halo SDDMM: per-edge ``op(src_feat[u], dst_feat[v])`` in the
+        sharded edge layout. Only boundary rows of ``src_feat`` travel."""
+        ax = self.axis
+
+        def local(send_idx, ledges, lmask, redges, rmask, sf, df):
+            sfs, dfs = sf[0], df[0]
+            send = jnp.take(sfs, send_idx[0], axis=0)
+            halo = jax.lax.all_to_all(send, ax, 0, 0)
+            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+
+            def part(edges, mask, src_tbl):
+                a = jnp.take(src_tbl, edges[:, 0], axis=0)
+                b = jnp.take(dfs, edges[:, 1], axis=0)
+                out = {"add": a + b, "sub": a - b, "mul": a * b,
+                       "div": a / b}[message_op]
+                return out * mask.reshape(
+                    (-1,) + (1,) * (out.ndim - 1))
+
+            out = jnp.concatenate(
+                [part(ledges[0], lmask[0], sfs),
+                 part(redges[0], rmask[0], halo_flat)], axis=0)
+            return out[None]
+
+        nd = src_feat.ndim - 2  # trailing dims beyond [S, N_pad]
+        out_spec = P(ax, *((None,) * (nd + 1)))
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None),
+                      P(ax, *((None,) * (nd + 1))),
+                      P(ax, *((None,) * (nd + 1)))),
+            out_specs=out_spec, check_vma=False,
+        )(self.send_idx, self.local_edges, self.local_mask,
+          self.remote_edges, self.remote_mask, src_feat, dst_feat)
+
+    def edge_softmax(self, logits):
+        """Softmax over each owned node's in-edges — fully local (every
+        in-edge of an owned dst lives on this shard): no collectives at
+        all, unlike the edge-partitioned v1 which needed a pmax+psum."""
+        ax = self.axis
+
+        def local(ledges, lmask, redges, rmask, lg):
+            x = lg[0]
+            dst = jnp.concatenate([ledges[0][:, 1], redges[0][:, 1]])
+            m = jnp.concatenate([lmask[0], rmask[0]])
+            n_pad = self.node_perm.shape[1]
+            mb = (m > 0).reshape((-1,) + (1,) * (x.ndim - 1))
+            xm = jnp.where(mb, x, -jnp.inf)
+            smax = jax.ops.segment_max(xm, dst, num_segments=n_pad)
+            smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+            ex = jnp.where(mb, jnp.exp(x - jnp.take(smax, dst, axis=0)),
+                           0.0)
+            den = jax.ops.segment_sum(ex, dst, num_segments=n_pad)
+            den = jnp.maximum(den, jnp.finfo(x.dtype).tiny)
+            return (ex / jnp.take(den, dst, axis=0))[None]
+
+        spec = P(ax, *((None,) * (logits.ndim - 1)))
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None), spec),
+            out_specs=spec, check_vma=False,
+        )(self.local_edges, self.local_mask, self.remote_edges,
+          self.remote_mask, logits)
+
+    def indegree(self):
+        """[S, N_pad] sharded — local, every in-edge is on the owner."""
+        ax = self.axis
+
+        def local(ledges, lmask, redges, rmask):
+            n_pad = self.node_perm.shape[1]
+            deg = (jax.ops.segment_sum(lmask[0], ledges[0][:, 1],
+                                       num_segments=n_pad)
+                   + jax.ops.segment_sum(rmask[0], redges[0][:, 1],
+                                         num_segments=n_pad))
+            return deg[None]
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None)),
+            out_specs=P(ax, None), check_vma=False,
+        )(self.local_edges, self.local_mask, self.remote_edges,
+          self.remote_mask).astype(jnp.int32)
+
+    def outdegree(self):
+        """[S, N_pad] sharded; out-edges of an owned src may live on other
+        shards, so this one does need a (scalar-per-node) exchange — we
+        count into the halo slots and route counts back via the transposed
+        all_to_all."""
+        ax = self.axis
+
+        def local(send_idx, ledges, lmask, redges, rmask):
+            n_pad = self.node_perm.shape[1]
+            deg = jax.ops.segment_sum(lmask[0], ledges[0][:, 0],
+                                      num_segments=n_pad)
+            # counts for remote srcs accumulate per halo slot, then travel
+            # back to their owners (reverse of the feature exchange)
+            s_tot = send_idx.shape[1]
+            h_pad = self.h_pad
+            halo_cnt = jax.ops.segment_sum(rmask[0], redges[0][:, 0],
+                                           num_segments=s_tot * h_pad)
+            back = jax.lax.all_to_all(
+                halo_cnt.reshape(s_tot, h_pad), ax, 0, 0)
+            # back[p] = counts this shard's owned nodes accrued on shard p,
+            # indexed by send_idx[0, p]
+            deg = deg + jax.ops.segment_sum(
+                back.reshape(-1), send_idx[0].reshape(-1),
+                num_segments=n_pad)
+            return deg[None]
+
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None)),
+            out_specs=P(ax, None), check_vma=False,
+        )(self.send_idx, self.local_edges, self.local_mask,
+          self.remote_edges, self.remote_mask).astype(jnp.int32)
+
+    # -- pytree -------------------------------------------------------------
+
+    _LEAVES = ("node_perm", "node_mask", "send_idx", "local_edges",
+               "local_mask", "remote_edges", "remote_mask", "perm")
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, k) for k in self._LEAVES) + \
+            (self.node_feat, self.edge_feat)
+        aux = (self._num_nodes, self.mesh, self.axis, self.h_pad,
+               self.halo_size)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        for k, v in zip(cls._LEAVES, children):
+            setattr(obj, k, v)
+        obj.node_feat, obj.edge_feat = children[len(cls._LEAVES):]
+        (obj._num_nodes, obj.mesh, obj.axis, obj.h_pad,
+         obj.halo_size) = aux
+        return obj
+
+    def __repr__(self):
+        return (f"HaloGraph(num_nodes={self._num_nodes}, "
+                f"shards={self.num_shards}, "
+                f"local={self.local_edges.shape[1]}, "
+                f"remote={self.remote_edges.shape[1]}, "
+                f"halo={self.halo_size})")

@@ -1,0 +1,188 @@
+"""HaloGraph (node-partitioned, boundary-only exchange) tests on the
+virtual 8-device CPU mesh — parity with the single-device Graph plus the
+north-star property: comm volume proportional to the partition cut
+(BASELINE.md scaling recipe; reference contrast ``pgl/graph.py:1515``'s
+full [N, d] allreduce)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pgl_tpu import Graph
+from pgl_tpu.parallel import HaloGraph, build_halo_partition
+
+
+N, E, D = 37, 141, 5
+rng = np.random.default_rng(7)
+EDGES = rng.integers(0, N, (E, 2))
+FEAT = rng.normal(size=(N, D)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()), ("node",))
+
+
+@pytest.fixture(scope="module")
+def graphs(mesh):
+    g = Graph(EDGES, num_nodes=N, node_feat={"h": FEAT})
+    hg = HaloGraph.from_graph(g, mesh)
+    return g.tensor(), hg
+
+
+def test_build_covers_every_edge_and_node(mesh):
+    built = build_halo_partition(EDGES, N, 8)
+    # every node owned exactly once
+    owned = built["node_perm"][built["node_mask"] > 0]
+    assert sorted(owned.tolist()) == list(range(N))
+    # every edge appears exactly once across local+remote
+    eids = np.concatenate([
+        built["local_perm"][built["local_mask"] > 0],
+        built["remote_perm"][built["remote_mask"] > 0]])
+    assert sorted(eids.tolist()) == list(range(E))
+
+
+def test_node_value_round_trip(graphs):
+    _, hg = graphs
+    x = hg.shard_node_values(FEAT)
+    assert x.shape[0] == 8
+    np.testing.assert_allclose(hg.unshard_node_values(x), FEAT)
+    lab = rng.integers(0, 3, N)
+    np.testing.assert_array_equal(
+        hg.unshard_node_values(hg.shard_node_values(lab)), lab)
+
+
+@pytest.mark.parametrize("op", ["sum", "mean", "max", "min"])
+def test_halo_send_u_recv_matches(graphs, op):
+    gt, hg = graphs
+    ref = gt.send_recv(gt.node_feat["h"], op)
+    out = hg.send_u_recv(hg.shard_node_values(FEAT), op)
+    np.testing.assert_allclose(hg.unshard_node_values(out),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_halo_degree_matches(graphs):
+    gt, hg = graphs
+    np.testing.assert_array_equal(
+        hg.unshard_node_values(hg.indegree()), np.asarray(gt.indegree()))
+    np.testing.assert_array_equal(
+        hg.unshard_node_values(hg.outdegree()), np.asarray(gt.outdegree()))
+
+
+def test_halo_send_ue_recv_matches(graphs):
+    gt, hg = graphs
+    w = rng.normal(size=(E,)).astype(np.float32)
+    ref = gt.send_ue_recv(gt.node_feat["h"], jnp.asarray(w), "mul", "sum")
+    out = hg.send_ue_recv(hg.shard_node_values(FEAT),
+                          hg.shard_edge_values(w), "mul", "sum")
+    np.testing.assert_allclose(hg.unshard_node_values(out),
+                               np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_halo_sddmm_and_softmax_match(graphs):
+    gt, hg = graphs
+    a = rng.normal(size=(N,)).astype(np.float32)
+    ref = np.asarray(gt.send_uv(jnp.asarray(a), jnp.asarray(a), "add"))
+    out = hg.send_uv(hg.shard_node_values(a), hg.shard_node_values(a),
+                     "add")
+    np.testing.assert_allclose(hg.unshard_edge_values(out), ref, rtol=1e-5)
+
+    import pgl_tpu.nn.functional as GF
+    ref_sm = np.asarray(GF.edge_softmax(gt, jnp.asarray(ref)))
+    sm = hg.edge_softmax(hg.shard_edge_values(ref))
+    np.testing.assert_allclose(hg.unshard_edge_values(sm), ref_sm,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_halo_grad_matches(graphs):
+    """Boundary-gradient exchange (the all_to_all transpose) must reproduce
+    the single-device gradient exactly."""
+    gt, hg = graphs
+
+    def loss_single(x):
+        return (gt.send_recv(x, "sum") ** 2).sum()
+
+    def loss_halo(xs):
+        return (hg.send_u_recv(xs, "sum") ** 2).sum()
+
+    g1 = jax.grad(loss_single)(jnp.asarray(FEAT))
+    g2 = jax.grad(loss_halo)(hg.shard_node_values(FEAT))
+    np.testing.assert_allclose(hg.unshard_node_values(g2),
+                               np.asarray(g1), rtol=1e-4, atol=1e-5)
+
+
+def test_halo_comm_proportional_to_cut(mesh):
+    """The north-star property: a well-partitioned graph exchanges only the
+    cut-crossing boundary nodes, far below full replication."""
+    # 8 dense communities with a sparse ring of bridges
+    npc, S = 64, 8
+    n = npc * S
+    rng2 = np.random.default_rng(1)
+    intra = []
+    for c in range(S):
+        u = rng2.integers(0, npc, (600, 2)) + c * npc
+        intra.append(u)
+    bridges = np.stack([
+        rng2.integers(0, npc, 40) + ((np.arange(40) % S) * npc),
+        rng2.integers(0, npc, 40) + (((np.arange(40) + 1) % S) * npc),
+    ], axis=1)
+    edges = np.concatenate(intra + [bridges])
+    parts = np.arange(n) // npc
+    built = build_halo_partition(edges, n, S, parts)
+    cut_edges = int((parts[edges[:, 0]] != parts[edges[:, 1]]).sum())
+    # unique boundary nodes never exceed the cut edge count...
+    assert built["halo_size"] <= cut_edges
+    # ...and are far below replication (v1 psum moved N rows per device)
+    assert built["halo_size"] < n // 8
+    g = Graph(edges, num_nodes=n).tensor()
+    hg = HaloGraph.from_graph(Graph(edges, num_nodes=n), mesh, parts=parts)
+    assert hg.halo_size == built["halo_size"]
+    feat = rng2.normal(size=(n, 3)).astype(np.float32)
+    out = hg.send_u_recv(hg.shard_node_values(feat), "sum")
+    ref = g.send_recv(jnp.asarray(feat), "sum")
+    np.testing.assert_allclose(hg.unshard_node_values(out),
+                               np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_halo_metis_partition_smaller_halo(mesh):
+    """metis partitioning must find (near-)community structure and beat a
+    random assignment's halo size."""
+    npc, S = 32, 8
+    n = npc * S
+    rng2 = np.random.default_rng(2)
+    intra = [rng2.integers(0, npc, (300, 2)) + c * npc for c in range(S)]
+    inter = rng2.integers(0, n, (60, 2))
+    edges = np.concatenate(intra + [inter])
+    g = Graph(edges, num_nodes=n)
+    hg_metis = HaloGraph.from_graph(g, mesh, partition="metis")
+    rand_parts = rng2.integers(0, S, n)
+    hg_rand = HaloGraph.from_graph(g, mesh, parts=rand_parts)
+    assert hg_metis.halo_size < hg_rand.halo_size / 2
+
+
+def test_halo_under_jit(graphs):
+    _, hg = graphs
+
+    @jax.jit
+    def f(hg, x):
+        return hg.send_u_recv(x, "sum")
+
+    x = hg.shard_node_values(FEAT)
+    np.testing.assert_allclose(np.asarray(f(hg, x)),
+                               np.asarray(f(hg, x)))
+
+
+def test_halo_gcn_layer(graphs):
+    """Existing conv layers run unmodified on the sharded layout."""
+    import pgl_tpu.nn as gnn
+    gt, hg = graphs
+    layer = gnn.GCNConv(input_size=D, output_size=4)
+    x = hg.shard_node_values(FEAT)
+    params = layer.init(jax.random.key(0), hg, x)
+    out = layer.apply(params, hg, x)
+    ref = layer.apply(params, gt, gt.node_feat["h"])
+    np.testing.assert_allclose(hg.unshard_node_values(out),
+                               np.asarray(ref), rtol=1e-4, atol=1e-5)
