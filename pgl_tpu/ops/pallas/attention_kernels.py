@@ -16,9 +16,21 @@ GAT/TransformerConv (reference ``pgl/nn/conv.py:333-339,808-846``,
     tiles — exactly the blockwise-softmax recipe; no [E]-sized
     intermediate, no second pass.
 
-Backward currently recomputes through the unfused XLA composition (exact
-same math) — the forward is the hot inference/serving path; the training
-backward reuses the spmm kernel where it applies.
+Backward is fused too (flash-attention style): two kernels recompute the
+per-edge probabilities **in-kernel** from the saved per-(row, head) LSE —
+no ``[E, H]`` probability tensor, no XLA scatter in either direction:
+
+  * CSC pass (grid over *dst* row blocks): streams gathered ``k``/``v``
+    edge tiles, recomputes ``p = exp(s − lse)``, forms
+    ``ds = p·(g·vᵀ − delta)`` and accumulates ``dq = ds @ k`` — all MXU.
+  * CSR pass (grid over *src* row blocks): ``k``/``v`` rows are resident,
+    the dst-side values (``q``, ``lse``, ``delta`` packed into one
+    gathered stream) arrive per edge tile; accumulates ``dk = ds @ q`` and
+    ``dv = p @ g`` together.
+
+Each pass costs two row-gathers (the TPU gather floor, ~10 ns/row) plus
+dense MXU work — measured well below XLA's recompute-differentiate, which
+pays unsorted scatter-adds.
 """
 
 from __future__ import annotations
@@ -200,6 +212,312 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
     return out[:num_segments], lse[:num_segments]
 
 
+def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
+                        q_ref,                  # [NB, DS] VMEM (dst rows)
+                        g_ref,                  # [NB, DV] VMEM (cotangent)
+                        lse_ref,                # [NB, H] VMEM
+                        delta_ref,              # [NB, H] VMEM (Σ g·out)
+                        k_hbm,                  # [Ep, DS] HBM (gathered CSC)
+                        v_hbm,                  # [Ep, DV] HBM (gathered CSC)
+                        ids_hbm,                # [Ep/128, 128] HBM int32
+                        dq_ref,                 # [NB, DS] VMEM out
+                        k_tile, v_tile, ids_tile, sem_k, sem_v, sem_i,
+                        *, NB: int, ET: int, DS: int, DV: int, H: int,
+                        DSH: int, DVH: int, leaky_slope: float):
+    i = pl.program_id(0)
+    e0 = tile_starts_ref[i]
+    e1 = tile_ends_ref[i]
+    num_tiles = (e1 - e0 + ET - 1) // ET
+    row_base = i * NB
+    ER = ET // 128
+
+    def tile_dma(slot, t):
+        start = pl.multiple_of(e0 + t * ET, ET)
+        return (
+            pltpu.make_async_copy(k_hbm.at[pl.ds(start, ET), :],
+                                  k_tile.at[slot], sem_k.at[slot]),
+            pltpu.make_async_copy(v_hbm.at[pl.ds(start, ET), :],
+                                  v_tile.at[slot], sem_v.at[slot]),
+            pltpu.make_async_copy(ids_hbm.at[pl.ds(start // 128, ER), :],
+                                  ids_tile.at[slot], sem_i.at[slot]),
+        )
+
+    @pl.when(num_tiles > 0)
+    def _():
+        for d in tile_dma(0, 0):
+            d.start()
+
+    dq_ref[:] = jnp.zeros((NB, DS), dq_ref.dtype)
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            for d in tile_dma(nxt, t + 1):
+                d.start()
+
+        for d in tile_dma(slot, t):
+            d.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
+        mask_parts = []
+        for r in range(ER):
+            local = ids_tile[slot, r].reshape(1, 128) - row_base
+            mask_parts.append(rows == local)
+        mask = jnp.concatenate(mask_parts, axis=1)          # [NB, ET]
+
+        dq_new = []
+        for h in range(H):
+            q_h = q_ref[:, h * DSH:(h + 1) * DSH]           # [NB, DSH]
+            k_h = k_tile[slot, :, h * DSH:(h + 1) * DSH]    # [ET, DSH]
+            s_raw = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [NB, ET]
+            if leaky_slope:
+                s_act = jnp.where(s_raw >= 0, s_raw, s_raw * leaky_slope)
+            else:
+                s_act = s_raw
+            # exact probs from the saved LSE (no online pass needed)
+            p = jnp.exp(jnp.where(mask, s_act - lse_ref[:, h][:, None],
+                                  -1e30))                    # [NB, ET]
+            g_h = g_ref[:, h * DVH:(h + 1) * DVH]           # [NB, DVH]
+            v_h = v_tile[slot, :, h * DVH:(h + 1) * DVH]    # [ET, DVH]
+            gv = jax.lax.dot_general(
+                g_h, v_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [NB, ET]
+            ds = p * (gv - delta_ref[:, h][:, None])
+            if leaky_slope:
+                ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
+            dq_new.append(jax.lax.dot(
+                ds.astype(k_h.dtype), k_h,
+                preferred_element_type=jnp.float32))         # [NB, DSH]
+        upd = jnp.concatenate(dq_new, axis=1)
+        dq_ref[:, :H * DSH] = (dq_ref[:, :H * DSH]
+                               + upd.astype(dq_ref.dtype))
+        return ()
+
+    jax.lax.fori_loop(0, num_tiles, body, ())
+
+
+def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
+                         k_ref,                 # [NB, DS] VMEM (src rows)
+                         v_ref,                 # [NB, DV] VMEM (src rows)
+                         q_hbm,                 # [Ep, DS] HBM gathered CSR
+                         g_hbm,                 # [Ep, DV] HBM gathered CSR
+                         ld_hbm,                # [Ep/128, 2H, 128] HBM:
+                                                #   per-edge lse/delta rows
+                         ids_hbm,               # [Ep/128, 128] HBM int32
+                         dk_ref,                # [NB, DS] VMEM out
+                         dv_ref,                # [NB, DV] VMEM out
+                         q_tile, g_tile, ld_tile, ids_tile,
+                         sem_q, sem_g, sem_l, sem_i,
+                         *, NB: int, ET: int, DS: int, DV: int,
+                         H: int, DSH: int, DVH: int, leaky_slope: float):
+    i = pl.program_id(0)
+    e0 = tile_starts_ref[i]
+    e1 = tile_ends_ref[i]
+    num_tiles = (e1 - e0 + ET - 1) // ET
+    row_base = i * NB
+    ER = ET // 128
+
+    def tile_dma(slot, t):
+        start = pl.multiple_of(e0 + t * ET, ET)
+        return (
+            pltpu.make_async_copy(q_hbm.at[pl.ds(start, ET), :],
+                                  q_tile.at[slot], sem_q.at[slot]),
+            pltpu.make_async_copy(g_hbm.at[pl.ds(start, ET), :],
+                                  g_tile.at[slot], sem_g.at[slot]),
+            pltpu.make_async_copy(ld_hbm.at[pl.ds(start // 128, ER), :, :],
+                                  ld_tile.at[slot], sem_l.at[slot]),
+            pltpu.make_async_copy(ids_hbm.at[pl.ds(start // 128, ER), :],
+                                  ids_tile.at[slot], sem_i.at[slot]),
+        )
+
+    @pl.when(num_tiles > 0)
+    def _():
+        for d in tile_dma(0, 0):
+            d.start()
+
+    dk_ref[:] = jnp.zeros((NB, DS), dk_ref.dtype)
+    dv_ref[:] = jnp.zeros((NB, DV), dv_ref.dtype)
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            for d in tile_dma(nxt, t + 1):
+                d.start()
+
+        for d in tile_dma(slot, t):
+            d.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
+        mask_parts = []
+        for r in range(ER):
+            local = ids_tile[slot, r].reshape(1, 128) - row_base
+            mask_parts.append(rows == local)
+        mask = jnp.concatenate(mask_parts, axis=1)          # [NB, ET]
+
+        def edge_row(idx):
+            """[1, ET] per-edge values assembled from the 128-lane rows —
+            same trick as the id mask (lane-major, no transpose)."""
+            return jnp.concatenate(
+                [ld_tile[slot, r, idx].reshape(1, 128) for r in range(ER)],
+                axis=1)
+
+        dk_new, dv_new = [], []
+        for h in range(H):
+            k_h = k_ref[:, h * DSH:(h + 1) * DSH]           # [NB, DSH]
+            q_h = q_tile[slot, :, h * DSH:(h + 1) * DSH]    # [ET, DSH]
+            s_raw = jax.lax.dot_general(
+                k_h, q_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [NB, ET]
+            if leaky_slope:
+                s_act = jnp.where(s_raw >= 0, s_raw, s_raw * leaky_slope)
+            else:
+                s_act = s_raw
+            lse_e = edge_row(h)                              # [1, ET]
+            delta_e = edge_row(H + h)                        # [1, ET]
+            p = jnp.exp(jnp.where(mask, s_act - lse_e, -1e30))
+            v_h = v_ref[:, h * DVH:(h + 1) * DVH]           # [NB, DVH]
+            g_h = g_tile[slot, :, h * DVH:(h + 1) * DVH]    # [ET, DVH]
+            gv = jax.lax.dot_general(
+                v_h, g_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [NB, ET]
+            ds = p * (gv - delta_e)
+            if leaky_slope:
+                ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
+            dk_new.append(jax.lax.dot(
+                ds.astype(q_h.dtype), q_h,
+                preferred_element_type=jnp.float32))         # [NB, DSH]
+            dv_new.append(jax.lax.dot(
+                p.astype(g_h.dtype), g_h,
+                preferred_element_type=jnp.float32))         # [NB, DVH]
+        dk_ref[:, :H * DSH] = (dk_ref[:, :H * DSH]
+                               + jnp.concatenate(dk_new, axis=1)
+                               .astype(dk_ref.dtype))
+        dv_ref[:, :H * DVH] = (dv_ref[:, :H * DVH]
+                               + jnp.concatenate(dv_new, axis=1)
+                               .astype(dv_ref.dtype))
+        return ()
+
+    jax.lax.fori_loop(0, num_tiles, body, ())
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "num_heads",
+                                             "nb", "et", "leaky_slope",
+                                             "interpret", "dsh", "dvh"))
+def _fused_attention_bwd(q, k, v, g, out, lse,
+                         csc_v, csc_ids, csc_ts, csc_te,
+                         csr_v, csr_ids, csr_ts, csr_te,
+                         num_segments, num_heads: int, leaky_slope: float,
+                         nb: int, et: int, interpret: bool, dsh, dvh):
+    DS, DV = q.shape[1], v.shape[1]
+    H = num_heads
+    DSH = dsh or DS // H
+    DVH = dvh or DV // H
+    n_pad = (num_segments + nb - 1) // nb * nb
+    G = n_pad // nb
+
+    def pad_rows(x):
+        return jnp.zeros((n_pad,) + x.shape[1:], x.dtype
+                         ).at[:num_segments].set(x)
+
+    delta = jnp.sum(g[:, :H * DVH].reshape(-1, H, DVH)
+                    * out[:, :H * DVH].reshape(-1, H, DVH), axis=-1)
+
+    # ---- CSC pass: dq --------------------------------------------------
+    k_e = jnp.take(k, csc_v, axis=0)
+    v_e = jnp.take(v, csc_v, axis=0)
+    dq = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, NB=nb, ET=et, DS=DS, DV=DV,
+                          H=H, DSH=DSH, DVH=DVH, leaky_slope=leaky_slope),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, H), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, H), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, et, DS), k_e.dtype),
+                pltpu.VMEM((2, et, DV), v_e.dtype),
+                pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, DS), q.dtype),
+        interpret=interpret,
+    )(csc_ts, csc_te, pad_rows(q), pad_rows(g), pad_rows(lse),
+      pad_rows(delta), k_e, v_e, csc_ids)
+
+    # ---- CSR pass: dk, dv ----------------------------------------------
+    q_e = jnp.take(q, csr_v, axis=0)
+    g_e = jnp.take(g, csr_v, axis=0)
+    # per-edge lse/delta in the ids-style lane-major layout
+    # [Ep/128, 2H, 128] so the kernel assembles [1, ET] rows with no
+    # transpose (one gather of the [N, 2H] pair — row-count-bound, cheap)
+    ld = jnp.concatenate([lse.astype(q.dtype), delta.astype(q.dtype)],
+                         axis=1)                               # [N, 2H]
+    ld_e = jnp.take(ld, csr_v, axis=0)                         # [Ep, 2H]
+    ld_e = ld_e.reshape(-1, 128, 2 * H).transpose(0, 2, 1)     # lane-major
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, NB=nb, ET=et, DS=DS,
+                          DV=DV, H=H, DSH=DSH, DVH=DVH,
+                          leaky_slope=leaky_slope),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=(pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM)),
+            scratch_shapes=[
+                pltpu.VMEM((2, et, DS), q_e.dtype),
+                pltpu.VMEM((2, et, DV), g_e.dtype),
+                pltpu.VMEM((2, et // 128, 2 * H, 128), ld_e.dtype),
+                pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, DS), k.dtype),
+                   jax.ShapeDtypeStruct((n_pad, DV), v.dtype)),
+        interpret=interpret,
+    )(csr_ts, csr_te, pad_rows(k), pad_rows(v), q_e, g_e, ld_e, csr_ids)
+
+    return (dq[:num_segments], dk[:num_segments], dv[:num_segments])
+
+
 def _xla_reference(q, k, v, src, dst, num_segments, num_heads, leaky_slope,
                    dsh=None, dvh=None):
     """Unfused composition (gather → scores → segment softmax → weighted
@@ -266,24 +584,19 @@ def _fga_fwd(q, k, v, layout, bwd_aux, num_heads, leaky_slope, nb, et,
 
 def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
     q, k, v, layout, bwd_aux, out, lse = res
-    E = layout.num_edges
-    src = layout.padded_v[:E]
-    dst = layout.padded_ids.reshape(-1)[:E]
     H = num_heads
-    DS, DV = q.shape[1], v.shape[1]
-    DSH = dsh or DS // H
-    DVH = dvh or DV // H
 
     import os as _os
-    analytic = (_os.environ.get("PGL_TPU_ATTN_ANALYTIC_BWD", "0") == "1"
-                or interpret)
-    if bwd_aux is None or 128 % H != 0 or not analytic:
-        # The analytical flash-style backward below is numerically exact
-        # but gather-bound (each weighted SpMM re-gathers edge rows) and
-        # measured *slower* than XLA's recompute-differentiate on v5e
-        # (588ms vs 333ms for a 2-layer GAT step) — keep it opt-in until a
-        # fused-gather kernel lands. interpret mode always exercises it so
-        # tests keep covering the math.
+    use_fused = (bwd_aux is not None
+                 and _os.environ.get("PGL_TPU_ATTN_XLA_BWD", "0") != "1")
+    if not use_fused:
+        # Fallback: differentiate the unfused composition (pays XLA's
+        # unsorted scatter-adds; only used when no CSR layout exists or
+        # PGL_TPU_ATTN_XLA_BWD=1 forces it for A/B measurement).
+        E = layout.num_edges
+        src = layout.padded_v[:E]
+        dst = layout.padded_ids.reshape(-1)[:E]
+
         def ref(q, k, v):
             return _xla_reference(q, k, v, src, dst, layout.num_segments,
                                   H, leaky_slope, dsh, dvh)
@@ -292,86 +605,14 @@ def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
         dq, dk, dv = vjp(g)
         return dq, dk, dv, None, None
 
-    # Flash-style analytical backward: recompute per-edge scores/probs from
-    # the saved LSE, then three per-head-weighted SpMMs (no scatter).
-    from .segment_kernels import _blocked_spmm
-    csr, perm = bwd_aux
-    qs = q[:, :H * DSH].reshape(-1, H, DSH)
-    ks = k[:, :H * DSH].reshape(-1, H, DSH)
-    vs = v[:, :H * DVH].reshape(-1, H, DVH)
-    gs = g[:, :H * DVH].reshape(-1, H, DVH)
-    os_ = out[:, :H * DVH].reshape(-1, H, DVH)
-    q_e = jnp.take(qs, dst, axis=0)                  # [E, H, DSH]
-    k_e = jnp.take(ks, src, axis=0)
-    s_raw = jnp.sum(q_e * k_e, axis=-1)              # [E, H]
-    if leaky_slope:
-        s_act = jnp.where(s_raw >= 0, s_raw, s_raw * leaky_slope)
-    else:
-        s_act = s_raw
-    p = jnp.exp(s_act - jnp.take(lse, dst, axis=0))  # [E, H]
-    g_e = jnp.take(gs, dst, axis=0)                  # [E, H, DVH]
-    v_e = jnp.take(vs, src, axis=0)
-    gv = jnp.sum(g_e * v_e, axis=-1)                 # [E, H]
-    delta = jnp.sum(gs * os_, axis=-1)               # [N, H]
-    ds = p * (gv - jnp.take(delta, dst, axis=0))     # [E, H]
-    if leaky_slope:
-        ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
-
-    Ep_csc = layout.padded_v.shape[0]
-    Ep_csr = csr.padded_v.shape[0]
-
-    def pad_w(w_e, Ep):
-        return jnp.zeros((Ep, H), w_e.dtype).at[:E].set(w_e)
-
-    def pad128(x, width):
-        """Head-major features padded so every per-head block is 128/H wide
-        (keeps the per-head weight multiply aligned with head slices)."""
-        dh = width // H
-        dh_pad = -(-dh * H // 128) * 128 // H if (dh * H) % 128 else dh
-        if dh_pad == dh:
-            return x[:, :width], dh
-        xs = x[:, :width].reshape(-1, H, dh)
-        xs = jnp.concatenate(
-            [xs, jnp.zeros((xs.shape[0], H, dh_pad - dh), x.dtype)],
-            axis=2)
-        return xs.reshape(-1, H * dh_pad), dh_pad
-
-    def unpad(y, dh_pad, dh, width):
-        if dh_pad == dh:
-            return y
-        return y.reshape(-1, H, dh_pad)[:, :, :dh].reshape(-1, width)
-
-    k_in, kdh = pad128(k, H * DSH)
-    q_in, qdh = pad128(q, H * DSH)
-    g_in, gdh = pad128(g, H * DVH)
-
-    # dq[r] = Σ_{e: dst=r} ds_e · k[src_e]  — CSC-side weighted SpMM
-    dq_h = _blocked_spmm(k_in, layout.padded_v,
-                         layout.padded_ids, layout.tile_starts,
-                         layout.tile_ends, layout.num_segments, nb, et,
-                         interpret, edge_w=pad_w(ds, Ep_csc))
-    dq_h = unpad(dq_h, kdh, DSH, H * DSH)
-    # dk[s] = Σ_{e: src=s} ds_e · q[dst_e]  — CSR-side (perm moves weights)
-    ds_csr = jnp.take(ds, perm, axis=0)
-    dk_h = _blocked_spmm(q_in, csr.padded_v, csr.padded_ids,
-                         csr.tile_starts, csr.tile_ends, csr.num_segments,
-                         nb, et, interpret, edge_w=pad_w(ds_csr, Ep_csr))
-    dk_h = unpad(dk_h, qdh, DSH, H * DSH)
-    # dv[s] = Σ_{e: src=s} p_e · g[dst_e]
-    p_csr = jnp.take(p, perm, axis=0)
-    dv_h = _blocked_spmm(g_in, csr.padded_v, csr.padded_ids,
-                         csr.tile_starts, csr.tile_ends, csr.num_segments,
-                         nb, et, interpret, edge_w=pad_w(p_csr, Ep_csr))
-    dv_h = unpad(dv_h, gdh, DVH, H * DVH)
-
-    def widen(x, D_full):
-        if x.shape[1] < D_full:
-            x = jnp.concatenate(
-                [x, jnp.zeros((x.shape[0], D_full - x.shape[1]),
-                              x.dtype)], axis=1)
-        return x
-
-    return (widen(dq_h, DS), widen(dk_h, DS), widen(dv_h, DV), None, None)
+    csr = bwd_aux[0]
+    dq, dk, dv = _fused_attention_bwd(
+        q, k, v, g, out, lse,
+        layout.padded_v, layout.padded_ids, layout.tile_starts,
+        layout.tile_ends,
+        csr.padded_v, csr.padded_ids, csr.tile_starts, csr.tile_ends,
+        layout.num_segments, H, leaky_slope, nb, et, interpret, dsh, dvh)
+    return dq, dk, dv, None, None
 
 
 fused_graph_attention.defvjp(_fga_fwd, _fga_bwd)
