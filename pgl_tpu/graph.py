@@ -423,12 +423,21 @@ class Graph:
         from .ops.pallas.segment_kernels import build_blocked_layout
         dst_idx = self.adj_dst_index
         src_idx = self.adj_src_index
+        # Above the chunk threshold the SpMM runs chunk-by-chunk so the
+        # gathered [E, D] message buffer never exceeds ~chunk_edges rows —
+        # keeps HBM bounded for 16M+-edge graphs (PGL_TPU_SPMM_CHUNK_EDGES
+        # overrides; 0 disables).
+        import os
+        chunk_thresh = int(os.environ.get("PGL_TPU_SPMM_CHUNK_EDGES",
+                                          4 * 1024 * 1024))
+        chunk = chunk_thresh if (chunk_thresh
+                                 and self._num_edges > chunk_thresh) else 0
         csc = build_blocked_layout(np.asarray(dst_idx.indptr),
                                    np.asarray(dst_idx.sorted_v),
-                                   self._num_nodes)
+                                   self._num_nodes, chunk_edges=chunk)
         csr = build_blocked_layout(np.asarray(src_idx.indptr),
                                    np.asarray(src_idx.sorted_v),
-                                   self._num_nodes)
+                                   self._num_nodes, chunk_edges=chunk)
         # for each CSR edge position, its CSC position (gather spec used by
         # the transposed backward passes: w_csr = w_csc[perm])
         inv_csc = np.empty(self._num_edges, dtype=np.int64)

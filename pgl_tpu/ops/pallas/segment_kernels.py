@@ -48,30 +48,46 @@ class BlockedLayout:
     tile_ends:    [G] int32 (exclusive, unaligned) last edge per row block
     num_segments: static node count (pytree aux data, stays a python int
                   under jit)
+    chunks:       optional static tuple of (block_lo, block_hi) row-block
+                  ranges — when set, the SpMM runs chunk-by-chunk so only
+                  ``chunk_cap`` gathered edge rows exist at a time (the
+                  [E, D] message buffer never exceeds the budget)
+    chunk_cap:    static per-chunk edge capacity (ET-aligned)
     """
 
     def __init__(self, padded_v, padded_ids, tile_starts, tile_ends,
-                 num_segments: int, num_edges: int = 0):
+                 num_segments: int, num_edges: int = 0,
+                 chunks=None, chunk_cap: int = 0):
         self.padded_v = padded_v
         self.padded_ids = padded_ids
         self.tile_starts = tile_starts
         self.tile_ends = tile_ends
         self.num_segments = num_segments
         self.num_edges = num_edges
+        self.chunks = chunks
+        self.chunk_cap = chunk_cap
 
     def tree_flatten(self):
         return ((self.padded_v, self.padded_ids, self.tile_starts,
-                 self.tile_ends), (self.num_segments, self.num_edges))
+                 self.tile_ends), (self.num_segments, self.num_edges,
+                                   self.chunks, self.chunk_cap))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1])
+        return cls(*children, *aux)
 
 
 def build_blocked_layout(indptr, sorted_v, num_segments: int,
                          nb: int = NB_DEFAULT,
-                         et: int = ET_DEFAULT) -> BlockedLayout:
-    """Host-side (numpy) construction; call once at Graph.tensor() time."""
+                         et: int = ET_DEFAULT,
+                         chunk_edges: int = 0) -> BlockedLayout:
+    """Host-side (numpy) construction; call once at Graph.tensor() time.
+
+    ``chunk_edges`` > 0 plans row-block chunks whose edge spans fit that
+    budget (grown to the largest single block's span if a hub row block
+    exceeds it); the SpMM then materializes at most ~``chunk_edges``
+    gathered message rows at a time instead of all ``E``.
+    """
     indptr = np.asarray(indptr, dtype=np.int64)
     sorted_v = np.asarray(sorted_v, dtype=np.int64)
     E = len(sorted_v)
@@ -82,6 +98,22 @@ def build_blocked_layout(indptr, sorted_v, num_segments: int,
     tile_starts = (indptr[lo_idx] // et) * et
     tile_ends = indptr[hi_idx]
     Ep = max(((E + et - 1) // et) * et + et, et)
+
+    chunks, cap = None, 0
+    if chunk_edges and G:
+        cap = max(int(chunk_edges),
+                  int((tile_ends - tile_starts).max()))
+        cap = (cap + et - 1) // et * et
+        plan, b0 = [], 0
+        for b in range(1, G):
+            if tile_ends[b] - tile_starts[b0] > cap:
+                plan.append((b0, b))
+                b0 = b
+        plan.append((b0, G))
+        chunks = tuple(plan)
+        # every chunk's [start, start+cap) window must stay in bounds
+        Ep = max(Ep, int(max(tile_starts[b0] for b0, _ in chunks)) + cap)
+
     padded_v = np.zeros(Ep, dtype=np.int32)
     padded_v[:E] = sorted_v
     padded_ids = np.full(Ep, n_pad, dtype=np.int32)  # sentinel
@@ -91,7 +123,7 @@ def build_blocked_layout(indptr, sorted_v, num_segments: int,
     return BlockedLayout(jnp.asarray(padded_v), jnp.asarray(padded_ids),
                          jnp.asarray(tile_starts.astype(np.int32)),
                          jnp.asarray(tile_ends.astype(np.int32)),
-                         int(num_segments), int(E))
+                         int(num_segments), int(E), chunks, cap)
 
 
 def _kernel(tile_starts_ref, tile_ends_ref,   # [G] SMEM scalar prefetch
@@ -99,12 +131,13 @@ def _kernel(tile_starts_ref, tile_ends_ref,   # [G] SMEM scalar prefetch
             ids_ref,                          # [Ep/128, 128] HBM int32
             out_ref,                          # [NB, D] VMEM
             msg_tile, ids_tile, onehot_tile, sem_m, sem_i,
-            *, NB: int, ET: int, D: int):
+            *, NB: int, ET: int, D: int, RB0: int = 0):
     i = pl.program_id(0)
     e0 = tile_starts_ref[i]          # ET-aligned
     e1 = tile_ends_ref[i]
     num_tiles = (e1 - e0 + ET - 1) // ET
-    row_base = i * NB
+    # RB0: first global row of this pallas_call (nonzero for chunked runs)
+    row_base = RB0 + i * NB
     ER = ET // 128                   # id rows per tile
 
     def tile_dma(slot, t):
@@ -278,31 +311,15 @@ def _fused_gather_enabled() -> bool:
     return os.environ.get("PGL_TPU_FUSED_GATHER", "0") == "1"
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_segments", "nb", "et", "interpret"))
-def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
-                  num_segments: int, nb: int, et: int, interpret: bool,
-                  edge_w=None):
-    D = feature.shape[1]
-    msgs = jnp.take(feature, padded_v, axis=0)
-    if edge_w is not None:
-        if edge_w.ndim == 2:
-            # per-head weights: [Ep, H] against [Ep, H*dh] head-major rows
-            H = edge_w.shape[1]
-            dh = D // H
-            msgs = (msgs.reshape(-1, H, dh)
-                    * edge_w[:, :, None]).reshape(-1, D)
-        else:
-            msgs = msgs * edge_w[:, None]
-    n_pad = (num_segments + nb - 1) // nb * nb
-    G = n_pad // nb
-    if tile_starts.shape[0] != G:
-        raise ValueError(
-            f"layout was built for a different row-block size: "
-            f"{tile_starts.shape[0]} blocks vs grid {G} — pass the same "
-            f"nb/et to build_blocked_layout and the kernel")
-    out = pl.pallas_call(
-        functools.partial(_kernel, NB=nb, ET=et, D=D),
+def _spmm_pallas(msgs, padded_ids, tile_starts, tile_ends, n_rows: int,
+                 nb: int, et: int, interpret: bool, rb0: int = 0):
+    """One pallas_call over ``tile_starts.shape[0]`` row blocks; edge
+    offsets are relative to ``msgs``/``padded_ids``, and ``rb0`` is the
+    first global row id of the call (ids stay global). [n_rows, D]."""
+    D = msgs.shape[1]
+    G = tile_starts.shape[0]
+    return pl.pallas_call(
+        functools.partial(_kernel, NB=nb, ET=et, D=D, RB0=rb0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(G,),
@@ -320,13 +337,69 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, D), feature.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_rows, D), msgs.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * int(msgs.shape[0]) * nb * D,
-            bytes_accessed=int(msgs.shape[0]) * D * 4 + n_pad * D * 4,
+            bytes_accessed=int(msgs.shape[0]) * D * 4 + n_rows * D * 4,
             transcendentals=0),
     )(tile_starts, tile_ends, msgs, padded_ids)
+
+
+def _weighted_msgs(msgs, edge_w, D):
+    if edge_w.ndim == 2:
+        # per-head weights: [Ep, H] against [Ep, H*dh] head-major rows
+        H = edge_w.shape[1]
+        dh = D // H
+        return (msgs.reshape(-1, H, dh) * edge_w[:, :, None]).reshape(-1, D)
+    return msgs * edge_w[:, None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "nb", "et", "interpret",
+                                    "chunks", "chunk_cap"))
+def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
+                  num_segments: int, nb: int, et: int, interpret: bool,
+                  edge_w=None, chunks=None, chunk_cap: int = 0):
+    D = feature.shape[1]
+    n_pad = (num_segments + nb - 1) // nb * nb
+    G = n_pad // nb
+    if tile_starts.shape[0] != G:
+        raise ValueError(
+            f"layout was built for a different row-block size: "
+            f"{tile_starts.shape[0]} blocks vs grid {G} — pass the same "
+            f"nb/et to build_blocked_layout and the kernel")
+
+    if chunks is None or len(chunks) <= 1:
+        msgs = jnp.take(feature, padded_v, axis=0)
+        if edge_w is not None:
+            msgs = _weighted_msgs(msgs, edge_w, D)
+        out = _spmm_pallas(msgs, padded_ids, tile_starts, tile_ends, n_pad,
+                           nb, et, interpret)
+        return out[:num_segments]
+
+    # chunked: only chunk_cap gathered rows live at a time (bounded HBM) —
+    # each chunk's row blocks cover disjoint output rows, so the results
+    # simply concatenate; edges outside a block's [ts, te) span never enter
+    # its accumulation, so window overlap is harmless.
+    outs = []
+    ids_flat_rows = padded_ids.shape[0]
+    for b0, b1 in chunks:
+        off = tile_starts[b0]                       # ET-aligned
+        v_c = jax.lax.dynamic_slice(padded_v, (off,), (chunk_cap,))
+        ids_c = jax.lax.dynamic_slice(
+            padded_ids, (off // 128, 0), (chunk_cap // 128, 128))
+        msgs = jnp.take(feature, v_c, axis=0)
+        if edge_w is not None:
+            w_c = jax.lax.dynamic_slice(
+                edge_w, (off,) + (0,) * (edge_w.ndim - 1),
+                (chunk_cap,) + edge_w.shape[1:])
+            msgs = _weighted_msgs(msgs, w_c, D)
+        ts = tile_starts[b0:b1] - off
+        te = tile_ends[b0:b1] - off
+        outs.append(_spmm_pallas(msgs, ids_c, ts, te, (b1 - b0) * nb,
+                                 nb, et, interpret, rb0=b0 * nb))
+    out = jnp.concatenate(outs, axis=0)
     return out[:num_segments]
 
 
@@ -350,7 +423,8 @@ def _spmm_one(feature, layout, nb, et, interpret):
                                    nb, et, interpret)
     return _blocked_spmm(feature, layout.padded_v, layout.padded_ids,
                          layout.tile_starts, layout.tile_ends,
-                         layout.num_segments, nb, et, interpret)
+                         layout.num_segments, nb, et, interpret,
+                         chunks=layout.chunks, chunk_cap=layout.chunk_cap)
 
 
 def _spmm_fwd(feature, csc, csr, nb, et, interpret):
@@ -419,13 +493,15 @@ def spmm_weighted(feature, w_csc, w_csr, csc: BlockedLayout,
     """
     return _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
                          csc.tile_starts, csc.tile_ends, csc.num_segments,
-                         nb, et, interpret, edge_w=w_csc)
+                         nb, et, interpret, edge_w=w_csc,
+                         chunks=csc.chunks, chunk_cap=csc.chunk_cap)
 
 
 def _spmm_w_fwd(feature, w_csc, w_csr, csc, csr, nb, et, interpret):
     out = _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
                         csc.tile_starts, csc.tile_ends, csc.num_segments,
-                        nb, et, interpret, edge_w=w_csc)
+                        nb, et, interpret, edge_w=w_csc,
+                        chunks=csc.chunks, chunk_cap=csc.chunk_cap)
     return out, (feature, w_csc, w_csr, csc, csr)
 
 
@@ -434,7 +510,8 @@ def _spmm_w_bwd(nb, et, interpret, res, g):
     # dx: transposed weighted SpMM over the CSR layout
     dx = _blocked_spmm(g, csr_l.padded_v, csr_l.padded_ids,
                        csr_l.tile_starts, csr_l.tile_ends,
-                       csr_l.num_segments, nb, et, interpret, edge_w=w_csr)
+                       csr_l.num_segments, nb, et, interpret, edge_w=w_csr,
+                       chunks=csr_l.chunks, chunk_cap=csr_l.chunk_cap)
     # dw (CSC order): <g[dst_e], x[src_e]> per edge — two gathers + rowdot
     g_e = jnp.take(g, csc_l.padded_ids.reshape(-1), axis=0,
                    mode="fill", fill_value=0)

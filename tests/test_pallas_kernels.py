@@ -308,3 +308,87 @@ def test_fused_gather_matches_base_and_toggle(monkeypatch):
     g_base = jax.grad(loss)(x)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_base),
                                rtol=0, atol=0)
+
+
+def test_chunked_spmm_matches_unchunked():
+    """chunk_edges forces multi-chunk execution; outputs and gradients must
+    be bit-identical to the single-call path (incl. hub blocks that grow
+    the cap and the weighted variant)."""
+    from pgl_tpu.ops.pallas.segment_kernels import (build_blocked_layout,
+                                                    spmm, spmm_weighted)
+    rng = np.random.default_rng(11)
+    N, E, D = 900, 7000, 128
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate([[0],
+                               np.cumsum(np.bincount(src, minlength=N))])
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    base_csc = build_blocked_layout(indptr, src, N, 128, 256)
+    base_csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
+    # tiny budget → many chunks (each covering few 128-row blocks)
+    ch_csc = build_blocked_layout(indptr, src, N, 128, 256,
+                                  chunk_edges=1024)
+    ch_csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256,
+                                  chunk_edges=1024)
+    assert ch_csc.chunks is not None and len(ch_csc.chunks) > 2
+
+    ref = spmm(x, base_csc, base_csr, 128, 256, True)
+    out = spmm(x, ch_csc, ch_csr, 128, 256, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g1 = jax.grad(lambda x: (spmm(x, base_csc, base_csr, 128, 256, True)
+                             ** 2).sum())(x)
+    g2 = jax.grad(lambda x: (spmm(x, ch_csc, ch_csr, 128, 256, True)
+                             ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-4)
+
+    # weighted variant through the chunked path
+    w = rng.normal(size=E).astype(np.float32)
+    w_csc = jnp.zeros(ch_csc.padded_v.shape[0], jnp.float32).at[:E].set(
+        jnp.asarray(w))
+    w_csr = jnp.zeros(ch_csr.padded_v.shape[0], jnp.float32).at[:E].set(
+        jnp.asarray(w[order]))
+    w_csc_b = jnp.zeros(base_csc.padded_v.shape[0], jnp.float32
+                        ).at[:E].set(jnp.asarray(w))
+    w_csr_b = jnp.zeros(base_csr.padded_v.shape[0], jnp.float32
+                        ).at[:E].set(jnp.asarray(w[order]))
+    ref_w = spmm_weighted(x, w_csc_b, w_csr_b, base_csc, base_csr,
+                          128, 256, True)
+    out_w = spmm_weighted(x, w_csc, w_csr, ch_csc, ch_csr, 128, 256, True)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_hub_grows_cap():
+    """A hub row block larger than the budget grows chunk_cap instead of
+    splitting a block (correctness over budget)."""
+    from pgl_tpu.ops.pallas.segment_kernels import (build_blocked_layout,
+                                                    spmm)
+    rng = np.random.default_rng(12)
+    N, E, D = 512, 4000, 128
+    # node 0 absorbs most edges → its 128-row block exceeds the budget
+    dst = np.sort(np.concatenate([
+        np.zeros(E // 2, np.int64),
+        rng.integers(0, N, E - E // 2)])).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate([[0],
+                               np.cumsum(np.bincount(src, minlength=N))])
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    ch_csc = build_blocked_layout(indptr, src, N, 128, 256,
+                                  chunk_edges=512)
+    ch_csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256,
+                                  chunk_edges=512)
+    assert ch_csc.chunk_cap >= E // 2
+    base_csc = build_blocked_layout(indptr, src, N, 128, 256)
+    base_csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
+    np.testing.assert_allclose(
+        np.asarray(spmm(x, ch_csc, ch_csr, 128, 256, True)),
+        np.asarray(spmm(x, base_csc, base_csr, 128, 256, True)),
+        rtol=1e-5, atol=1e-5)
