@@ -64,29 +64,23 @@ class DistGraph:
 
     @classmethod
     def from_edge_file(cls, files: Union[str, Sequence[str]], work_dir: str,
-                       symmetry: bool = True, delimiter: str = "\t",
-                       num_nodes: Optional[int] = None) -> "DistGraph":
+                       symmetry: bool = True,
+                       num_nodes: Optional[int] = None,
+                       chunk_bytes: int = 16 * 1024 * 1024) -> "DistGraph":
         """Build from ``src<TAB>dst`` text files (the reference's
         ``load_edge_file`` ingestion, ``src/graph.py:107-127``).
 
-        ``symmetry=True`` adds reverse edges, matching the reference's
-        default for undirected graphs.
+        Out-of-core: the files are streamed twice (degree count, then CSR
+        scatter into memmapped npy shards) with O(num_nodes + chunk)
+        working memory — the edge set never exists in RAM, matching the
+        reference's shard-by-shard ingestion
+        (``sharding_tool/graph_sharding.py``). ``symmetry=True`` adds
+        reverse edges, the reference's default for undirected graphs.
         """
-        if isinstance(files, str):
-            files = [files]
-        chunks = []
-        for f in files:
-            arr = np.loadtxt(f, dtype=np.int64, delimiter=delimiter,
-                             usecols=(0, 1), ndmin=2)
-            if arr.size:
-                chunks.append(arr)
-        edges = (np.concatenate(chunks) if chunks
-                 else np.zeros((0, 2), dtype=np.int64))
-        if symmetry and len(edges):
-            edges = np.concatenate([edges, edges[:, ::-1]])
-        if num_nodes is None:
-            num_nodes = int(edges.max()) + 1 if len(edges) else 0
-        return cls.from_graph(Graph(edges, num_nodes=num_nodes), work_dir)
+        from .ingest import build_graph_external
+        build_graph_external(files, work_dir, num_nodes=num_nodes,
+                             symmetry=symmetry, chunk_bytes=chunk_bytes)
+        return cls(work_dir)
 
     @property
     def num_nodes(self) -> int:
