@@ -32,100 +32,190 @@ __all__ = ["DistGraphServer", "DistGraphClient", "stream_shuffle_generator"]
 
 
 class _GraphShard:
-    """Per-server storage: etype → {src: (neighbors, weights)} plus typed
-    node sets and feature tables."""
+    """Per-server storage: etype → CSR over the locally-owned srcs, typed
+    node sets as sorted id arrays, features as sorted parallel arrays.
+
+    Array-backed on purpose: ingestion appends numpy chunks (no per-edge
+    python objects, ~12 bytes/edge vs ~100 for dict-of-lists) and the CSR
+    compacts lazily on first query after a mutation — the same
+    store-then-index shape as the reference's C++ engine
+    (``pgl/distributed/dist_graph.py:124-131`` scale posture)."""
 
     def __init__(self, server_id: int, num_servers: int,
                  edge_types: List[str], node_types: List[str]):
         self.server_id = server_id
         self.num_servers = num_servers
-        self.adj: Dict[str, Dict[int, list]] = {
-            e: defaultdict(list) for e in edge_types}
-        self.adj_w: Dict[str, Dict[int, list]] = {
-            e: defaultdict(list) for e in edge_types}
-        self.nodes_by_type: Dict[str, set] = {t: set() for t in node_types}
-        self.node_feat: Dict[str, Dict[str, dict]] = defaultdict(dict)
-        self._alias: Dict[str, dict] = defaultdict(dict)
+        # etype → list of (src, dst, w|None) pending numpy chunks
+        self._pending: Dict[str, list] = {e: [] for e in edge_types}
+        # etype → (ids [U] sorted unique srcs, indptr [U+1], nbrs [E], w|None)
+        self._csr: Dict[str, Optional[tuple]] = {e: None for e in edge_types}
+        self._alias: Dict[str, dict] = defaultdict(dict)  # etype → {pos: tbl}
+        self._node_chunks: Dict[str, list] = {t: [] for t in node_types}
+        self._nodes: Dict[str, Optional[np.ndarray]] = \
+            {t: None for t in node_types}
+        # (ntype, name) → list of (ids, values) chunks / compacted pair
+        self._feat_chunks: Dict[tuple, list] = defaultdict(list)
+        self._feat: Dict[tuple, Optional[tuple]] = defaultdict(lambda: None)
 
     # -- ingestion ----------------------------------------------------------
 
     def add_edges(self, etype: str, src, dst, weights=None):
-        src = np.asarray(src)
-        dst = np.asarray(dst)
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
         mine = (src % self.num_servers) == self.server_id
-        ws = np.asarray(weights) if weights is not None else None
-        for i in np.nonzero(mine)[0]:
-            s, d = int(src[i]), int(dst[i])
-            self.adj[etype][s].append(d)
-            if ws is not None:
-                self.adj_w[etype][s].append(float(ws[i]))
+        ws = (np.asarray(weights, dtype=np.float64)[mine]
+              if weights is not None else None)
+        self._pending[etype].append((src[mine], dst[mine], ws))
+        self._csr[etype] = None
         self._alias[etype].clear()
         return int(mine.sum())
 
     def add_nodes(self, ntype: str, nodes):
-        nodes = np.asarray(nodes)
+        nodes = np.asarray(nodes, dtype=np.int64)
         mine = nodes[(nodes % self.num_servers) == self.server_id]
-        self.nodes_by_type[ntype].update(int(n) for n in mine)
+        self._node_chunks[ntype].append(mine)
+        self._nodes[ntype] = None
         return len(mine)
 
     def set_node_feat(self, ntype: str, name: str, nodes, values):
-        table = self.node_feat[ntype].setdefault(name, {})
-        for n, v in zip(np.asarray(nodes), values):
-            if int(n) % self.num_servers == self.server_id:
-                table[int(n)] = v
+        nodes = np.asarray(nodes, dtype=np.int64)
+        mine = (nodes % self.num_servers) == self.server_id
+        vals = np.asarray(values, dtype=object)[mine]
+        self._feat_chunks[(ntype, name)].append((nodes[mine], vals))
+        self._feat[(ntype, name)] = None
         return True
 
+    # -- lazy compaction -----------------------------------------------------
+
+    def _ensure_csr(self, etype: str):
+        csr = self._csr.get(etype)
+        if csr is not None:
+            return csr
+        chunks = self._pending.get(etype, [])
+        if not chunks:
+            empty = (np.zeros(0, np.int64), np.zeros(1, np.int64),
+                     np.zeros(0, np.int64), None)
+            self._csr[etype] = empty
+            return empty
+        src = np.concatenate([c[0] for c in chunks])
+        dst = np.concatenate([c[1] for c in chunks])
+        has_w = any(c[2] is not None for c in chunks)
+        w = (np.concatenate([
+            c[2] if c[2] is not None else np.ones(len(c[0]))
+            for c in chunks]) if has_w else None)
+        order = np.argsort(src, kind="stable")
+        src_s = src[order]
+        ids, counts = np.unique(src_s, return_counts=True)
+        indptr = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        csr = (ids, indptr, dst[order], w[order] if w is not None else None)
+        self._csr[etype] = csr
+        return csr
+
+    def _ensure_nodes(self, ntype: Optional[str]) -> np.ndarray:
+        if ntype is None:
+            pools = [self._ensure_nodes(t) for t in self._node_chunks]
+            return (np.unique(np.concatenate(pools)) if pools
+                    else np.zeros(0, np.int64))
+        pool = self._nodes.get(ntype)
+        if pool is None:
+            chunks = self._node_chunks.get(ntype, [])
+            pool = (np.unique(np.concatenate(chunks)) if chunks
+                    else np.zeros(0, np.int64))
+            self._nodes[ntype] = pool
+        return pool
+
+    def _ensure_feat(self, ntype: str, name: str):
+        key = (ntype, name)
+        tab = self._feat.get(key)
+        if tab is None:
+            chunks = self._feat_chunks.get(key, [])
+            if not chunks:
+                tab = (np.zeros(0, np.int64), np.zeros(0, object))
+            else:
+                ids = np.concatenate([c[0] for c in chunks])
+                vals = np.concatenate([c[1] for c in chunks])
+                # later chunks win on duplicates (last write)
+                order = np.arange(len(ids))[::-1]
+                uids, first = np.unique(ids[order], return_index=True)
+                tab = (uids, vals[order][first])
+            self._feat[key] = tab
+        return tab
+
     # -- queries ------------------------------------------------------------
+
+    def get_neighbors(self, etype: str, nodes, cap: int = 0):
+        """Full adjacency (and weights) per node — the client-side LRU
+        cache's fill method (reference ``use_neighbors_sample_cache``,
+        ``dist_graph.py:208-456``). ``cap`` > 0 returns None for nodes with
+        degree above it (too big to cache — client falls back to server
+        sampling)."""
+        ids, indptr, nbrs, w = self._ensure_csr(etype)
+        out_n, out_w = [], []
+        for n in np.asarray(nodes, dtype=np.int64):
+            pos = np.searchsorted(ids, n)
+            if pos >= len(ids) or ids[pos] != n:
+                out_n.append(np.zeros(0, np.int64))
+                out_w.append(None)
+                continue
+            lo, hi = indptr[pos], indptr[pos + 1]
+            if cap and hi - lo > cap:
+                out_n.append(None)
+                out_w.append(None)
+                continue
+            out_n.append(nbrs[lo:hi].copy())
+            out_w.append(w[lo:hi].copy() if w is not None else None)
+        return out_n, out_w
 
     def sample_neighbors(self, etype: str, nodes, max_degree: int,
                          seed: int = 0):
         """Uniform (or weighted when weights were loaded) neighbor sample."""
         rng = np.random.default_rng(seed)
+        ids, indptr, nbrs, w = self._ensure_csr(etype)
         out = []
-        adj = self.adj[etype]
-        adj_w = self.adj_w[etype]
-        for n in np.asarray(nodes):
-            nbrs = adj.get(int(n), [])
-            if not nbrs:
+        for n in np.asarray(nodes, dtype=np.int64):
+            pos = np.searchsorted(ids, n)
+            if pos >= len(ids) or ids[pos] != n:
                 out.append(np.zeros(0, dtype=np.int64))
                 continue
-            if len(nbrs) <= max_degree:
-                out.append(np.asarray(nbrs, dtype=np.int64))
+            lo, hi = int(indptr[pos]), int(indptr[pos + 1])
+            deg = hi - lo
+            if deg <= max_degree:
+                out.append(nbrs[lo:hi].copy())
                 continue
-            ws = adj_w.get(int(n))
-            if ws:
-                tbl = self._alias[etype].get(int(n))
+            if w is not None:
+                tbl = self._alias[etype].get(pos)
                 if tbl is None:
-                    tbl = native.alias_sample_build_table(np.asarray(ws))
-                    self._alias[etype][int(n)] = tbl
+                    tbl = native.alias_sample_build_table(w[lo:hi])
+                    self._alias[etype][pos] = tbl
                 idx = native.alias_sample(tbl[0], tbl[1], max_degree,
                                           seed=rng.integers(1 << 31))
-                out.append(np.asarray(nbrs)[idx])
+                out.append(nbrs[lo:hi][idx])
             else:
-                sel = rng.choice(len(nbrs), size=max_degree, replace=False)
-                out.append(np.asarray(nbrs)[sel])
+                sel = rng.choice(deg, size=max_degree, replace=False)
+                out.append(nbrs[lo + sel])
         return out
 
     def random_sample_nodes(self, node_type: Optional[str], size: int,
                             seed: int = 0):
-        pool = (sorted(set().union(*self.nodes_by_type.values()))
-                if node_type is None
-                else sorted(self.nodes_by_type.get(node_type, ())))
-        if not pool:
+        pool = self._ensure_nodes(node_type)
+        if not len(pool):
             return np.zeros(0, dtype=np.int64)
         rng = np.random.default_rng(seed)
-        return rng.choice(np.asarray(pool), size=min(size, len(pool)),
-                          replace=False)
+        return rng.choice(pool, size=min(size, len(pool)), replace=False)
 
     def iter_nodes(self, node_type: Optional[str], start: int, count: int):
-        pool = (sorted(set().union(*self.nodes_by_type.values()))
-                if node_type is None
-                else sorted(self.nodes_by_type.get(node_type, ())))
-        return np.asarray(pool[start:start + count], dtype=np.int64)
+        pool = self._ensure_nodes(node_type)
+        return pool[start:start + count]
 
     def get_node_feat(self, ntype: str, name: str, nodes):
-        table = self.node_feat.get(ntype, {}).get(name, {})
-        return [table.get(int(n)) for n in np.asarray(nodes)]
+        ids, vals = self._ensure_feat(ntype, name)
+        out = []
+        for n in np.asarray(nodes, dtype=np.int64):
+            pos = np.searchsorted(ids, n)
+            out.append(vals[pos] if pos < len(ids) and ids[pos] == n
+                       else None)
+        return out
 
     def ping(self):
         return "pong"
@@ -183,7 +273,8 @@ class DistGraphClient:
     (reference ``dist_graph.py:134``)."""
 
     def __init__(self, config, shard_num: int, ip_config, client_id: int,
-                 use_cache: bool = False):
+                 use_cache: bool = False, cache_size: int = 100_000,
+                 cache_degree_cap: int = 512):
         self.config = helper.load_config(config)
         self.client_id = client_id
         self.ip_addr = helper.load_ip_addr(ip_config)
@@ -199,6 +290,17 @@ class DistGraphClient:
         for item in (self.config.nfeat_info or []):
             ntype, name, dtype, dim = item
             self._nfeat_info[(ntype, name)] = (dtype, int(dim))
+        # neighbor-adjacency LRU (reference use_neighbors_sample_cache,
+        # pgl/distributed/dist_graph.py:208-456): cache each node's full
+        # neighbor list (degree <= cache_degree_cap) and sample locally —
+        # repeat walks over hot nodes skip the RPC entirely.
+        self.use_cache = bool(use_cache)
+        self._cache_size = int(cache_size)
+        self._cache_degree_cap = int(cache_degree_cap)
+        from collections import OrderedDict
+        self._nbr_cache: "OrderedDict" = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     # -- data loading (reference ``:208-223``) -------------------------------
 
@@ -238,6 +340,11 @@ class DistGraphClient:
     def sample_successor(self, nodes, max_degree: int, edge_type: str,
                          seed: int = 0):
         nodes = np.asarray(nodes, dtype=np.int64)
+        if self.use_cache:
+            return self._sample_cached(nodes, max_degree, edge_type, seed)
+        return self._sample_rpc(nodes, max_degree, edge_type, seed)
+
+    def _sample_rpc(self, nodes, max_degree, edge_type, seed):
         owners = nodes % self.num_servers
         results: List = [None] * len(nodes)
         for s in range(self.num_servers):
@@ -249,6 +356,64 @@ class DistGraphClient:
             for i, r in zip(idx, res):
                 results[i] = r
         return results
+
+    def _sample_cached(self, nodes, max_degree, edge_type, seed):
+        rng = np.random.default_rng(seed)
+        cache = self._nbr_cache
+        results: List = [None] * len(nodes)
+        misses: List[int] = []
+        for i, n in enumerate(nodes):
+            key = (edge_type, int(n))
+            hit = cache.get(key)
+            if hit is None:
+                misses.append(i)
+                continue
+            cache.move_to_end(key)
+            self.cache_hits += 1
+            results[i] = self._local_sample(hit, max_degree, rng)
+        if misses:
+            self.cache_misses += len(misses)
+            miss_nodes = nodes[np.asarray(misses)]
+            owners = miss_nodes % self.num_servers
+            for s in range(self.num_servers):
+                sel = np.nonzero(owners == s)[0]
+                if sel.size == 0:
+                    continue
+                nbrs, wts = self._conns[s].call(
+                    "get_neighbors", edge_type, miss_nodes[sel],
+                    self._cache_degree_cap)
+                big = [int(miss_nodes[sel][j]) for j, nb in enumerate(nbrs)
+                       if nb is None]
+                big_res = {}
+                if big:
+                    # over-cap hubs: sample on the server, don't cache
+                    res = self._conns[s].call("sample_neighbors", edge_type,
+                                              np.asarray(big), max_degree,
+                                              seed + s)
+                    big_res = dict(zip(big, res))
+                for j, (nb, w) in enumerate(zip(nbrs, wts)):
+                    i = misses[int(sel[j])]
+                    n = int(miss_nodes[sel[j]])
+                    if nb is None:
+                        results[i] = big_res[n]
+                        continue
+                    cache[(edge_type, n)] = (nb, w)
+                    while len(cache) > self._cache_size:
+                        cache.popitem(last=False)
+                    results[i] = self._local_sample((nb, w), max_degree, rng)
+        return results
+
+    @staticmethod
+    def _local_sample(entry, max_degree, rng):
+        nbrs, w = entry
+        if len(nbrs) <= max_degree:
+            return nbrs.copy()
+        if w is not None:
+            p = w / w.sum()
+            sel = rng.choice(len(nbrs), size=max_degree, replace=True, p=p)
+        else:
+            sel = rng.choice(len(nbrs), size=max_degree, replace=False)
+        return nbrs[sel]
 
     def sample_predecessor(self, nodes, max_degree: int, edge_type: str,
                            seed: int = 0):

@@ -130,3 +130,48 @@ def test_node_feat(service):
     c.set_node_feat("u", "a", [11, 12], [1.5, 2.5])
     vals = c.get_node_feat([11, 12, 13], "u", "a")
     assert vals[0] == 1.5 and vals[1] == 2.5 and vals[2] is None
+
+
+def test_neighbor_sample_lru_cache(service, tmp_path_factory):
+    """use_cache=True: first sample fills the LRU from get_neighbors, the
+    second is served locally (hit counter), results stay the full neighbor
+    set whenever degree <= max_degree (reference
+    use_neighbors_sample_cache, pgl/distributed/dist_graph.py:208-456)."""
+    base = service[0]
+    cached = DistGraphClient(base.config, shard_num=4,
+                             ip_config=base.ip_addr, client_id=9,
+                             use_cache=True, cache_size=64)
+    try:
+        ref = base.sample_successor([11, 12, 13], max_degree=10,
+                                    edge_type="u2e2t")
+        out1 = cached.sample_successor([11, 12, 13], max_degree=10,
+                                       edge_type="u2e2t")
+        assert cached.cache_misses == 3 and cached.cache_hits == 0
+        out2 = cached.sample_successor([11, 12, 13], max_degree=10,
+                                       edge_type="u2e2t")
+        assert cached.cache_hits == 3
+        for r, a, b in zip(ref, out1, out2):
+            np.testing.assert_array_equal(sorted(a), sorted(r))
+            np.testing.assert_array_equal(sorted(b), sorted(r))
+        # truncated sampling still draws from the true neighbor set
+        small = cached.sample_successor([13], max_degree=2,
+                                        edge_type="u2e2t")[0]
+        assert len(small) == 2
+        assert set(small.tolist()) <= {201, 202, 207, 208}
+    finally:
+        cached._conns = []  # servers shut down by the fixture
+
+
+def test_lru_eviction(service):
+    base = service[0]
+    cached = DistGraphClient(base.config, shard_num=4,
+                             ip_config=base.ip_addr, client_id=10,
+                             use_cache=True, cache_size=2)
+    try:
+        cached.sample_successor([11, 12, 13], max_degree=10,
+                                edge_type="u2e2t")
+        assert len(cached._nbr_cache) == 2  # evicted down to capacity
+        cached.sample_successor([13], max_degree=10, edge_type="u2e2t")
+        assert cached.cache_hits == 1      # 13 stayed (most recent)
+    finally:
+        cached._conns = []
