@@ -105,23 +105,119 @@ def main():
                          gc, gc.node_feat["h"], yc, iters=50, repeats=3)
     vs_baseline = 0.0047 / t_cora
 
-    # --- fused graph-attention forward (GATConv, 8 heads) -----------------
-    import pgl_tpu.nn as gnn
-    ga = powerlaw_graph(num_nodes=65536, avg_degree=16, feat_dim=128,
-                        seed=1).tensor()
-    gat = gnn.GATConv(128, 16, num_heads=8, feat_drop=0.0, attn_drop=0.0)
-    gat_params = gat.init(jax.random.key(0), ga, ga.node_feat["h"])
+    # --- SpMM / SDDMM speed-of-light fraction (BASELINE.json metric) ------
+    # Minimal-traffic model: SpMM must read each gathered src row once
+    # (E·D·4), the edge ids (E·4), and write the output (N·D·4); SDDMM
+    # reads two gathered operands and writes per-edge output. Fraction =
+    # model-time at HBM bandwidth / measured time (chained x_{t+1}=f(x_t)
+    # inside one jit so nothing overlaps across iterations).
+    hbm_gbps = float(os.environ.get("PGL_TPU_HBM_GBPS", 819.0))  # v5e
+    R = 8
+    D = feat_dim
+    x0 = g.node_feat["h"]
 
     @jax.jit
-    def gat_loop(x):
-        return jax.lax.fori_loop(
-            0, 5, lambda i, v: v * 0.5 +
-            gat.apply(gat_params, ga, v) * 1e-3, x)
+    def spmm_loop(g, x):
+        def body(i, x):
+            y = g.send_recv(x, "sum")
+            return y * (1.0 / (1.0 + jnp.max(jnp.abs(y)) * 1e-6))
+        return jax.lax.fori_loop(0, R, body, x)
 
-    o = gat_loop(ga.node_feat["h"]); float(o[0, 0])
+    o = spmm_loop(g, x0); float(o[0, 0])
     t0 = time.perf_counter()
-    o = gat_loop(ga.node_feat["h"]); float(o[0, 0])
-    t_gat = (time.perf_counter() - t0) / 5
+    o = spmm_loop(g, x0); float(o[0, 0])
+    t_spmm = (time.perf_counter() - t0) / R
+    sol_spmm = ((E * D * 4 + E * 4 + num_nodes * D * 4) / (hbm_gbps * 1e9)
+                ) / t_spmm
+
+    @jax.jit
+    def sddmm_loop(g, x):
+        def body(i, x):
+            y = g.send_uv(x, x, "mul")            # [E, D]
+            return x + y[:x.shape[0]] * 1e-9
+        return jax.lax.fori_loop(0, R, body, x)
+
+    o = sddmm_loop(g, x0); float(o[0, 0])
+    t0 = time.perf_counter()
+    o = sddmm_loop(g, x0); float(o[0, 0])
+    t_sddmm = (time.perf_counter() - t0) / R
+    sol_sddmm = ((3 * E * D * 4 + 2 * E * 4) / (hbm_gbps * 1e9)) / t_sddmm
+
+    # --- GAT training step (fused fwd + fused flash-style bwd) ------------
+    from pgl_tpu.models import GAT
+    ga = powerlaw_graph(num_nodes=65536, avg_degree=16, feat_dim=128,
+                        seed=1).tensor()
+    E_gat = ga.num_edges
+    y_gat = jnp.asarray(np.random.default_rng(1)
+                        .integers(0, 16, 65536).astype(np.int32))
+    gat_model = GAT(input_size=128, num_class=16, num_heads=8,
+                    hidden_size=8, feat_drop=0.0, attn_drop=0.0)
+    gat_params = gat_model.init(jax.random.key(0), ga, ga.node_feat["h"])
+    gat_opt = optax.adam(1e-3)
+    gat_step = _build_train_step(gat_model, gat_opt)
+    t_gat_step = _time_steps(gat_step, gat_params, gat_opt.init(gat_params),
+                             ga, ga.node_feat["h"], y_gat, warmup=3,
+                             iters=10)
+
+    # --- minibatch GraphSAGE (host sampler + jitted bucket-padded step) ---
+    from pgl_tpu import Graph
+    from pgl_tpu.models import GraphSage
+    from pgl_tpu.sampling import graphsage_sample
+    from pgl_tpu.datasets import community_graph
+    gs, y_all = community_graph(num_nodes=100_000, num_classes=16,
+                                feat_dim=128, avg_degree=12, seed=2)
+    feat_all = np.asarray(gs.node_feat["h"])
+    sage = GraphSage(input_size=128, num_class=16, num_layers=2,
+                     hidden_size=128, dropout=0.0)
+    B, samples = 512, (25, 10)
+    n_bucket, e_bucket = 1 << 17, 1 << 19
+
+    def make_batch(nodes):
+        sub, sample_index, node_index = graphsage_sample(
+            gs, nodes, samples)[0]
+        edges = np.full((e_bucket, 2), n_bucket - 1, np.int32)
+        edges[:sub.num_edges] = np.asarray(sub.edges)
+        x = np.zeros((n_bucket, 128), np.float32)
+        x[:sub.num_nodes] = feat_all[sample_index]
+        yb = np.zeros(n_bucket, np.int32)
+        mask = np.zeros(n_bucket, np.float32)
+        yb[node_index] = y_all[np.asarray(nodes)]
+        mask[node_index] = 1.0
+        return (Graph(jnp.asarray(edges), num_nodes=n_bucket),
+                jnp.asarray(x), jnp.asarray(yb), jnp.asarray(mask))
+
+    sage_opt = optax.adam(1e-3)
+
+    @jax.jit
+    def sage_step(params, opt_state, gsub, x, yb, mask):
+        def loss_fn(p):
+            logits = sage.apply(p, gsub, x)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+            return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = sage_opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rngb = np.random.default_rng(0)
+    gsub0, x_b, y_b, m_b = make_batch(rngb.choice(100_000, B,
+                                                  replace=False))
+    sage_params = sage.init(jax.random.key(0), gsub0, x_b)
+    sage_ost = sage_opt.init(sage_params)
+    # warmup/compile
+    sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, gsub0,
+                                          x_b, y_b, m_b)
+    float(sl)
+    n_batches = 8
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        gsub, x_b, y_b, m_b = make_batch(
+            rngb.choice(100_000, B, replace=False))   # host sampling timed
+        sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, gsub,
+                                              x_b, y_b, m_b)
+    float(sl)
+    t_sage = (time.perf_counter() - t0) / n_batches
+    sage_nodes_per_s = B / t_sage
 
     print(json.dumps({
         "metric": "gcn3_train_edges_per_s",
@@ -132,9 +228,17 @@ def main():
             "graph": f"powerlaw n={num_nodes} e={E} d={feat_dim} h={hidden}",
             "step_time_s": round(t_step, 5),
             "cora_epoch_s": round(t_cora, 5),
-            "gat8_fwd_ms_1M_edges": round(t_gat * 1000, 2),
+            "spmm_sol_fraction": round(sol_spmm, 4),
+            "sddmm_sol_fraction": round(sol_sddmm, 4),
+            "spmm_ms": round(t_spmm * 1000, 2),
+            "sddmm_ms": round(t_sddmm * 1000, 2),
+            "gat8_train_step_ms_1M_edges": round(t_gat_step * 1000, 1),
+            "gat_train_edges_per_s": round(2 * E_gat / t_gat_step, 0),
+            "sage_minibatch_nodes_per_s": round(sage_nodes_per_s, 0),
+            "sage_minibatch_step_ms": round(t_sage * 1000, 1),
             "baseline": "V100 GCN-Cora epoch 0.0047s "
                         "(legacy/docs/source/md/introduction.md:46)",
+            "hbm_gbps_model": hbm_gbps,
             "backend": jax.default_backend(),
         },
     }))

@@ -35,12 +35,41 @@ import jax.numpy as jnp
 import optax
 
 from ..sampling import (metapath_randomwalk, metapath_randomwalk_dist,
+                        random_walk, node2vec_walk,
                         sample_neighbors_padded)
 from ..native.graph_kernel import skip_gram_gen_pair
 from ..utils.config import Config, load_config
 from ..utils.logger import log
 
-__all__ = ["Graph4RecTrainer"]
+__all__ = ["Graph4RecTrainer", "PRESETS"]
+
+
+# The reference ships yaml presets in ``user_configs/`` (deepwalk.yaml,
+# metapath2vec.yaml, graphsage.yaml, lightgcn.yaml, ...); these are the
+# same recipes as Config dicts — Graph4RecTrainer.from_preset(name) is the
+# one-call equivalent of ``dist_cpu_train.py --config user_configs/X.yaml``.
+PRESETS = {
+    "deepwalk": dict(model_type="walk_based", walk_mode="deepwalk",
+                     walk_len=24, win_size=5, neg_num=5, embed_dim=64,
+                     lr=5e-3, epochs=10, batch_pairs=1024,
+                     walks_per_node=4),
+    "node2vec": dict(model_type="walk_based", walk_mode="node2vec",
+                     p=2.0, q=0.5, walk_len=24, win_size=5, neg_num=5,
+                     embed_dim=64, lr=5e-3, epochs=10, batch_pairs=1024,
+                     walks_per_node=4),
+    "metapath2vec": dict(model_type="walk_based", walk_mode="metapath",
+                         metapath="u2i-i2u", walk_len=12, win_size=3,
+                         neg_num=5, embed_dim=64, lr=5e-3, epochs=10,
+                         batch_pairs=1024, walks_per_node=2),
+    "graphsage": dict(model_type="ego_sage", samples=[5, 5],
+                      metapath="u2i-i2u", walk_len=8, win_size=3,
+                      neg_num=5, embed_dim=64, lr=5e-3, epochs=10,
+                      batch_pairs=1024, walks_per_node=2),
+    "lightgcn": dict(model_type="lightgcn", samples=[8],
+                     metapath="u2i-i2u", walk_len=8, win_size=3,
+                     neg_num=5, embed_dim=64, lr=5e-3, epochs=10,
+                     batch_pairs=1024, walks_per_node=2),
+}
 
 
 class Graph4RecTrainer:
@@ -61,11 +90,15 @@ class Graph4RecTrainer:
                                      (self.num_nodes, dim)) * 0.1,
             "ctx": jnp.zeros((self.num_nodes, dim)),
         }
-        if (self.cfg.model_type or "walk_based") == "ego_sage":
+        if (self.cfg.model_type or "walk_based") in ("ego_sage",
+                                                      "lightgcn"):
             if graph is None:
-                raise ValueError("ego_sage needs a local graph")
-            etype = self.cfg.sage_etype or graph.edge_types[0]
-            idx = graph[etype].adj_dst_index
+                raise ValueError("ego models need a local graph")
+            etype = (self.cfg.sage_etype or
+                     (graph.edge_types[0]
+                      if getattr(graph, "edge_types", None) else None))
+            base = graph[etype] if etype is not None else graph
+            idx = base.adj_dst_index
             self._indptr = jnp.asarray(np.asarray(idx.indptr), jnp.int32)
             self._sorted_v = jnp.asarray(np.asarray(idx.sorted_v), jnp.int32)
             self.params["w_self"] = jax.random.normal(
@@ -77,17 +110,36 @@ class Graph4RecTrainer:
         self._jit_step = jax.jit(self._make_step())
         self._seed = seed
 
+    @classmethod
+    def from_preset(cls, name: str, graph=None, client=None,
+                    num_nodes: Optional[int] = None, seed: int = 0,
+                    **overrides) -> "Graph4RecTrainer":
+        """Instantiate one of the reference's ``user_configs`` recipes by
+        name (see :data:`PRESETS`); ``overrides`` patch individual keys."""
+        if name not in PRESETS:
+            raise ValueError(f"unknown preset {name!r}; "
+                             f"have {sorted(PRESETS)}")
+        cfg = dict(PRESETS[name])
+        cfg.update(overrides)
+        return cls(Config(cfg), graph=graph, client=client,
+                   num_nodes=num_nodes, seed=seed)
+
     # -- model --------------------------------------------------------------
 
     def _encode(self, params, ids, key):
         h = params["emb"][ids]
-        if (self.cfg.model_type or "walk_based") != "ego_sage":
+        mtype = self.cfg.model_type or "walk_based"
+        if mtype == "walk_based":
             return h
         k = int((self.cfg.samples or [5])[0])
         neigh, mask = sample_neighbors_padded(
             self._indptr, self._sorted_v, ids, k, key)
         nh = params["emb"][neigh] * mask[..., None]
         agg = nh.sum(1) / jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
+        if mtype == "lightgcn":
+            # parameter-free mean of self and aggregated neighbors
+            # (reference models/layers.py LightGCN propagation)
+            return (h + agg) * 0.5
         return jax.nn.relu(h @ params["w_self"] + agg @ params["w_neigh"])
 
     def _make_step(self):
@@ -115,19 +167,39 @@ class Graph4RecTrainer:
     # -- data ---------------------------------------------------------------
 
     def _walks(self, starts, epoch: int):
-        metapath = self.cfg.metapath
+        mode = self.cfg.walk_mode or "metapath"
         walk_len = int(self.cfg.walk_len or 12)
+        seed = self._seed + epoch
         if self.client is not None:
-            return metapath_randomwalk_dist(self.client, starts, metapath,
-                                            walk_len,
-                                            seed=self._seed + epoch)
-        return metapath_randomwalk(self.graph, starts, metapath, walk_len,
-                                   seed=self._seed + epoch)
+            return metapath_randomwalk_dist(self.client, starts,
+                                            self.cfg.metapath, walk_len,
+                                            seed=seed)
+        g = self.graph
+        if mode == "deepwalk":
+            base = g[g.edge_types[0]] if getattr(g, "edge_types", None) \
+                else g
+            return random_walk(base, starts, walk_len, seed=seed)
+        if mode == "node2vec":
+            base = g[g.edge_types[0]] if getattr(g, "edge_types", None) \
+                else g
+            return node2vec_walk(base, starts, walk_len,
+                                 p=float(self.cfg.p or 1.0),
+                                 q=float(self.cfg.q or 1.0), seed=seed)
+        if not getattr(g, "edge_types", None):
+            # homogeneous Graph: metapaths don't apply — deepwalk
+            return random_walk(g, starts, walk_len, seed=seed)
+        return metapath_randomwalk(g, starts, self.cfg.metapath, walk_len,
+                                   seed=seed)
 
     def _start_nodes(self):
+        if (self.cfg.walk_mode or "metapath") != "metapath" \
+                and self.graph is not None \
+                and not getattr(self.graph, "edge_types", None):
+            return np.arange(self.num_nodes)
         first = (self.cfg.first_node_type
                  or str(self.cfg.metapath).split("-")[0].split("2")[0])
-        if self.graph is not None and self.graph.node_types is not None:
+        if self.graph is not None and \
+                getattr(self.graph, "node_types", None) is not None:
             return self.graph.nodes_by_type(first)
         if self.client is not None:
             return np.asarray(self.client.random_sample_nodes(

@@ -153,3 +153,22 @@ def test_pglbox_out_of_core(tmp_path):
     with pytest.raises(RuntimeError):
         emb.begin_pass([1])
     emb.end_pass(t)
+
+
+def test_graph4rec_presets_train():
+    """Every preset recipe must instantiate and take a training epoch
+    (reference user_configs/*.yaml surface)."""
+    from pgl_tpu.apps.graph4rec import Graph4RecTrainer, PRESETS
+    from pgl_tpu import Graph
+    rng = np.random.default_rng(0)
+    g = Graph(rng.integers(0, 60, (500, 2)), num_nodes=60)
+    for name in ("deepwalk", "node2vec", "lightgcn"):
+        tr = Graph4RecTrainer.from_preset(
+            name, graph=g, num_nodes=60, epochs=1, walk_len=6,
+            batch_pairs=128, walks_per_node=1)
+        loss = tr.train(epochs=1)
+        assert np.isfinite(loss)
+        emb = tr.embeddings()
+        assert emb.shape == (60, 64)
+    assert set(PRESETS) >= {"deepwalk", "node2vec", "metapath2vec",
+                            "graphsage", "lightgcn"}

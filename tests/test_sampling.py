@@ -205,3 +205,56 @@ def test_hetero_neighbor_sampler():
     assert set(per_etype) == {"a", "b"}
     neigh, mask = per_etype["a"]
     assert neigh.shape == (4, 3)
+
+
+def test_random_walk_with_restart():
+    from pgl_tpu.sampling import random_walk_with_restart
+    rng = np.random.default_rng(0)
+    g = Graph(rng.integers(0, 50, (400, 2)), num_nodes=50)
+    walks = random_walk_with_restart(g, np.arange(10), depth=8, proba=0.5,
+                                     seed=1)
+    assert walks.shape == (10, 8)
+    # every visited node is reachable (a real node id or -1 dead end)
+    assert int(walks.max()) < 50
+
+
+def test_pinsage_sample_structure():
+    """Weighted layered sampling: per-layer subgraphs with normalized
+    visit-count edge weights (reference Graph4Rec sampling.py:448-541)."""
+    from pgl_tpu.sampling import pinsage_sample
+    rng = np.random.default_rng(1)
+    g = Graph(rng.integers(0, 80, (800, 2)), num_nodes=80)
+    nodes = np.array([3, 7, 11])
+    layers = pinsage_sample(g, nodes, samples=[6, 4], top_k=3, seed=2)
+    assert len(layers) == 2
+    sub, sample_index, node_index = layers[0]
+    # query nodes resolve to themselves through the local index
+    np.testing.assert_array_equal(sample_index[node_index], nodes)
+    for sub, si, _ in layers:
+        w = np.asarray(sub.edge_feat["weight"])
+        assert sub.num_edges == len(w)
+        if len(w):
+            assert (w > 0).all()
+            # per-dst weights normalized to ~1
+            dst = np.asarray(sub.edges)[:, 1]
+            for d in np.unique(dst):
+                np.testing.assert_allclose(w[dst == d].sum(), 1.0,
+                                           rtol=1e-5)
+    # reference layer order: index 0 carries the largest cumulative set
+    assert layers[0][0].num_edges >= layers[1][0].num_edges
+
+
+def test_graph_saint_random_walk_sample():
+    from pgl_tpu.sampling import graph_saint_random_walk_sample
+    rng = np.random.default_rng(2)
+    g = Graph(rng.integers(0, 60, (600, 2)), num_nodes=60)
+    sub, nodes = graph_saint_random_walk_sample(g, np.arange(5),
+                                                max_depth=6, seed=3)
+    assert sub.num_nodes == len(nodes)
+    # all roots kept, all internal edges present
+    assert set(range(5)) <= set(nodes.tolist())
+    kept = set(map(tuple, np.asarray(g.edges)[
+        np.isin(np.asarray(g.edges), nodes).all(axis=1)].tolist()))
+    got_globals = {(int(nodes[s]), int(nodes[d]))
+                   for s, d in np.asarray(sub.edges).tolist()}
+    assert got_globals == kept
