@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["TransEScore", "DistMultScore", "ComplExScore", "RotatEScore",
-           "QuatEScore", "OTEScore", "KGEModel", "filtered_ranks"]
+           "QuatEScore", "OTEScore", "KGEModel", "filtered_ranks",
+           "sample_negatives", "sharded_kg_params", "mrr_hits"]
 
 
 class ScoreFunc:
@@ -197,12 +198,36 @@ class KGEModel:
         self.adversarial_temp = adversarial_temp
 
     def loss_fn(self, params, h, r, t, neg_ents, neg_head: bool = False):
-        """Logsigmoid loss with self-adversarial negative weighting."""
+        """Logsigmoid loss with self-adversarial negative weighting.
+
+        ``neg_ents`` encodes the reference's three negative modes
+        (``/root/reference/apps/Graph4KG/dataset/dataset.py:115-131``):
+
+        * ``[K]``    — one candidate pool shared by the whole batch
+          (in-batch sharing; our original mode).
+        * ``[C, K]`` — ``C`` chunks (``C`` divides B) each sharing a pool
+          ('chunk' mode; with ``C == B`` this is per-triplet negatives,
+          i.e. the 'batch'/'full' modes after sampling).
+        """
         ent, rel = params["ent"], params["rel"]
         he, re_, te = ent[h], rel[r], ent[t]
         pos = self.score(he, re_, te)
-        cand = ent[neg_ents]                       # [K, d]
-        neg = self.score.neg_score(he, re_, te, cand, neg_head)  # [B, K]
+        if neg_ents.ndim == 2:
+            C = neg_ents.shape[0]
+            cand = ent[neg_ents]                   # [C, K, d]
+
+            def one_chunk(hc, rc, tc, cc):
+                return self.score.neg_score(hc, rc, tc, cc, neg_head)
+
+            B = he.shape[0]
+            neg = jax.vmap(one_chunk)(
+                he.reshape((C, B // C) + he.shape[1:]),
+                re_.reshape((C, B // C) + re_.shape[1:]),
+                te.reshape((C, B // C) + te.shape[1:]),
+                cand).reshape(B, -1)               # [B, K]
+        else:
+            cand = ent[neg_ents]                   # [K, d]
+            neg = self.score.neg_score(he, re_, te, cand, neg_head)
         pos_loss = -jax.nn.log_sigmoid(pos).mean()
         if self.adversarial_temp > 0:
             w = jax.nn.softmax(
@@ -217,6 +242,57 @@ class KGEModel:
         ent, rel = params["ent"], params["rel"]
         return self.score.neg_score(ent[h], rel[r], None, ent,
                                     neg_head=False)
+
+
+def sample_negatives(h, t, num_ents: int, mode: str, neg_size: int,
+                     rng, num_chunks: int = 1):
+    """Draw negative entity ids per the reference's three modes
+    (``/root/reference/apps/Graph4KG/dataset/dataset.py:115-131``):
+
+    * ``'batch'`` — per-triplet negatives drawn from the batch's own
+      entities → ``[B, neg_size]``.
+    * ``'full'``  — per-triplet negatives drawn uniformly from all
+      entities → ``[B, neg_size]``.
+    * ``'chunk'`` — the batch splits into ``num_chunks`` groups, each
+      sharing ``max(B, neg_size) // num_chunks`` negatives drawn from all
+      entities → ``[num_chunks, K]``.
+    """
+    h = np.asarray(h)
+    t = np.asarray(t)
+    B = len(h)
+    if mode == "batch":
+        pool = np.unique(np.concatenate([h, t]))
+        return pool[rng.integers(0, len(pool), (B, neg_size))]
+    if mode == "full":
+        return rng.integers(0, num_ents, (B, neg_size))
+    if mode == "chunk":
+        k = max(B, neg_size) // max(num_chunks, 1)
+        return rng.integers(0, num_ents, (num_chunks, k))
+    raise ValueError(f"neg_sample_type {mode!r} not supported "
+                     "(batch/full/chunk)")
+
+
+def sharded_kg_params(model: "KGEModel", mesh, axis: str = "data"):
+    """Place the entity table row-sharded over ``mesh[axis]`` and the
+    (small) relation table replicated — the TPU-native analog of the
+    reference's multi-GPU ``dist_train`` path
+    (``/root/reference/apps/Graph4KG/train.py:34-120``, NCCL allreduce +
+    sharded ent embeddings): under jit, GSPMD turns the id gathers into
+    all-to-alls over ICI and the scatter-add gradient update stays local
+    to each shard."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n = mesh.shape[axis]
+    ent = model.params["ent"]
+    pad = (-ent.shape[0]) % n
+    if pad:
+        ent = jnp.concatenate(
+            [ent, jnp.zeros((pad, ent.shape[1]), ent.dtype)])
+    return {
+        "ent": jax.device_put(ent, NamedSharding(mesh, P(axis, None))),
+        "rel": jax.device_put(model.params["rel"],
+                              NamedSharding(mesh, P())),
+    }
 
 
 def filtered_ranks(scores, true_idx, filter_mask=None):

@@ -101,18 +101,29 @@ def build_blocked_layout(indptr, sorted_v, num_segments: int,
 
     chunks, cap = None, 0
     if chunk_edges and G:
-        cap = max(int(chunk_edges),
-                  int((tile_ends - tile_starts).max()))
-        cap = (cap + et - 1) // et * et
+        cap = (int(chunk_edges) + et - 1) // et * et
+        # plan (block_lo, block_hi, pieces): a hub block whose own edge
+        # span exceeds the budget is processed in `pieces` accumulating
+        # passes over consecutive cap-sized windows instead of growing the
+        # budget (which would degenerate the whole plan to ~E).
         plan, b0 = [], 0
-        for b in range(1, G):
-            if tile_ends[b] - tile_starts[b0] > cap:
-                plan.append((b0, b))
+        for b in range(G):
+            span_b = int(tile_ends[b] - tile_starts[b])
+            if span_b > cap:
+                if b > b0:
+                    plan.append((b0, b, 1))
+                plan.append((b, b + 1, -(-span_b // cap)))
+                b0 = b + 1
+            elif int(tile_ends[b] - tile_starts[b0]) > cap and b > b0:
+                plan.append((b0, b, 1))
                 b0 = b
-        plan.append((b0, G))
+        if b0 < G:
+            plan.append((b0, G, 1))
         chunks = tuple(plan)
-        # every chunk's [start, start+cap) window must stay in bounds
-        Ep = max(Ep, int(max(tile_starts[b0] for b0, _ in chunks)) + cap)
+        # every window [start + j*cap, start + (j+1)*cap) must stay in
+        # bounds
+        Ep = max(Ep, max(int(tile_starts[lo]) + p * cap
+                         for lo, _, p in chunks))
 
     padded_v = np.zeros(Ep, dtype=np.int32)
     padded_v[:E] = sorted_v
@@ -380,12 +391,10 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
 
     # chunked: only chunk_cap gathered rows live at a time (bounded HBM) —
     # each chunk's row blocks cover disjoint output rows, so the results
-    # simply concatenate; edges outside a block's [ts, te) span never enter
-    # its accumulation, so window overlap is harmless.
-    outs = []
-    ids_flat_rows = padded_ids.shape[0]
-    for b0, b1 in chunks:
-        off = tile_starts[b0]                       # ET-aligned
+    # simply concatenate; a hub block split into pieces sums its passes.
+    # Edges outside a block's [ts, te) span never enter its accumulation,
+    # so window overlap is harmless.
+    def window(off):
         v_c = jax.lax.dynamic_slice(padded_v, (off,), (chunk_cap,))
         ids_c = jax.lax.dynamic_slice(
             padded_ids, (off // 128, 0), (chunk_cap // 128, 128))
@@ -395,10 +404,21 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
                 edge_w, (off,) + (0,) * (edge_w.ndim - 1),
                 (chunk_cap,) + edge_w.shape[1:])
             msgs = _weighted_msgs(msgs, w_c, D)
-        ts = tile_starts[b0:b1] - off
-        te = tile_ends[b0:b1] - off
-        outs.append(_spmm_pallas(msgs, ids_c, ts, te, (b1 - b0) * nb,
-                                 nb, et, interpret, rb0=b0 * nb))
+        return msgs, ids_c
+
+    outs = []
+    for b0, b1, pieces in chunks:
+        base = tile_starts[b0]                      # ET-aligned
+        acc = None
+        for j in range(pieces):
+            off = base + j * chunk_cap
+            msgs, ids_c = window(off)
+            ts = jnp.maximum(tile_starts[b0:b1] - off, 0)
+            te = jnp.clip(tile_ends[b0:b1] - off, 0, chunk_cap)
+            out_c = _spmm_pallas(msgs, ids_c, ts, te, (b1 - b0) * nb,
+                                 nb, et, interpret, rb0=b0 * nb)
+            acc = out_c if acc is None else acc + out_c
+        outs.append(acc)
     out = jnp.concatenate(outs, axis=0)
     return out[:num_segments]
 
