@@ -331,12 +331,20 @@ CoarseGraph coarsen(const std::vector<i64>& indptr,
   for (i64 vi = 0; vi < n; ++vi) {
     i64 v = order[vi];
     if (match[v] >= 0) continue;
-    i64 best = -1, best_w = -1;
+    i64 best = -1, best_w = -1, ties = 0;
     for (i64 e = indptr[v]; e < indptr[v + 1]; ++e) {
       i64 u = adj[e];
-      if (u != v && match[u] < 0 && wgt[e] > best_w) {
+      if (u == v || match[u] >= 0) continue;
+      if (wgt[e] > best_w) {
         best = u;
         best_w = wgt[e];
+        ties = 1;
+      } else if (wgt[e] == best_w) {
+        // reservoir tie-break: uniformly random among equal-weight
+        // neighbors (level 0 has all-1 weights — order bias here merges
+        // across communities)
+        ++ties;
+        if (static_cast<i64>(rng() % ties) == 0) best = u;
       }
     }
     if (best >= 0) {
@@ -399,10 +407,10 @@ void initial_partition(const std::vector<i64>& indptr,
       while (cursor < n && parts[order[cursor]] >= 0) ++cursor;
       if (cursor >= n) break;
       frontier.assign(1, order[cursor]);
-      while (!frontier.empty() && load < target) {
-        i64 v = frontier.back();
-        frontier.pop_back();
-        if (parts[v] >= 0) continue;
+      size_t head = 0;                 // true BFS: ball-shaped growth —
+      while (head < frontier.size() && load < target) {
+        i64 v = frontier[head++];      // a DFS stack grows stringy parts
+        if (parts[v] >= 0) continue;   // that thread across communities
         parts[v] = p;
         load += vwgt[v];
         for (i64 e = indptr[v]; e < indptr[v + 1]; ++e)
@@ -415,10 +423,15 @@ void initial_partition(const std::vector<i64>& indptr,
 }
 
 // One pass of boundary refinement: move a vertex to the neighbor partition
-// with the largest edge-cut gain if balance permits.
+// with the largest edge-cut gain if balance permits. Vertices are visited
+// in a fresh random order every pass (fixed-order greedy sweeps stall in
+// local minima), and zero-gain moves toward the lighter partition are
+// allowed — the plateau wander that lets FM-style refinement escape
+// locked boundaries.
 void refine(const std::vector<i64>& indptr, const std::vector<i64>& adj,
             const std::vector<i64>& wgt, const std::vector<i64>& vwgt,
-            i64 k, std::vector<i64>& parts, int passes) {
+            i64 k, std::vector<i64>& parts, int passes,
+            std::mt19937_64& rng) {
   i64 n = static_cast<i64>(indptr.size()) - 1;
   i64 total = 0;
   for (i64 v = 0; v < n; ++v) total += vwgt[v];
@@ -426,21 +439,32 @@ void refine(const std::vector<i64>& indptr, const std::vector<i64>& adj,
   std::vector<i64> load(k, 0);
   for (i64 v = 0; v < n; ++v) load[parts[v]] += vwgt[v];
   std::vector<i64> conn(k, 0);
+  std::vector<i64> order(n);
+  for (i64 i = 0; i < n; ++i) order[i] = i;
   for (int pass = 0; pass < passes; ++pass) {
-    i64 moves = 0;
-    for (i64 v = 0; v < n; ++v) {
+    std::shuffle(order.begin(), order.end(), rng);
+    i64 moves = 0, gain_moves = 0;
+    for (i64 vi = 0; vi < n; ++vi) {
+      i64 v = order[vi];
       i64 pv = parts[v];
       std::fill(conn.begin(), conn.end(), 0);
       for (i64 e = indptr[v]; e < indptr[v + 1]; ++e)
         conn[parts[adj[e]]] += wgt[e];
       i64 best = pv, best_gain = 0;
+      bool best_zero = false;
       for (i64 p = 0; p < k; ++p) {
         if (p == pv) continue;
+        if (load[p] + vwgt[v] > static_cast<i64>(max_load)) continue;
         i64 gain = conn[p] - conn[pv];
-        if (gain > best_gain &&
-            load[p] + vwgt[v] <= static_cast<i64>(max_load)) {
+        if (gain > best_gain) {
           best = p;
           best_gain = gain;
+          best_zero = false;
+        } else if (gain == 0 && best == pv && conn[p] > 0 &&
+                   load[p] < load[pv]) {
+          // plateau move: same cut, better balance, stays on a boundary
+          best = p;
+          best_zero = true;
         }
       }
       if (best != pv) {
@@ -448,10 +472,21 @@ void refine(const std::vector<i64>& indptr, const std::vector<i64>& adj,
         load[best] += vwgt[v];
         parts[v] = best;
         ++moves;
+        if (!best_zero) ++gain_moves;
       }
     }
-    if (!moves) break;
+    if (!gain_moves && pass > 0) break;
   }
+}
+
+i64 cut_of(const std::vector<i64>& indptr, const std::vector<i64>& adj,
+           const std::vector<i64>& wgt, const std::vector<i64>& parts) {
+  i64 cut = 0;
+  i64 n = static_cast<i64>(indptr.size()) - 1;
+  for (i64 v = 0; v < n; ++v)
+    for (i64 e = indptr[v]; e < indptr[v + 1]; ++e)
+      if (parts[adj[e]] != parts[v]) cut += wgt[e];
+  return cut / 2;
 }
 
 }  // namespace
@@ -487,9 +522,20 @@ void metis_style_partition(const i64* indptr_in, const i64* adj_in,
     if (after > (before * 95) / 100) break;  // stalled matching
   }
 
-  std::vector<i64> parts;
-  initial_partition(*cur_indptr, *cur_adj, *cur_vwgt, nparts, parts, rng);
-  refine(*cur_indptr, *cur_adj, *cur_wgt, *cur_vwgt, nparts, parts, 8);
+  // coarsest level: cheap (few hundred supernodes) — take the best of
+  // several random initial partitions after refinement, by actual cut
+  std::vector<i64> parts, trial;
+  i64 best_cut = -1;
+  for (int restart = 0; restart < 10; ++restart) {
+    initial_partition(*cur_indptr, *cur_adj, *cur_vwgt, nparts, trial, rng);
+    refine(*cur_indptr, *cur_adj, *cur_wgt, *cur_vwgt, nparts, trial, 12,
+           rng);
+    i64 c = cut_of(*cur_indptr, *cur_adj, *cur_wgt, trial);
+    if (best_cut < 0 || c < best_cut) {
+      best_cut = c;
+      parts = trial;
+    }
+  }
 
   // project back through the chain with refinement at each level
   for (i64 level = static_cast<i64>(chain.size()) - 1; level >= 0; --level) {
@@ -498,10 +544,11 @@ void metis_style_partition(const i64* indptr_in, const i64* adj_in,
     for (size_t v = 0; v < cmap.size(); ++v) fine_parts[v] = parts[cmap[v]];
     parts.swap(fine_parts);
     if (level == 0) {
-      refine(indptr, adj, wgt, vwgt, nparts, parts, 4);
+      refine(indptr, adj, wgt, vwgt, nparts, parts, 6, rng);
     } else {
       refine(chain[level - 1].indptr, chain[level - 1].adj,
-             chain[level - 1].wgt, chain[level - 1].vwgt, nparts, parts, 4);
+             chain[level - 1].wgt, chain[level - 1].vwgt, nparts, parts, 6,
+             rng);
     }
   }
   std::copy(parts.begin(), parts.end(), parts_out);

@@ -67,7 +67,7 @@ def test_gas_training_converges():
             out, yb).mean()
         return loss, fresh
 
-    for epoch in range(30):
+    for epoch in range(45):
         for b in batches:
             x = jnp.asarray(feat[b["nodes"]])
             halo = gas.pull_halo(b)

@@ -3,6 +3,7 @@ vs random (mirroring reference ``tests/test_partition.py`` behavior checks)."""
 
 import numpy as np
 
+from pgl_tpu import Graph
 from pgl_tpu.datasets import community_graph, random_graph
 from pgl_tpu.partition import (metis_partition, random_partition,
                                partition_to_order)
@@ -56,3 +57,28 @@ def test_reorder_graph():
     out2 = np.asarray(g2.tensor().send_recv(
         jnp.asarray(g2.node_feat["h"]), "sum"))
     np.testing.assert_allclose(out2, out1[order], rtol=1e-4, atol=1e-5)
+
+
+def test_metis_cut_quality_vs_planted_structure():
+    """Quality benchmark (not just better-than-random): on a planted
+    8-community graph the multilevel partitioner must recover a cut within
+    3x of the planted inter-community edge count — the regime real METIS
+    reaches — across seeds."""
+    rng = np.random.default_rng(5)
+    npc, S = 64, 8
+    n = npc * S
+    intra = [rng.integers(0, npc, (500, 2)) + c * npc for c in range(S)]
+    planted_inter = np.stack([rng.integers(0, n, 120),
+                              rng.integers(0, n, 120)], axis=1)
+    edges = np.concatenate(intra + [planted_inter])
+    g = Graph(edges, num_nodes=n)
+    # edges whose endpoints were planted in different communities
+    truth = np.arange(n) // npc
+    planted_cut = int((truth[edges[:, 0]] != truth[edges[:, 1]]).sum())
+
+    for seed in (0, 1):
+        parts = metis_partition(g, S, seed=seed)
+        cut = edge_cut(g, parts)
+        counts = np.bincount(parts, minlength=S)
+        assert counts.max() <= int(1.25 * n / S), counts
+        assert cut <= 3 * planted_cut, (cut, planted_cut)
