@@ -77,7 +77,11 @@ def main():
     from pgl_tpu.models import GCN
 
     # --- headline: 3-layer GCN on power-law graph -------------------------
-    num_nodes, avg_degree, feat_dim, hidden = 131072, 16, 128, 128
+    # PGL_TPU_BENCH_SMALL=1: tiny shapes to sanity-check the harness end to
+    # end on CPU (numbers are meaningless there)
+    small = os.environ.get("PGL_TPU_BENCH_SMALL", "0") == "1"
+    num_nodes, avg_degree, feat_dim, hidden = \
+        (2048, 8, 128, 128) if small else (131072, 16, 128, 128)
     g = powerlaw_graph(num_nodes=num_nodes, avg_degree=avg_degree,
                        feat_dim=feat_dim, seed=0).tensor()
     E = g.num_edges
@@ -145,11 +149,12 @@ def main():
 
     # --- GAT training step (fused fwd + fused flash-style bwd) ------------
     from pgl_tpu.models import GAT
-    ga = powerlaw_graph(num_nodes=65536, avg_degree=16, feat_dim=128,
+    n_gat = 2048 if small else 65536
+    ga = powerlaw_graph(num_nodes=n_gat, avg_degree=16, feat_dim=128,
                         seed=1).tensor()
     E_gat = ga.num_edges
     y_gat = jnp.asarray(np.random.default_rng(1)
-                        .integers(0, 16, 65536).astype(np.int32))
+                        .integers(0, 16, n_gat).astype(np.int32))
     gat_model = GAT(input_size=128, num_class=16, num_heads=8,
                     hidden_size=8, feat_drop=0.0, attn_drop=0.0)
     gat_params = gat_model.init(jax.random.key(0), ga, ga.node_feat["h"])
@@ -164,13 +169,14 @@ def main():
     from pgl_tpu.models import GraphSage
     from pgl_tpu.sampling import graphsage_sample
     from pgl_tpu.datasets import community_graph
-    gs, y_all = community_graph(num_nodes=100_000, num_classes=16,
+    n_sage = 4096 if small else 100_000
+    gs, y_all = community_graph(num_nodes=n_sage, num_classes=16,
                                 feat_dim=128, avg_degree=12, seed=2)
     feat_all = np.asarray(gs.node_feat["h"])
     sage = GraphSage(input_size=128, num_class=16, num_layers=2,
                      hidden_size=128, dropout=0.0)
-    B, samples = 512, (25, 10)
-    n_bucket, e_bucket = 1 << 17, 1 << 19
+    B, samples = (64, (5, 5)) if small else (512, (25, 10))
+    n_bucket, e_bucket = (1 << 12, 1 << 14) if small else (1 << 17, 1 << 19)
 
     def make_batch(nodes):
         sub, sample_index, node_index = graphsage_sample(
@@ -200,7 +206,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     rngb = np.random.default_rng(0)
-    gsub0, x_b, y_b, m_b = make_batch(rngb.choice(100_000, B,
+    gsub0, x_b, y_b, m_b = make_batch(rngb.choice(n_sage, B,
                                                   replace=False))
     sage_params = sage.init(jax.random.key(0), gsub0, x_b)
     sage_ost = sage_opt.init(sage_params)
@@ -212,7 +218,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_batches):
         gsub, x_b, y_b, m_b = make_batch(
-            rngb.choice(100_000, B, replace=False))   # host sampling timed
+            rngb.choice(n_sage, B, replace=False))    # host sampling timed
         sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, gsub,
                                               x_b, y_b, m_b)
     float(sl)

@@ -62,3 +62,9 @@ def test_node2vec_example():
 def test_clustering_example():
     out = run_example("clustering/train.py", "--steps", "150")
     assert "NMI" in out
+
+
+def test_r_unimp_example():
+    out = run_example("r_unimp/train.py", "--epochs", "2",
+                      "--batch-size", "96")
+    assert "val acc" in out
