@@ -64,6 +64,10 @@ def _time_steps(train_step, params, opt_state, g, x, y, warmup=3, iters=20,
 
 
 def main():
+    # honor PGL_TPU_PLATFORM (e.g. =cpu for the small-mode smoke) — the
+    # sitecustomize force-selects the tunnel backend otherwise
+    from pgl_tpu.utils.platform import select_platform
+    select_platform()
     import jax
     # Persistent compile cache: the tunnel's remote Mosaic compiles are slow
     # (minutes); cache executables so repeat runs start in seconds.

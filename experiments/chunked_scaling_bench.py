@@ -18,10 +18,26 @@ import optax
 from pgl_tpu.datasets import powerlaw_graph
 from pgl_tpu.models import GCN
 
+import pgl_tpu
+from pgl_tpu import Graph
+
+def uniform_graph(num_nodes, avg_degree, seed=0):
+    rng = np.random.default_rng(seed)
+    E = num_nodes * avg_degree
+    edges = rng.integers(0, num_nodes, (E, 2))
+    feat = rng.normal(size=(num_nodes, 128)).astype(np.float32)
+    return Graph(edges, num_nodes=num_nodes, node_feat={"h": feat})
+
+kind = sys.argv[1] if len(sys.argv) > 1 else "powerlaw"
+make = powerlaw_graph if kind == "powerlaw" else uniform_graph
+
 results = []
 for num_nodes, avg_degree in ((131072, 16), (524288, 16), (1048576, 16)):
-    g = powerlaw_graph(num_nodes=num_nodes, avg_degree=avg_degree,
-                       feat_dim=128, seed=0).tensor()
+    if kind == "powerlaw":
+        g = make(num_nodes=num_nodes, avg_degree=avg_degree,
+                 feat_dim=128, seed=0).tensor()
+    else:
+        g = make(num_nodes, avg_degree, seed=0).tensor()
     E = g.num_edges
     csc = g._spmm_layouts[0]
     y = jnp.asarray(np.random.default_rng(0)

@@ -102,28 +102,43 @@ def build_blocked_layout(indptr, sorted_v, num_segments: int,
     chunks, cap = None, 0
     if chunk_edges and G:
         cap = (int(chunk_edges) + et - 1) // et * et
-        # plan (block_lo, block_hi, pieces): a hub block whose own edge
-        # span exceeds the budget is processed in `pieces` accumulating
-        # passes over consecutive cap-sized windows instead of growing the
-        # budget (which would degenerate the whole plan to ~E).
+
+        def tight(span):
+            # per-window tight capacity: total gathered rows stay ≈ E
+            # instead of num_windows × budget
+            return max((int(span) + et - 1) // et * et, et)
+
+        # plan (block_lo, block_hi, window_sizes): ``window_sizes`` are the
+        # static per-window edge capacities. Range chunks have one tight
+        # window; a hub block whose span exceeds the budget is processed
+        # in several accumulating passes (full-budget windows plus a tight
+        # tail) instead of growing the budget (which would degenerate the
+        # whole plan to ~E).
         plan, b0 = [], 0
         for b in range(G):
             span_b = int(tile_ends[b] - tile_starts[b])
             if span_b > cap:
                 if b > b0:
-                    plan.append((b0, b, 1))
-                plan.append((b, b + 1, -(-span_b // cap)))
+                    plan.append((b0, b,
+                                 (tight(tile_ends[b - 1]
+                                        - tile_starts[b0]),)))
+                pieces = -(-span_b // cap)
+                tail = span_b - (pieces - 1) * cap
+                plan.append((b, b + 1,
+                             (cap,) * (pieces - 1) + (tight(tail),)))
                 b0 = b + 1
             elif int(tile_ends[b] - tile_starts[b0]) > cap and b > b0:
-                plan.append((b0, b, 1))
+                plan.append((b0, b,
+                             (tight(tile_ends[b - 1] - tile_starts[b0]),)))
                 b0 = b
         if b0 < G:
-            plan.append((b0, G, 1))
+            plan.append((b0, G, (tight(tile_ends[G - 1]
+                                       - tile_starts[b0]),)))
         chunks = tuple(plan)
-        # every window [start + j*cap, start + (j+1)*cap) must stay in
+        # every window [start + Σ previous sizes, + size) must stay in
         # bounds
-        Ep = max(Ep, max(int(tile_starts[lo]) + p * cap
-                         for lo, _, p in chunks))
+        Ep = max(Ep, max(int(tile_starts[lo]) + sum(sizes)
+                         for lo, _, sizes in chunks))
 
     padded_v = np.zeros(Ep, dtype=np.int32)
     padded_v[:E] = sorted_v
@@ -389,32 +404,35 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
                            nb, et, interpret)
         return out[:num_segments]
 
-    # chunked: only chunk_cap gathered rows live at a time (bounded HBM) —
+    # chunked: only ~budget gathered rows live at a time (bounded HBM) —
     # each chunk's row blocks cover disjoint output rows, so the results
-    # simply concatenate; a hub block split into pieces sums its passes.
+    # simply concatenate; a hub block split into windows sums its passes.
     # Edges outside a block's [ts, te) span never enter its accumulation,
-    # so window overlap is harmless.
-    def window(off):
-        v_c = jax.lax.dynamic_slice(padded_v, (off,), (chunk_cap,))
+    # so window overlap is harmless. Window sizes are tight (static per
+    # chunk), so total gathered rows ≈ E, same as the unchunked path.
+    def window(off, size):
+        v_c = jax.lax.dynamic_slice(padded_v, (off,), (size,))
         ids_c = jax.lax.dynamic_slice(
-            padded_ids, (off // 128, 0), (chunk_cap // 128, 128))
+            padded_ids, (off // 128, 0), (size // 128, 128))
         msgs = jnp.take(feature, v_c, axis=0)
         if edge_w is not None:
             w_c = jax.lax.dynamic_slice(
                 edge_w, (off,) + (0,) * (edge_w.ndim - 1),
-                (chunk_cap,) + edge_w.shape[1:])
+                (size,) + edge_w.shape[1:])
             msgs = _weighted_msgs(msgs, w_c, D)
         return msgs, ids_c
 
     outs = []
-    for b0, b1, pieces in chunks:
+    for b0, b1, sizes in chunks:
         base = tile_starts[b0]                      # ET-aligned
         acc = None
-        for j in range(pieces):
-            off = base + j * chunk_cap
-            msgs, ids_c = window(off)
+        start = 0
+        for size in sizes:
+            off = base + start
+            start += size
+            msgs, ids_c = window(off, size)
             ts = jnp.maximum(tile_starts[b0:b1] - off, 0)
-            te = jnp.clip(tile_ends[b0:b1] - off, 0, chunk_cap)
+            te = jnp.clip(tile_ends[b0:b1] - off, 0, size)
             out_c = _spmm_pallas(msgs, ids_c, ts, te, (b1 - b0) * nb,
                                  nb, et, interpret, rb0=b0 * nb)
             acc = out_c if acc is None else acc + out_c

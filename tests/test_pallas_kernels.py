@@ -386,7 +386,7 @@ def test_chunked_hub_splits_block():
     ch_csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256,
                                   chunk_edges=512)
     assert ch_csc.chunk_cap == 512          # budget holds
-    assert any(p > 1 for _, _, p in ch_csc.chunks)  # hub block split
+    assert any(len(sz) > 1 for _, _, sz in ch_csc.chunks)  # hub split
     base_csc = build_blocked_layout(indptr, src, N, 128, 256)
     base_csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
     np.testing.assert_allclose(
