@@ -76,8 +76,9 @@ def build_halo_partition(edges: np.ndarray, num_nodes: int, num_shards: int,
         raise ValueError(f"parts must be [num_nodes], got {parts.shape}")
 
     # ownership: node_perm[s, i] = global id of the i-th node owned by s
+    # (padded to the Pallas row-block size so per-shard SpMM layouts apply)
     owned = [np.flatnonzero(parts == s) for s in range(S)]
-    n_pad = _pad_to(max((len(o) for o in owned), default=1), 128)
+    n_pad = _pad_to(max((len(o) for o in owned), default=1), 256)
     node_perm = np.zeros((S, n_pad), np.int32)
     node_mask = np.zeros((S, n_pad), np.float32)
     local_rank = np.zeros(num_nodes, np.int64)  # rank within owner block
@@ -179,6 +180,7 @@ class HaloGraph:
         self.halo_size = int(halo_size)
         self.node_feat = node_feat or {}
         self.edge_feat = edge_feat or {}
+        self._shard_layouts = None
 
     # -- construction -------------------------------------------------------
 
@@ -215,6 +217,7 @@ class HaloGraph:
         )
         obj = cls(arrays, g.num_nodes, mesh, axis,
                   built["h_pad"], built["halo_size"])
+        obj._build_shard_layouts(built)
         obj._host_node_perm = built["node_perm"]
         obj._host_node_mask = built["node_mask"]
         obj._host_perm = perm
@@ -225,6 +228,45 @@ class HaloGraph:
         for k, v in g.edge_feat.items():
             obj.edge_feat[k] = obj.shard_edge_values(np.asarray(v))
         return obj
+
+    def _build_shard_layouts(self, built):
+        """Per-shard Pallas SpMM layouts over only this shard's ``N_pad``
+        owned rows (one for local-src edges gathering from the owned
+        block, one for remote-src edges gathering from the halo buffer) —
+        unlike the v1 edge-partitioned path, no shard's grid ever spans
+        rows it doesn't own."""
+        from ..ops.pallas.segment_kernels import build_blocked_layout
+        S = built["node_perm"].shape[0]
+        n_pad = built["node_perm"].shape[1]
+
+        def stack(edges, mask):
+            pv, pid, ts, te = [], [], [], []
+            for s in range(S):
+                k = int(mask[s].sum())
+                dst = edges[s, :k, 1].astype(np.int64)
+                src = edges[s, :k, 0].astype(np.int64)
+                indptr = np.concatenate(
+                    [[0], np.cumsum(np.bincount(dst, minlength=n_pad))])
+                lay = build_blocked_layout(indptr, src, n_pad)
+                pv.append(np.asarray(lay.padded_v))
+                pid.append(np.asarray(lay.padded_ids))
+                ts.append(np.asarray(lay.tile_starts))
+                te.append(np.asarray(lay.tile_ends))
+            ep = max(len(x) for x in pv)
+            pv = np.stack([np.pad(x, (0, ep - len(x))) for x in pv])
+            pid = np.stack([np.pad(x.reshape(-1), (0, ep - x.size),
+                                   constant_values=n_pad).reshape(-1, 128)
+                            for x in pid])
+            sh2 = NamedSharding(self.mesh, P(self.axis, None))
+            sh3 = NamedSharding(self.mesh, P(self.axis, None, None))
+            return (jax.device_put(pv.astype(np.int32), sh2),
+                    jax.device_put(pid.astype(np.int32), sh3),
+                    jax.device_put(np.stack(ts).astype(np.int32), sh2),
+                    jax.device_put(np.stack(te).astype(np.int32), sh2))
+
+        self._shard_layouts = (
+            stack(built["local_edges"], built["local_mask"]),
+            stack(built["remote_edges"], built["remote_mask"]))
 
     # -- host <-> sharded layout -------------------------------------------
 
@@ -300,6 +342,13 @@ class HaloGraph:
         """
         if reduce_op not in ("sum", "mean", "max", "min"):
             raise ValueError(reduce_op)
+        if (reduce_op in ("sum", "mean")
+                and self._shard_layouts is not None and feature.ndim == 3):
+            from ..ops.dispatch import use_pallas_spmm
+            e_tot = int(self.local_edges.shape[1]
+                        + self.remote_edges.shape[1])
+            if use_pallas_spmm(feature[0], e_tot):
+                return self._pallas_send_u_recv(feature, reduce_op)
         ax = self.axis
 
         def local(node_perm, send_idx, ledges, lmask, redges, rmask, x):
@@ -349,6 +398,57 @@ class HaloGraph:
           self.remote_edges, self.remote_mask, feature)
 
     send_recv = send_u_recv
+
+    def _pallas_send_u_recv(self, feature, reduce_op: str):
+        """On-chip fast path: the per-shard local and halo aggregations run
+        the one-hot-MXU SpMM kernel over this shard's owned rows only; the
+        all_to_all still moves just the boundary rows (and is independent
+        of the local-edge kernel, so XLA overlaps them)."""
+        from ..ops.pallas.segment_kernels import _blocked_spmm
+        ax = self.axis
+        (pvL, pidL, tsL, teL), (pvR, pidR, tsR, teR) = self._shard_layouts
+        d = feature.shape[-1]
+        pad = (-d) % 128
+
+        def local(pvL, pidL, tsL, teL, pvR, pidR, tsR, teR,
+                  send_idx, ledges, lmask, redges, rmask, x):
+            xs = x[0]
+            n_pad = xs.shape[0]
+            send = jnp.take(xs, send_idx[0], axis=0)
+            halo = jax.lax.all_to_all(send, ax, 0, 0)
+            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+            if pad:
+                z = jnp.zeros((xs.shape[0], pad), xs.dtype)
+                xs_p = jnp.concatenate([xs, z], axis=1)
+                halo_p = jnp.concatenate(
+                    [halo_flat,
+                     jnp.zeros((halo_flat.shape[0], pad), xs.dtype)],
+                    axis=1)
+            else:
+                xs_p, halo_p = xs, halo_flat
+            out = _blocked_spmm(xs_p, pvL[0], pidL[0], tsL[0], teL[0],
+                                n_pad, 256, 1024, False)
+            out = out + _blocked_spmm(halo_p, pvR[0], pidR[0], tsR[0],
+                                      teR[0], n_pad, 256, 1024, False)
+            if pad:
+                out = out[:, :d]
+            if reduce_op == "mean":
+                deg = (jax.ops.segment_sum(lmask[0], ledges[0][:, 1],
+                                           num_segments=n_pad)
+                       + jax.ops.segment_sum(rmask[0], redges[0][:, 1],
+                                             num_segments=n_pad))
+                out = out / jnp.maximum(deg, 1.0)[:, None]
+            return out[None]
+
+        P2, P3 = P(ax, None), P(ax, None, None)
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P2, P3, P2, P2, P2, P3, P2, P2,
+                      P3, P3, P2, P3, P2, P3),
+            out_specs=P3, check_vma=False,
+        )(pvL, pidL, tsL, teL, pvR, pidR, tsR, teR,
+          self.send_idx, self.local_edges, self.local_mask,
+          self.remote_edges, self.remote_mask, feature)
 
     def send_ue_recv(self, feature, edge_feat, message_op: str = "mul",
                      reduce_op: str = "sum"):
@@ -529,7 +629,7 @@ class HaloGraph:
 
     def tree_flatten(self):
         children = tuple(getattr(self, k) for k in self._LEAVES) + \
-            (self.node_feat, self.edge_feat)
+            (self.node_feat, self.edge_feat, self._shard_layouts)
         aux = (self._num_nodes, self.mesh, self.axis, self.h_pad,
                self.halo_size)
         return children, aux
@@ -539,7 +639,8 @@ class HaloGraph:
         obj = object.__new__(cls)
         for k, v in zip(cls._LEAVES, children):
             setattr(obj, k, v)
-        obj.node_feat, obj.edge_feat = children[len(cls._LEAVES):]
+        (obj.node_feat, obj.edge_feat,
+         obj._shard_layouts) = children[len(cls._LEAVES):]
         (obj._num_nodes, obj.mesh, obj.axis, obj.h_pad,
          obj.halo_size) = aux
         return obj
