@@ -2,9 +2,21 @@
 
 The reference's graph engine speaks brpc from C++ (``pgl/distributed/
 dist_graph.py:124``); on TPU pods the hosts are trusted peers on a private
-network, so a compact numpy-aware pickle protocol over TCP sockets is the
-pragmatic host-side transport. Each request is ``(method, args, kwargs)``;
-each response ``(ok, payload)``.
+network, so a compact numpy-aware protocol over TCP sockets is the pragmatic
+host-side transport. Each request is ``(method, args, kwargs)``; each
+response ``(ok, payload)``.
+
+Framing (zero-copy for arrays): numpy arrays are stripped out of the object
+tree and replaced by ``_NpRef`` placeholders before pickling, so only the
+small skeleton goes through pickle. Array bytes travel as raw trailing
+buffers — sent straight from the array's memory (``sendall(memoryview)``,
+no serialization copy) and received straight into a preallocated array
+(``recv_into``), so neighbor-id and feature payloads cross the wire with a
+single kernel→array copy on each side.
+
+    >II       skeleton_len, num_buffers
+    skeleton  pickle of the object tree with arrays replaced by _NpRef
+    buffers   raw array bytes, concatenated in _NpRef.index order
 """
 
 from __future__ import annotations
@@ -15,16 +27,79 @@ import socketserver
 import struct
 import threading
 import traceback
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, List, Tuple
+
+import numpy as np
 
 __all__ = ["RpcServer", "RpcClient"]
 
-_HDR = struct.Struct(">I")
+_HDR = struct.Struct(">II")
+
+
+class _NpRef:
+    """Placeholder for a numpy array lifted out of the pickled skeleton."""
+
+    __slots__ = ("index", "dtype", "shape")
+
+    def __init__(self, index: int, dtype: str, shape: tuple):
+        self.index = index
+        self.dtype = dtype
+        self.shape = shape
+
+    def __reduce__(self):
+        return (_NpRef, (self.index, self.dtype, self.shape))
+
+
+def _strip(obj: Any, bufs: List[np.ndarray]) -> Any:
+    """Replace ndarrays with _NpRef placeholders, appending them to bufs."""
+    if isinstance(obj, np.ndarray) and obj.dtype != object:
+        # ascontiguousarray would promote 0-d to (1,); 0-d is always contiguous
+        arr = obj if obj.flags.c_contiguous else np.ascontiguousarray(obj)
+        ref = _NpRef(len(bufs), arr.dtype.str, arr.shape)
+        bufs.append(arr)
+        return ref
+    if isinstance(obj, tuple):
+        return tuple(_strip(x, bufs) for x in obj)
+    if isinstance(obj, list):
+        return [_strip(x, bufs) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _strip(v, bufs) for k, v in obj.items()}
+    return obj
+
+
+def _fill(obj: Any, arrays: List[np.ndarray]) -> Any:
+    """Inverse of _strip: substitute received arrays back into the tree."""
+    if isinstance(obj, _NpRef):
+        return arrays[obj.index]
+    if isinstance(obj, tuple):
+        return tuple(_fill(x, arrays) for x in obj)
+    if isinstance(obj, list):
+        return [_fill(x, arrays) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _fill(v, arrays) for k, v in obj.items()}
+    return obj
+
+
+def _collect_refs(obj: Any, out: List[_NpRef]) -> None:
+    """Gather _NpRefs in deterministic traversal order (== wire order)."""
+    if isinstance(obj, _NpRef):
+        out.append(obj)
+    elif isinstance(obj, (tuple, list)):
+        for x in obj:
+            _collect_refs(x, out)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            _collect_refs(v, out)
 
 
 def _send_msg(sock: socket.socket, obj: Any):
-    payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
-    sock.sendall(_HDR.pack(len(payload)) + payload)
+    bufs: List[np.ndarray] = []
+    skeleton = pickle.dumps(_strip(obj, bufs),
+                            protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(_HDR.pack(len(skeleton), len(bufs)) + skeleton)
+    for arr in bufs:
+        if arr.nbytes:
+            sock.sendall(memoryview(arr).cast("B"))
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -37,9 +112,28 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
+def _recv_into(sock: socket.socket, view: memoryview) -> None:
+    while view.nbytes:
+        n = sock.recv_into(view)
+        if not n:
+            raise ConnectionError("peer closed")
+        view = view[n:]
+
+
 def _recv_msg(sock: socket.socket) -> Any:
-    (n,) = _HDR.unpack(_recv_exact(sock, _HDR.size))
-    return pickle.loads(_recv_exact(sock, n))
+    skel_len, nbufs = _HDR.unpack(_recv_exact(sock, _HDR.size))
+    skeleton = pickle.loads(_recv_exact(sock, skel_len))
+    if not nbufs:
+        return skeleton
+    refs: List[_NpRef] = []
+    _collect_refs(skeleton, refs)
+    arrays: List[np.ndarray] = [None] * nbufs
+    for ref in refs:  # traversal order == sender's append order
+        arr = np.empty(ref.shape, dtype=np.dtype(ref.dtype))
+        if arr.nbytes:
+            _recv_into(sock, memoryview(arr).cast("B"))
+        arrays[ref.index] = arr
+    return _fill(skeleton, arrays)
 
 
 class _Handler(socketserver.BaseRequestHandler):
