@@ -180,11 +180,17 @@ def main():
     sage = GraphSage(input_size=128, num_class=16, num_layers=2,
                      hidden_size=128, dropout=0.0)
     B, samples = (64, (5, 5)) if small else (512, (25, 10))
-    n_bucket, e_bucket = (1 << 12, 1 << 14) if small else (1 << 17, 1 << 19)
+    # Buckets sized to the *sampled subgraph* (~3.3k nodes at B=512 on this
+    # graph), not the full graph: over-padding costs real H2D bytes per step.
+    n_bucket, e_bucket = (1 << 12, 1 << 14) if small else (1 << 14, 1 << 15)
 
     def make_batch(nodes):
         sub, sample_index, node_index = graphsage_sample(
             gs, nodes, samples)[0]
+        if sub.num_nodes > n_bucket or sub.num_edges > e_bucket:
+            raise RuntimeError(
+                f"bucket overflow: {sub.num_nodes}/{n_bucket} nodes "
+                f"{sub.num_edges}/{e_bucket} edges")
         edges = np.full((e_bucket, 2), n_bucket - 1, np.int32)
         edges[:sub.num_edges] = np.asarray(sub.edges)
         x = np.zeros((n_bucket, 128), np.float32)
@@ -193,8 +199,10 @@ def main():
         mask = np.zeros(n_bucket, np.float32)
         yb[node_index] = y_all[np.asarray(nodes)]
         mask[node_index] = 1.0
-        return (Graph(jnp.asarray(edges), num_nodes=n_bucket),
-                jnp.asarray(x), jnp.asarray(yb), jnp.asarray(mask))
+        # async H2D: device transfer overlaps the device step consuming the
+        # previous batch (the prefetch thread below drives this pipeline)
+        return (Graph(jax.device_put(edges), num_nodes=n_bucket),
+                jax.device_put(x), jax.device_put(yb), jax.device_put(mask))
 
     sage_opt = optax.adam(1e-3)
 
@@ -218,15 +226,29 @@ def main():
     sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, gsub0,
                                           x_b, y_b, m_b)
     float(sl)
-    n_batches = 8
+    # Real pipeline: host sampling + H2D runs in a prefetch thread (depth 2)
+    # overlapped with the device step — the framework's Dataloader pattern.
+    # Host work is still on the critical path if slower than the step; it is
+    # timed end-to-end, just not serialized against device compute.
+    import queue as _queue
+    import threading as _threading
+    n_batches = 16
+    batch_q = _queue.Queue(maxsize=2)
+
+    def _producer():
+        for _ in range(n_batches):
+            batch_q.put(make_batch(rngb.choice(n_sage, B, replace=False)))
+
+    prod = _threading.Thread(target=_producer, daemon=True)
     t0 = time.perf_counter()
+    prod.start()
     for _ in range(n_batches):
-        gsub, x_b, y_b, m_b = make_batch(
-            rngb.choice(n_sage, B, replace=False))    # host sampling timed
+        gsub, x_b, y_b, m_b = batch_q.get()
         sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, gsub,
                                               x_b, y_b, m_b)
     float(sl)
     t_sage = (time.perf_counter() - t0) / n_batches
+    prod.join()
     sage_nodes_per_s = B / t_sage
 
     print(json.dumps({
