@@ -32,6 +32,7 @@ class MAB(nn.Module):
     num_heads: int
     conv: Any = None
     layer_norm: bool = False
+    max_num_nodes: Optional[int] = None  # static dense-batch cap (jit)
 
     @nn.compact
     def __call__(self, Q, K, graph=None, mask=None):
@@ -41,8 +42,8 @@ class MAB(nn.Module):
             g, x = graph
             k = self.conv(self.dim_K, self.dim_V, name="layer_k")(g, x)
             v = self.conv(self.dim_K, self.dim_V, name="layer_v")(g, x)
-            K, _ = to_dense_batch(k, g)
-            V, _ = to_dense_batch(v, g)
+            K, _ = to_dense_batch(k, g, max_num_nodes=self.max_num_nodes)
+            V, _ = to_dense_batch(v, g, max_num_nodes=self.max_num_nodes)
         else:
             K = nn.Dense(self.dim_V, name="layer_k")(K)
             V = nn.Dense(self.dim_V, name="layer_v")(K)
@@ -77,12 +78,15 @@ class SAB(nn.Module):
     num_heads: int
     conv: Any = None
     layer_norm: bool = False
+    max_num_nodes: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, graph=None, mask=None):
         return MAB(self.input_dim, self.input_dim, self.output_dim,
                    self.num_heads, conv=self.conv,
-                   layer_norm=self.layer_norm, name="mab")(x, x, graph, mask)
+                   layer_norm=self.layer_norm,
+                   max_num_nodes=self.max_num_nodes,
+                   name="mab")(x, x, graph, mask)
 
 
 class PMA(nn.Module):
@@ -93,6 +97,7 @@ class PMA(nn.Module):
     num_seeds: int
     conv: Any = None
     layer_norm: bool = False
+    max_num_nodes: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, graph=None, mask=None):
@@ -101,6 +106,7 @@ class PMA(nn.Module):
         Q = jnp.broadcast_to(seeds, (x.shape[0], self.num_seeds, self.dim))
         return MAB(self.dim, self.dim, self.dim, self.num_heads,
                    conv=self.conv, layer_norm=self.layer_norm,
+                   max_num_nodes=self.max_num_nodes,
                    name="mab")(Q, x, graph, mask)
 
 
@@ -129,7 +135,10 @@ class GraphMultisetTransformer(nn.Module):
                     "Elements in 'pool_sequences' should be one of "
                     "'GMPool_G', 'GMPool_I', or 'SelfAtt'")
         x = nn.Dense(self.hidden_dim, name="lin1")(x)
-        batch_x, mask = to_dense_batch(x, graph)
+        # num_nodes is the static per-graph node cap: keeps the dense batch
+        # shape jit-stable (graphs larger than the cap are truncated)
+        batch_x, mask = to_dense_batch(x, graph,
+                                       max_num_nodes=self.num_nodes)
         num_out = pymath.ceil(self.num_nodes * self.pooling_ratio)
         for i, name in enumerate(seqs):
             if i == len(seqs) - 1:
@@ -137,6 +146,7 @@ class GraphMultisetTransformer(nn.Module):
             if name == "GMPool_G":
                 pool = PMA(self.hidden_dim, self.num_heads, num_out,
                            conv=conv, layer_norm=self.layer_norm,
+                           max_num_nodes=self.num_nodes,
                            name=f"pool_{i}")
                 g = (graph, x)
                 num_out = pymath.ceil(num_out * self.pooling_ratio)

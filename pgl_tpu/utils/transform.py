@@ -74,13 +74,19 @@ def to_dense_batch(x, graph, fill_value=0.0,
                                     indices_are_sorted=True)
     cum = jnp.cumsum(num_nodes) - num_nodes
     if max_num_nodes is None:
+        # data-dependent: host/eager only. Pass a static cap to use under jit.
         max_num_nodes = int(jnp.max(num_nodes))
-    idx = jnp.arange(graph_node_id.shape[0])
-    idx = (idx - cum[graph_node_id]) + graph_node_id * max_num_nodes
+    pos = jnp.arange(graph_node_id.shape[0]) - cum[graph_node_id]
     size = (batch_size * max_num_nodes,) + tuple(x.shape[1:])
-    out = jnp.full(size, fill_value, dtype=x.dtype).at[idx].set(x)
+    # nodes beyond the cap are dropped (sentinel index + drop mode), not
+    # silently written into the next graph's rows
+    idx = jnp.where(pos < max_num_nodes,
+                    pos + graph_node_id * max_num_nodes, size[0])
+    out = jnp.full(size, fill_value, dtype=x.dtype).at[idx].set(
+        x, mode="drop")
     out = out.reshape((batch_size, max_num_nodes) + tuple(x.shape[1:]))
-    mask = jnp.ones((batch_size * max_num_nodes,), bool).at[idx].set(False)
+    mask = jnp.ones((batch_size * max_num_nodes,), bool).at[idx].set(
+        False, mode="drop")
     return out, mask.reshape(batch_size, max_num_nodes)
 
 

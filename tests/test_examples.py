@@ -68,3 +68,14 @@ def test_r_unimp_example():
     out = run_example("r_unimp/train.py", "--epochs", "2",
                       "--batch-size", "96")
     assert "val acc" in out
+
+
+def test_ngcf_example():
+    out = run_example("ngcf/train.py", "--epochs", "30")
+    assert "recall@20" in out
+
+
+def test_global_pool_example():
+    out = run_example("global_pool/train.py", "--pool_type", "sum",
+                      "--epochs", "3", "--num-graphs", "64")
+    assert "test acc" in out
