@@ -251,6 +251,54 @@ def main():
     prod.join()
     sage_nodes_per_s = B / t_sage
 
+    # --- device-sampled SAGE: sampling + training in ONE jit --------------
+    # (the TPU-native analog of the reference's GPU NeighborSampler path:
+    # padded ego blocks, no host round trip per batch)
+    from pgl_tpu.models import BipartiteSAGE
+    from pgl_tpu.sampling import NeighborSampler
+    gs_t = gs.tensor()
+    sampler = NeighborSampler(gs_t, samples=samples)
+    dsage = BipartiteSAGE(input_size=128, num_class=16, num_layers=2,
+                          hidden_size=128)
+    feat_dev = jnp.asarray(feat_all)
+    y_dev = jnp.asarray(y_all.astype(np.int32))
+    seeds0 = jnp.arange(B, dtype=jnp.int32)
+    sampled0, _ = sampler.sample(seeds0, jax.random.key(0))
+    dparams = dsage.init(jax.random.key(1), feat_dev, seeds0, sampled0)
+    dopt = optax.adam(1e-3)
+    dstate = dopt.init(dparams)
+
+    @jax.jit
+    def dsage_steps(params, opt_state, key):
+        # R chained steps per dispatch; each step's params feed the next,
+        # so iterations cannot overlap or be served from a cache
+        def body(i, carry):
+            params, opt_state, key, _ = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            seeds = jax.random.randint(k1, (B,), 0, n_sage)
+            sampled, _ = sampler.sample(seeds, k2)
+
+            def loss_fn(p):
+                logits = dsage.apply(p, feat_dev, seeds, sampled)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y_dev[seeds]).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = dopt.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state, key,
+                    loss)
+
+        return jax.lax.fori_loop(0, R, body,
+                                 (params, opt_state, key, jnp.float32(0)))
+
+    dparams, dstate, _, dl = dsage_steps(dparams, dstate, jax.random.key(3))
+    float(dl)  # warmup + sync
+    t0 = time.perf_counter()
+    dparams, dstate, _, dl = dsage_steps(dparams, dstate, jax.random.key(4))
+    float(dl)
+    t_dsage = (time.perf_counter() - t0) / R
+    dsage_nodes_per_s = B / t_dsage
+
     print(json.dumps({
         "metric": "gcn3_train_edges_per_s",
         "value": round(edges_per_s, 1),
@@ -268,6 +316,8 @@ def main():
             "gat_train_edges_per_s": round(2 * E_gat / t_gat_step, 0),
             "sage_minibatch_nodes_per_s": round(sage_nodes_per_s, 0),
             "sage_minibatch_step_ms": round(t_sage * 1000, 1),
+            "sage_device_sampled_nodes_per_s": round(dsage_nodes_per_s, 0),
+            "sage_device_sampled_step_ms": round(t_dsage * 1000, 2),
             "baseline": "V100 GCN-Cora epoch 0.0047s "
                         "(legacy/docs/source/md/introduction.md:46)",
             "hbm_gbps_model": hbm_gbps,

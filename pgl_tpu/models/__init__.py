@@ -3,8 +3,9 @@
 from .gnn import (GCN, GAT, GraphSage, GIN, DeepGCNII, APPNPModel, SGC,
                   SSGC, GATv2, GPRGNN, FAGCN, BernNet, ChebNetII)
 from .unimp import UniMP, RUniMP
+from .sampled_sage import BipartiteSAGE
 from . import kg
 
 __all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel",
            "SGC", "SSGC", "GATv2", "GPRGNN", "FAGCN", "BernNet",
-           "ChebNetII", "UniMP", "RUniMP", "kg"]
+           "ChebNetII", "UniMP", "RUniMP", "BipartiteSAGE", "kg"]
