@@ -79,3 +79,9 @@ def test_global_pool_example():
     out = run_example("global_pool/train.py", "--pool_type", "sum",
                       "--epochs", "3", "--num-graphs", "64")
     assert "test acc" in out
+
+
+def test_graphsage_device_sampler():
+    out = run_example("graphsage/train.py", "--device-sampler",
+                      "--epochs", "4", "--samples", "10", "10")
+    assert "device-sampled" in out and "test acc" in out
