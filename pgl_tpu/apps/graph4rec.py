@@ -69,6 +69,24 @@ PRESETS = {
                      metapath="u2i-i2u", walk_len=8, win_size=3,
                      neg_num=5, embed_dim=64, lr=5e-3, epochs=10,
                      batch_pairs=1024, walks_per_node=2),
+    "gat": dict(model_type="gat", samples=[8], metapath="u2i-i2u",
+                walk_len=8, win_size=3, neg_num=5, embed_dim=64, lr=5e-3,
+                epochs=10, batch_pairs=1024, walks_per_node=2),
+    "gin": dict(model_type="gin", samples=[8], metapath="u2i-i2u",
+                walk_len=8, win_size=3, neg_num=5, embed_dim=64, lr=5e-3,
+                epochs=10, batch_pairs=1024, walks_per_node=2),
+    "gatne": dict(model_type="gatne", samples=[5], metapath="u2i-i2u",
+                  walk_len=8, win_size=3, neg_num=5, embed_dim=64,
+                  edge_dim=8, att_dim=8, lr=5e-3, epochs=10,
+                  batch_pairs=1024, walks_per_node=2),
+    "graphsage_with_features": dict(
+        model_type="ego_sage", samples=[5, 5], metapath="u2i-i2u",
+        walk_len=8, win_size=3, neg_num=5, embed_dim=64, lr=5e-3,
+        epochs=10, batch_pairs=1024, walks_per_node=2, use_node_feat=True),
+    "metapath2vec_with_features": dict(
+        model_type="walk_based", walk_mode="metapath", metapath="u2i-i2u",
+        walk_len=12, win_size=3, neg_num=5, embed_dim=64, lr=5e-3,
+        epochs=10, batch_pairs=1024, walks_per_node=2, use_node_feat=True),
 }
 
 
@@ -90,8 +108,8 @@ class Graph4RecTrainer:
                                      (self.num_nodes, dim)) * 0.1,
             "ctx": jnp.zeros((self.num_nodes, dim)),
         }
-        if (self.cfg.model_type or "walk_based") in ("ego_sage",
-                                                      "lightgcn"):
+        mtype = self.cfg.model_type or "walk_based"
+        if mtype in ("ego_sage", "lightgcn", "gat", "gin"):
             if graph is None:
                 raise ValueError("ego models need a local graph")
             etype = (self.cfg.sage_etype or
@@ -101,10 +119,58 @@ class Graph4RecTrainer:
             idx = base.adj_dst_index
             self._indptr = jnp.asarray(np.asarray(idx.indptr), jnp.int32)
             self._sorted_v = jnp.asarray(np.asarray(idx.sorted_v), jnp.int32)
-            self.params["w_self"] = jax.random.normal(
-                jax.random.key(seed + 1), (dim, dim)) * 0.1
-            self.params["w_neigh"] = jax.random.normal(
-                jax.random.key(seed + 2), (dim, dim)) * 0.1
+            k1, k2, k3, k4 = jax.random.split(jax.random.key(seed + 1), 4)
+            if mtype in ("ego_sage",):
+                self.params["w_self"] = jax.random.normal(k1,
+                                                          (dim, dim)) * 0.1
+                self.params["w_neigh"] = jax.random.normal(k2,
+                                                           (dim, dim)) * 0.1
+            elif mtype == "gat":
+                # single-head additive attention over the sampled ego
+                # (reference Graph4Rec models/layers.py GAT preset)
+                self.params["w"] = jax.random.normal(k1, (dim, dim)) * 0.1
+                self.params["a_l"] = jax.random.normal(k2, (dim,)) * 0.1
+                self.params["a_r"] = jax.random.normal(k3, (dim,)) * 0.1
+            elif mtype == "gin":
+                self.params["gin_eps"] = jnp.zeros(())
+                self.params["w1"] = jax.random.normal(k1, (dim, dim)) * 0.1
+                self.params["b1"] = jnp.zeros(dim)
+                self.params["w2"] = jax.random.normal(k2, (dim, dim)) * 0.1
+                self.params["b2"] = jnp.zeros(dim)
+        elif mtype == "gatne":
+            # GATNE-T: shared base embedding + per-edge-type edge
+            # embeddings aggregated from sampled neighbors, combined with
+            # self-attention over edge types
+            # (reference user_configs/gatne.yaml surface)
+            if graph is None or not getattr(graph, "edge_types", None):
+                raise ValueError("gatne needs a local HeterGraph")
+            self._etype_csc = []
+            for etype in graph.edge_types:
+                idx = graph[etype].adj_dst_index
+                self._etype_csc.append(
+                    (jnp.asarray(np.asarray(idx.indptr), jnp.int32),
+                     jnp.asarray(np.asarray(idx.sorted_v), jnp.int32)))
+            R = len(graph.edge_types)
+            de = int(self.cfg.edge_dim or 8)
+            da = int(self.cfg.att_dim or 8)
+            k1, k2, k3, k4 = jax.random.split(jax.random.key(seed + 1), 4)
+            self.params["edge_emb"] = jax.random.normal(
+                k1, (self.num_nodes, R, de)) * 0.1
+            self.params["w_att"] = jax.random.normal(k2, (de, da)) * 0.1
+            self.params["v_att"] = jax.random.normal(k3, (da,)) * 0.1
+            self.params["w_out"] = jax.random.normal(k4, (de, dim)) * 0.1
+        if bool(self.cfg.use_node_feat):
+            feats = getattr(graph, "node_feat", None) or {}
+            name = self.cfg.feat_name or "h"
+            if name not in feats:
+                raise ValueError(
+                    f"use_node_feat: graph has no node_feat[{name!r}]")
+            self._feat = jnp.asarray(np.asarray(feats[name], np.float32))
+            self.params["w_feat"] = jax.random.normal(
+                jax.random.key(seed + 9),
+                (self._feat.shape[1], dim)) * 0.1
+        else:
+            self._feat = None
         self.opt = optax.adam(float(self.cfg.lr or 5e-3))
         self.opt_state = self.opt.init(self.params)
         self._jit_step = jax.jit(self._make_step())
@@ -126,20 +192,67 @@ class Graph4RecTrainer:
 
     # -- model --------------------------------------------------------------
 
-    def _encode(self, params, ids, key):
+    def _node_input(self, params, ids):
+        """Base id embedding, plus projected side features when the
+        ``*_with_features`` presets set ``use_node_feat``
+        (reference graphsage_with_features.yaml / metapath2vec_with_
+        features.yaml)."""
         h = params["emb"][ids]
+        if self._feat is not None:
+            h = h + self._feat[ids] @ params["w_feat"]
+        return h
+
+    def _encode(self, params, ids, key):
+        h = self._node_input(params, ids)
         mtype = self.cfg.model_type or "walk_based"
         if mtype == "walk_based":
             return h
+        if mtype == "gatne":
+            # per-etype edge embeddings aggregated from that etype's
+            # sampled neighbors, attention-combined across etypes
+            k = int((self.cfg.samples or [5])[0])
+            us = []
+            for r, (indptr, sorted_v) in enumerate(self._etype_csc):
+                key, sub = jax.random.split(key)
+                neigh, mask = sample_neighbors_padded(indptr, sorted_v,
+                                                      ids, k, sub)
+                ne = params["edge_emb"][neigh, r] * mask[..., None]
+                us.append(ne.sum(1)
+                          / jnp.maximum(mask.sum(-1, keepdims=True), 1.0))
+            U = jnp.stack(us, axis=1)                      # [B, R, de]
+            att = jnp.einsum("bra,a->br",
+                             jnp.tanh(jnp.einsum("brd,da->bra", U,
+                                                 params["w_att"])),
+                             params["v_att"])
+            att = jax.nn.softmax(att, axis=-1)             # [B, R]
+            m = jnp.einsum("br,brd->bd", att, U)
+            return h + m @ params["w_out"]
         k = int((self.cfg.samples or [5])[0])
         neigh, mask = sample_neighbors_padded(
             self._indptr, self._sorted_v, ids, k, key)
-        nh = params["emb"][neigh] * mask[..., None]
-        agg = nh.sum(1) / jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
+        n_in = self._node_input(params, neigh.reshape(-1)).reshape(
+            neigh.shape + (-1,))
+        if mtype == "gat":
+            hw = h @ params["w"]                            # [B, d]
+            nw = n_in @ params["w"]                         # [B, k, d]
+            score = jax.nn.leaky_relu(
+                (hw @ params["a_l"])[:, None] + nw @ params["a_r"],
+                negative_slope=0.2)                         # [B, k]
+            score = jnp.where(mask, score, -1e9)
+            alpha = jax.nn.softmax(score, axis=-1) \
+                * mask.any(-1, keepdims=True)
+            return jax.nn.elu(hw + jnp.einsum("bk,bkd->bd", alpha, nw))
+        nh = n_in * mask[..., None]
+        agg_sum = nh.sum(1)
+        agg = agg_sum / jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
         if mtype == "lightgcn":
             # parameter-free mean of self and aggregated neighbors
             # (reference models/layers.py LightGCN propagation)
             return (h + agg) * 0.5
+        if mtype == "gin":
+            z = (1.0 + params["gin_eps"]) * h + agg_sum
+            z = jax.nn.relu(z @ params["w1"] + params["b1"])
+            return z @ params["w2"] + params["b2"]
         return jax.nn.relu(h @ params["w_self"] + agg @ params["w_neigh"])
 
     def _make_step(self):

@@ -88,7 +88,8 @@ def test_mp_reader():
     assert vals == list(range(9))
 
 
-@pytest.mark.parametrize("model_type", ["walk_based", "ego_sage"])
+@pytest.mark.parametrize("model_type", ["walk_based", "ego_sage",
+                                        "gat", "gin"])
 def test_graph4rec_trainer(model_type):
     from pgl_tpu.apps.graph4rec import Graph4RecTrainer
     from pgl_tpu.utils.config import Config
@@ -171,4 +172,54 @@ def test_graph4rec_presets_train():
         emb = tr.embeddings()
         assert emb.shape == (60, 64)
     assert set(PRESETS) >= {"deepwalk", "node2vec", "metapath2vec",
-                            "graphsage", "lightgcn"}
+                            "graphsage", "lightgcn", "gat", "gin",
+                            "gatne", "graphsage_with_features",
+                            "metapath2vec_with_features"}
+
+
+def _bipartite_hetergraph(n_u=60, n_i=90, feat_dim=0, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_u, 500)
+    dst = n_u + rng.integers(0, n_i, 500)
+    node_feat = {}
+    if feat_dim:
+        node_feat["h"] = rng.normal(size=(n_u + n_i, feat_dim)).astype(
+            np.float32)
+    return HeterGraph({"u2i": np.stack([src, dst], 1),
+                       "i2u": np.stack([dst, src], 1)},
+                      num_nodes=n_u + n_i,
+                      node_types=[(i, "u" if i < n_u else "i")
+                                  for i in range(n_u + n_i)],
+                      node_feat=node_feat)
+
+
+def test_graph4rec_gatne_trainer():
+    """GATNE-T: per-etype edge embeddings + cross-etype attention."""
+    from pgl_tpu.apps.graph4rec import Graph4RecTrainer
+    hg = _bipartite_hetergraph()
+    tr = Graph4RecTrainer.from_preset("gatne", graph=hg, walk_len=6,
+                                      batch_pairs=256, walks_per_node=1,
+                                      embed_dim=16, edge_dim=4, att_dim=4)
+    l0 = tr.train(epochs=1)
+    l1 = tr.train(epochs=3)
+    assert np.isfinite(l0) and l1 < l0
+    assert tr.params["edge_emb"].shape == (150, 2, 4)
+
+
+def test_graph4rec_with_features_presets():
+    """*_with_features presets project node side features into the
+    encoder; a graph without features raises a clear error."""
+    from pgl_tpu.apps.graph4rec import Graph4RecTrainer
+    hg = _bipartite_hetergraph(feat_dim=12)
+    for name in ("graphsage_with_features", "metapath2vec_with_features"):
+        tr = Graph4RecTrainer.from_preset(name, graph=hg, walk_len=6,
+                                          batch_pairs=256,
+                                          walks_per_node=1, embed_dim=16,
+                                          samples=[3])
+        loss = tr.train(epochs=1)
+        assert np.isfinite(loss)
+        assert tr.params["w_feat"].shape == (12, 16)
+
+    bare = _bipartite_hetergraph()
+    with pytest.raises(ValueError, match="node_feat"):
+        Graph4RecTrainer.from_preset("graphsage_with_features", graph=bare)
