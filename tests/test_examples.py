@@ -85,3 +85,18 @@ def test_graphsage_device_sampler():
     out = run_example("graphsage/train.py", "--device-sampler",
                       "--epochs", "4", "--samples", "10", "10")
     assert "device-sampled" in out and "test acc" in out
+
+
+def test_citation_multi_chip():
+    env = dict(os.environ, PGL_TPU_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "examples/citation_benchmark/"
+                            "multi_chip_train.py"),
+         "--epochs", "60"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "halo-sharded GCN" in proc.stdout
+    acc = float(proc.stdout.rsplit("test acc ", 1)[1].split()[0])
+    assert acc > 0.7, proc.stdout
