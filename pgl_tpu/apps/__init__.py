@@ -6,5 +6,7 @@ from . import gnn_autoscale
 from . import unsupervised
 from . import graph4rec
 from . import pglbox
+from . import pglbox_model
 
-__all__ = ["gnn_autoscale", "unsupervised", "graph4rec", "pglbox"]
+__all__ = ["gnn_autoscale", "unsupervised", "graph4rec", "pglbox",
+           "pglbox_model"]
