@@ -144,13 +144,9 @@ class GATConv(nn.Module):
         from ..ops.dispatch import use_fused_attention
         if use_fused_attention(graph, graph.num_edges,
                                training and self.attn_drop > 1e-15):
-            # fused SDDMM+softmax+aggregate Pallas kernel (additive scores
-            # expressed as a dot; value width padded to the lane size)
-            from ..ops.pallas.attention_kernels import (
-                fused_graph_attention, gat_score_features)
+            # fused SDDMM+softmax+aggregate Pallas kernel (value width
+            # padded to the lane size)
             H, Dh = self.num_heads, self.hidden_size
-            q, k = gat_score_features(attn_dst, attn_src)
-            dsh = q.shape[1] // H
             dv_pad = max(128, -(-H * Dh // 128) * 128)
             v = feature.reshape(-1, H * Dh)
             if dv_pad > H * Dh:
@@ -158,8 +154,20 @@ class GATConv(nn.Module):
                     [v, jnp.zeros((v.shape[0], dv_pad - H * Dh),
                                   v.dtype)], axis=1)
             csc, csr, perm = graph._spmm_layouts
-            out = fused_graph_attention(
-                q, k, v, csc, (csr, perm), H, 0.2, dsh=dsh, dvh=Dh)
+            if 3 * H <= 128:
+                # additive-score kernel: exact f32 VPU scores, no matmul
+                from ..ops.pallas.attention_kernels import (
+                    fused_gat_attention)
+                out = fused_gat_attention(attn_dst, attn_src, v, csc,
+                                          (csr, perm), 0.2, dvh=Dh)
+            else:
+                # many-head fallback: additive scores as a dot
+                from ..ops.pallas.attention_kernels import (
+                    fused_graph_attention, gat_score_features)
+                q, k = gat_score_features(attn_dst, attn_src)
+                out = fused_graph_attention(
+                    q, k, v, csc, (csr, perm), H, 0.2,
+                    dsh=q.shape[1] // H, dvh=Dh)
             output = out[:, :H * Dh].reshape(-1, H, Dh)
         else:
             alpha = graph.send_uv(attn_src, attn_dst, "add")

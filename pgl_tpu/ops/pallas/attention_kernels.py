@@ -20,17 +20,19 @@ Backward is fused too (flash-attention style): two kernels recompute the
 per-edge probabilities **in-kernel** from the saved per-(row, head) LSE —
 no ``[E, H]`` probability tensor, no XLA scatter in either direction:
 
-  * CSC pass (grid over *dst* row blocks): streams gathered ``k``/``v``
-    edge tiles, recomputes ``p = exp(s − lse)``, forms
-    ``ds = p·(g·vᵀ − delta)`` and accumulates ``dq = ds @ k`` — all MXU.
-  * CSR pass (grid over *src* row blocks): ``k``/``v`` rows are resident,
-    the dst-side values (``q``, ``lse``, ``delta`` packed into one
-    gathered stream) arrive per edge tile; accumulates ``dk = ds @ q`` and
-    ``dv = p @ g`` together.
+  * CSC pass (grid over *dst* row blocks): streams the forward's gathered
+    ``k|v`` edge stream (kept as a residual — ZERO new gathers), recomputes
+    ``p = exp(s − lse)``, forms ``ds = p·(g·vᵀ − delta)`` and accumulates
+    ``dq = ds @ k`` — all MXU.
+  * CSR pass (grid over *src* row blocks): ``k``/``v`` rows are resident;
+    ``q``, the cotangent ``g``, and the per-edge ``lse``/``delta`` pair
+    ride ONE fused gathered stream (trailing 128-lane chunk, transposed
+    in-kernel); accumulates ``dk = ds @ q`` and ``dv = p @ g`` together.
 
-Each pass costs two row-gathers (the TPU gather floor, ~10 ns/row) plus
-dense MXU work — measured well below XLA's recompute-differentiate, which
-pays unsorted scatter-adds.
+The TPU row gather is row-count-bound (~10 ns/row regardless of width),
+so the whole train step pays exactly TWO gathers per layer — one fused
+``k|v`` in the forward (reused by the CSC pass) and one fused ``q|g|lse``
+in the CSR pass — instead of the naive seven.
 """
 
 from __future__ import annotations
@@ -45,21 +47,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .segment_kernels import BlockedLayout
 
-__all__ = ["fused_graph_attention", "gat_score_features",
-           "logits_score_features"]
+__all__ = ["fused_graph_attention", "fused_gat_attention",
+           "gat_score_features", "logits_score_features"]
 
 
 def _attn_kernel(tile_starts_ref, tile_ends_ref,
                  q_ref,                 # [NB, DS] VMEM (this block's rows)
-                 k_ref,                 # [Ep, DS] HBM (gathered, CSC order)
-                 v_ref,                 # [Ep, DV] HBM (gathered, CSC order)
+                 kv_ref,                # [Ep, DS+DV] HBM (gathered, CSC)
                  ids_ref,               # [Ep/128, 128] HBM int32
                  out_ref,               # [NB, DV] VMEM
                  lse_ref,               # [NB, H] VMEM
-                 k_tile, v_tile, ids_tile, acc, m_s, l_s, sem_k, sem_v,
-                 sem_i,
+                 kv_tile, ids_tile, ast, acc, m_s, l_s, sem_kv, sem_i,
                  *, NB: int, ET: int, DS: int, DV: int, H: int,
-                 DSH: int, DVH: int, leaky_slope: float):
+                 DSH: int, DVH: int, leaky_slope: float, additive: bool):
     i = pl.program_id(0)
     e0 = tile_starts_ref[i]
     e1 = tile_ends_ref[i]
@@ -70,10 +70,8 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
     def tile_dma(slot, t):
         start = pl.multiple_of(e0 + t * ET, ET)
         return (
-            pltpu.make_async_copy(k_ref.at[pl.ds(start, ET), :],
-                                  k_tile.at[slot], sem_k.at[slot]),
-            pltpu.make_async_copy(v_ref.at[pl.ds(start, ET), :],
-                                  v_tile.at[slot], sem_v.at[slot]),
+            pltpu.make_async_copy(kv_ref.at[pl.ds(start, ET), :],
+                                  kv_tile.at[slot], sem_kv.at[slot]),
             pltpu.make_async_copy(ids_ref.at[pl.ds(start // 128, ER), :],
                                   ids_tile.at[slot], sem_i.at[slot]),
         )
@@ -108,6 +106,14 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
             mask_parts.append(rows == local)
         mask = jnp.concatenate(mask_parts, axis=1)          # [NB, ET]
 
+        if additive:
+            # GAT additive scores: a_src rides the leading 128-col chunk of
+            # the kv stream; transpose it once per tile so each head's
+            # per-edge values are a [1, ET] row. Scores are then an exact
+            # f32 outer sum — no matmul, no MXU rounding at all.
+            ast[:] = jnp.transpose(kv_tile[slot, :, :128]
+                                   ).astype(jnp.float32)
+
         m_prev = m_s[:]
         l_prev = l_s[:]
         acc_prev = acc[:]
@@ -115,11 +121,22 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
         l_new_h = []
         acc_new_h = []
         for h in range(H):
-            q_h = q_ref[:, h * DSH:(h + 1) * DSH]           # [NB, DSH]
-            k_h = k_tile[slot, :, h * DSH:(h + 1) * DSH]    # [ET, DSH]
-            s = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [NB, ET]
+            if additive:
+                s = q_ref[:, h][:, None] + ast[h:h + 1, :]   # [NB, ET]
+            else:
+                q_h = q_ref[:, h * DSH:(h + 1) * DSH]        # [NB, DSH]
+                k_h = kv_tile[slot, :, h * DSH:(h + 1) * DSH]
+                # HIGHEST on ALL score dots (fwd + both bwd recomputes):
+                # the MXU default truncates f32 inputs to bf16 and, with
+                # excess precision allowed, each call site may lower
+                # differently — the backward's p = exp(s - lse) then
+                # disagrees with the forward's softmax and
+                # ds = p*(gv - delta) loses its cancellation (measured 0.2
+                # rel err in dq on chip; 5e-3 with exact scores).
+                s = jax.lax.dot_general(
+                    q_h, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [NB, ET]
             if leaky_slope:
                 s = jnp.where(s >= 0, s, s * leaky_slope)
             s = jnp.where(mask, s, -1e30)
@@ -129,7 +146,11 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
             p = jnp.exp(s - m_new[:, None])
             p = jnp.where(mask, p, 0.0)
             l_new = l_prev[:, h] * scale + jnp.sum(p, axis=1)
-            v_h = v_tile[slot, :, h * DVH:(h + 1) * DVH]     # [ET, DVH]
+            v_h = kv_tile[slot, :,
+                          DS + h * DVH:DS + (h + 1) * DVH]   # [ET, DVH]
+            # (default precision: output-side rounding only, no
+            # cancellation — bf16-level grad noise is acceptable, HIGHEST
+            # here measured 2x the whole train step)
             pv = jax.lax.dot(p.astype(v_h.dtype), v_h,
                              preferred_element_type=jnp.float32)
             acc_h = acc_prev[:, h * DVH:(h + 1) * DVH] * scale[:, None] + pv
@@ -160,11 +181,13 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "num_heads",
                                              "nb", "et", "leaky_slope",
-                                             "interpret", "dsh", "dvh"))
+                                             "interpret", "dsh", "dvh",
+                                             "additive"))
 def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
                          tile_ends, num_segments, num_heads: int,
                          leaky_slope: float, nb: int, et: int,
-                         interpret: bool, dsh=None, dvh=None):
+                         interpret: bool, dsh=None, dvh=None,
+                         additive: bool = False):
     DS = q.shape[1]
     DV = v.shape[1]
     dsh = dsh or DS // num_heads
@@ -172,12 +195,13 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
     n_pad = (num_segments + nb - 1) // nb * nb
     G = n_pad // nb
     q_pad = jnp.zeros((n_pad, DS), q.dtype).at[:num_segments].set(q)
-    k_e = jnp.take(k, padded_v, axis=0)
-    v_e = jnp.take(v, padded_v, axis=0)
+    # ONE row gather for both streams — the gather is row-count-bound
+    # (~10 ns/row regardless of width), so fusing k|v halves its cost.
+    kv_e = jnp.take(jnp.concatenate([k, v], axis=1), padded_v, axis=0)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, NB=nb, ET=et, DS=DS, DV=DV,
                           H=num_heads, DSH=dsh, DVH=dvh,
-                          leaky_slope=leaky_slope),
+                          leaky_slope=leaky_slope, additive=additive),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(G,),
@@ -186,20 +210,18 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=(pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((nb, num_heads), lambda i, *_: (i, 0),
                                     memory_space=pltpu.VMEM)),
             scratch_shapes=[
-                pltpu.VMEM((2, et, DS), k_e.dtype),
-                pltpu.VMEM((2, et, DV), v_e.dtype),
+                pltpu.VMEM((2, et, DS + DV), kv_e.dtype),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.VMEM((128 if additive else 8, et), jnp.float32),
                 pltpu.VMEM((nb, DV), jnp.float32),
                 pltpu.VMEM((nb, num_heads), jnp.float32),
                 pltpu.VMEM((nb, num_heads), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -207,9 +229,11 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
         out_shape=(jax.ShapeDtypeStruct((n_pad, DV), v.dtype),
                    jax.ShapeDtypeStruct((n_pad, num_heads), jnp.float32)),
         interpret=interpret,
-    )(tile_starts, tile_ends, q_pad, k_e, v_e, padded_ids)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(tile_starts, tile_ends, q_pad, kv_e, padded_ids)
     out, lse = out
-    return out[:num_segments], lse[:num_segments]
+    return out[:num_segments], lse[:num_segments], kv_e
 
 
 def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
@@ -217,13 +241,14 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
                         g_ref,                  # [NB, DV] VMEM (cotangent)
                         lse_ref,                # [NB, H] VMEM
                         delta_ref,              # [NB, H] VMEM (Σ g·out)
-                        k_hbm,                  # [Ep, DS] HBM (gathered CSC)
-                        v_hbm,                  # [Ep, DV] HBM (gathered CSC)
+                        kv_hbm,                 # [Ep, DS+DV] HBM (CSC,
+                                                #   reused from the fwd)
                         ids_hbm,                # [Ep/128, 128] HBM int32
                         dq_ref,                 # [NB, DS] VMEM out
-                        k_tile, v_tile, ids_tile, sem_k, sem_v, sem_i,
+                        kv_tile, ids_tile, ast, sem_kv, sem_i,
                         *, NB: int, ET: int, DS: int, DV: int, H: int,
-                        DSH: int, DVH: int, leaky_slope: float):
+                        DSH: int, DVH: int, leaky_slope: float,
+                        additive: bool):
     i = pl.program_id(0)
     e0 = tile_starts_ref[i]
     e1 = tile_ends_ref[i]
@@ -234,10 +259,8 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
     def tile_dma(slot, t):
         start = pl.multiple_of(e0 + t * ET, ET)
         return (
-            pltpu.make_async_copy(k_hbm.at[pl.ds(start, ET), :],
-                                  k_tile.at[slot], sem_k.at[slot]),
-            pltpu.make_async_copy(v_hbm.at[pl.ds(start, ET), :],
-                                  v_tile.at[slot], sem_v.at[slot]),
+            pltpu.make_async_copy(kv_hbm.at[pl.ds(start, ET), :],
+                                  kv_tile.at[slot], sem_kv.at[slot]),
             pltpu.make_async_copy(ids_hbm.at[pl.ds(start // 128, ER), :],
                                   ids_tile.at[slot], sem_i.at[slot]),
         )
@@ -268,13 +291,21 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
             mask_parts.append(rows == local)
         mask = jnp.concatenate(mask_parts, axis=1)          # [NB, ET]
 
+        if additive:
+            ast[:] = jnp.transpose(kv_tile[slot, :, :128]
+                                   ).astype(jnp.float32)
+
         dq_new = []
         for h in range(H):
-            q_h = q_ref[:, h * DSH:(h + 1) * DSH]           # [NB, DSH]
-            k_h = k_tile[slot, :, h * DSH:(h + 1) * DSH]    # [ET, DSH]
-            s_raw = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [NB, ET]
+            if additive:
+                s_raw = q_ref[:, h][:, None] + ast[h:h + 1, :]
+            else:
+                q_h = q_ref[:, h * DSH:(h + 1) * DSH]        # [NB, DSH]
+                k_h = kv_tile[slot, :, h * DSH:(h + 1) * DSH]
+                s_raw = jax.lax.dot_general(
+                    q_h, k_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [NB, ET]
             if leaky_slope:
                 s_act = jnp.where(s_raw >= 0, s_raw, s_raw * leaky_slope)
             else:
@@ -283,19 +314,25 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
             p = jnp.exp(jnp.where(mask, s_act - lse_ref[:, h][:, None],
                                   -1e30))                    # [NB, ET]
             g_h = g_ref[:, h * DVH:(h + 1) * DVH]           # [NB, DVH]
-            v_h = v_tile[slot, :, h * DVH:(h + 1) * DVH]    # [ET, DVH]
+            v_h = kv_tile[slot, :,
+                          DS + h * DVH:DS + (h + 1) * DVH]   # [ET, DVH]
             gv = jax.lax.dot_general(
                 g_h, v_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [NB, ET]
             ds = p * (gv - delta_ref[:, h][:, None])
             if leaky_slope:
                 ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
-            dq_new.append(jax.lax.dot(
-                ds.astype(k_h.dtype), k_h,
-                preferred_element_type=jnp.float32))         # [NB, DSH]
+            if additive:
+                # d a_dst[r, h] = Σ_e ds[r, e]
+                dq_new.append(jnp.sum(ds, axis=1)[:, None])  # [NB, 1]
+            else:
+                dq_new.append(jax.lax.dot(
+                    ds.astype(k_h.dtype), k_h,
+                    preferred_element_type=jnp.float32))     # [NB, DSH]
         upd = jnp.concatenate(dq_new, axis=1)
-        dq_ref[:, :H * DSH] = (dq_ref[:, :H * DSH]
-                               + upd.astype(dq_ref.dtype))
+        W_out = H if additive else H * DSH
+        dq_ref[:, :W_out] = (dq_ref[:, :W_out]
+                             + upd.astype(dq_ref.dtype))
         return ()
 
     jax.lax.fori_loop(0, num_tiles, body, ())
@@ -304,17 +341,19 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
 def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
                          k_ref,                 # [NB, DS] VMEM (src rows)
                          v_ref,                 # [NB, DV] VMEM (src rows)
-                         q_hbm,                 # [Ep, DS] HBM gathered CSR
-                         g_hbm,                 # [Ep, DV] HBM gathered CSR
-                         ld_hbm,                # [Ep/128, 2H, 128] HBM:
-                                                #   per-edge lse/delta rows
+                         qgl_hbm,               # [Ep, DS+DV+LDW] HBM: one
+                                                #   gathered CSR stream of
+                                                #   q | g | (lse,delta)
                          ids_hbm,               # [Ep/128, 128] HBM int32
                          dk_ref,                # [NB, DS] VMEM out
                          dv_ref,                # [NB, DV] VMEM out
-                         q_tile, g_tile, ld_tile, ids_tile,
-                         sem_q, sem_g, sem_l, sem_i,
-                         *, NB: int, ET: int, DS: int, DV: int,
-                         H: int, DSH: int, DVH: int, leaky_slope: float):
+                         qgl_tile, ldt, ids_tile, sem_qgl, sem_i,
+                         *, NB: int, ET: int, DS: int, DV: int, LDW: int,
+                         H: int, DSH: int, DVH: int, leaky_slope: float,
+                         additive: bool):
+    # additive mode: no q part in the stream (QW=0); the ld chunk carries
+    # lse (rows 0..H-1), delta (H..2H-1) AND the per-edge a_dst (2H..3H-1).
+    QW = 0 if additive else DS
     i = pl.program_id(0)
     e0 = tile_starts_ref[i]
     e1 = tile_ends_ref[i]
@@ -325,12 +364,8 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
     def tile_dma(slot, t):
         start = pl.multiple_of(e0 + t * ET, ET)
         return (
-            pltpu.make_async_copy(q_hbm.at[pl.ds(start, ET), :],
-                                  q_tile.at[slot], sem_q.at[slot]),
-            pltpu.make_async_copy(g_hbm.at[pl.ds(start, ET), :],
-                                  g_tile.at[slot], sem_g.at[slot]),
-            pltpu.make_async_copy(ld_hbm.at[pl.ds(start // 128, ER), :, :],
-                                  ld_tile.at[slot], sem_l.at[slot]),
+            pltpu.make_async_copy(qgl_hbm.at[pl.ds(start, ET), :],
+                                  qgl_tile.at[slot], sem_qgl.at[slot]),
             pltpu.make_async_copy(ids_hbm.at[pl.ds(start // 128, ER), :],
                                   ids_tile.at[slot], sem_i.at[slot]),
         )
@@ -362,44 +397,55 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
             mask_parts.append(rows == local)
         mask = jnp.concatenate(mask_parts, axis=1)          # [NB, ET]
 
-        def edge_row(idx):
-            """[1, ET] per-edge values assembled from the 128-lane rows —
-            same trick as the id mask (lane-major, no transpose)."""
-            return jnp.concatenate(
-                [ld_tile[slot, r, idx].reshape(1, 128) for r in range(ER)],
-                axis=1)
+        # per-edge lse/delta arrive as trailing COLUMNS of the fused
+        # stream; transpose each 128-col chunk once per tile so heads can
+        # slice [1, ET] rows out of it.
+        for w in range(LDW // 128):
+            c0 = QW + DV + w * 128
+            ldt[w * 128:(w + 1) * 128, :] = jnp.transpose(
+                qgl_tile[slot, :, c0:c0 + 128]).astype(jnp.float32)
 
         dk_new, dv_new = [], []
         for h in range(H):
-            k_h = k_ref[:, h * DSH:(h + 1) * DSH]           # [NB, DSH]
-            q_h = q_tile[slot, :, h * DSH:(h + 1) * DSH]    # [ET, DSH]
-            s_raw = jax.lax.dot_general(
-                k_h, q_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [NB, ET]
+            if additive:
+                s_raw = k_ref[:, h][:, None] + ldt[2 * H + h:2 * H + h + 1, :]
+            else:
+                k_h = k_ref[:, h * DSH:(h + 1) * DSH]        # [NB, DSH]
+                q_h = qgl_tile[slot, :, h * DSH:(h + 1) * DSH]
+                s_raw = jax.lax.dot_general(
+                    k_h, q_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [NB, ET]
             if leaky_slope:
                 s_act = jnp.where(s_raw >= 0, s_raw, s_raw * leaky_slope)
             else:
                 s_act = s_raw
-            lse_e = edge_row(h)                              # [1, ET]
-            delta_e = edge_row(H + h)                        # [1, ET]
+            lse_e = ldt[h:h + 1, :]                          # [1, ET]
+            delta_e = ldt[H + h:H + h + 1, :]                # [1, ET]
             p = jnp.exp(jnp.where(mask, s_act - lse_e, -1e30))
             v_h = v_ref[:, h * DVH:(h + 1) * DVH]           # [NB, DVH]
-            g_h = g_tile[slot, :, h * DVH:(h + 1) * DVH]    # [ET, DVH]
+            g_h = qgl_tile[slot, :,
+                           QW + h * DVH:QW + (h + 1) * DVH]  # [ET, DVH]
             gv = jax.lax.dot_general(
                 v_h, g_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [NB, ET]
             ds = p * (gv - delta_e)
             if leaky_slope:
                 ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
-            dk_new.append(jax.lax.dot(
-                ds.astype(q_h.dtype), q_h,
-                preferred_element_type=jnp.float32))         # [NB, DSH]
+            if additive:
+                # d a_src[r, h] = Σ_e ds[r, e]
+                dk_new.append(jnp.sum(ds, axis=1)[:, None])  # [NB, 1]
+            else:
+                dk_new.append(jax.lax.dot(
+                    ds.astype(q_h.dtype), q_h,
+                    preferred_element_type=jnp.float32))     # [NB, DSH]
             dv_new.append(jax.lax.dot(
                 p.astype(g_h.dtype), g_h,
                 preferred_element_type=jnp.float32))         # [NB, DVH]
-        dk_ref[:, :H * DSH] = (dk_ref[:, :H * DSH]
-                               + jnp.concatenate(dk_new, axis=1)
-                               .astype(dk_ref.dtype))
+        Wk = H if additive else H * DSH
+        dk_ref[:, :Wk] = (dk_ref[:, :Wk]
+                          + jnp.concatenate(dk_new, axis=1)
+                          .astype(dk_ref.dtype))
         dv_ref[:, :H * DVH] = (dv_ref[:, :H * DVH]
                                + jnp.concatenate(dv_new, axis=1)
                                .astype(dv_ref.dtype))
@@ -410,12 +456,14 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "num_heads",
                                              "nb", "et", "leaky_slope",
-                                             "interpret", "dsh", "dvh"))
-def _fused_attention_bwd(q, k, v, g, out, lse,
+                                             "interpret", "dsh", "dvh",
+                                             "additive"))
+def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
                          csc_v, csc_ids, csc_ts, csc_te,
                          csr_v, csr_ids, csr_ts, csr_te,
                          num_segments, num_heads: int, leaky_slope: float,
-                         nb: int, et: int, interpret: bool, dsh, dvh):
+                         nb: int, et: int, interpret: bool, dsh, dvh,
+                         additive: bool = False):
     DS, DV = q.shape[1], v.shape[1]
     H = num_heads
     DSH = dsh or DS // H
@@ -431,11 +479,13 @@ def _fused_attention_bwd(q, k, v, g, out, lse,
                     * out[:, :H * DVH].reshape(-1, H, DVH), axis=-1)
 
     # ---- CSC pass: dq --------------------------------------------------
-    k_e = jnp.take(k, csc_v, axis=0)
-    v_e = jnp.take(v, csc_v, axis=0)
+    if kv_e is None:
+        # residual not kept (size cap) — re-gather, still one fused gather
+        kv_e = jnp.take(jnp.concatenate([k, v], axis=1), csc_v, axis=0)
     dq = pl.pallas_call(
         functools.partial(_attn_bwd_dq_kernel, NB=nb, ET=et, DS=DS, DV=DV,
-                          H=H, DSH=DSH, DVH=DVH, leaky_slope=leaky_slope),
+                          H=H, DSH=DSH, DVH=DVH, leaky_slope=leaky_slope,
+                          additive=additive),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(G,),
@@ -448,40 +498,52 @@ def _fused_attention_bwd(q, k, v, g, out, lse,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, H), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, et, DS), k_e.dtype),
-                pltpu.VMEM((2, et, DV), v_e.dtype),
+                pltpu.VMEM((2, et, DS + DV), kv_e.dtype),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((128 if additive else 8, et), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, DS), q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(csc_ts, csc_te, pad_rows(q), pad_rows(g), pad_rows(lse),
-      pad_rows(delta), k_e, v_e, csc_ids)
+      pad_rows(delta), kv_e, csc_ids)
 
     # ---- CSR pass: dk, dv ----------------------------------------------
-    q_e = jnp.take(q, csr_v, axis=0)
-    g_e = jnp.take(g, csr_v, axis=0)
-    # per-edge lse/delta in the ids-style lane-major layout
-    # [Ep/128, 2H, 128] so the kernel assembles [1, ET] rows with no
-    # transpose (one gather of the [N, 2H] pair — row-count-bound, cheap)
-    ld = jnp.concatenate([lse.astype(q.dtype), delta.astype(q.dtype)],
-                         axis=1)                               # [N, 2H]
-    ld_e = jnp.take(ld, csr_v, axis=0)                         # [Ep, 2H]
-    ld_e = ld_e.reshape(-1, 128, 2 * H).transpose(0, 2, 1)     # lane-major
+    # ONE gathered stream of q | g | (lse, delta): the gather is
+    # row-count-bound, so fusing the three streams (q, g, and the per-edge
+    # lse/delta pair) cuts its cost 3x. The lse/delta pair rides as
+    # trailing columns padded to a full 128-lane chunk; the kernel
+    # transposes that chunk per tile to recover [1, ET] rows.
+    if additive:
+        # a_dst joins lse/delta in the ld chunk — the q stream vanishes
+        # entirely (3H values ≤ 128 lanes).
+        LDW = 128
+        ld = jnp.zeros((num_segments, LDW), q.dtype)
+        ld = ld.at[:, :H].set(lse.astype(q.dtype))
+        ld = ld.at[:, H:2 * H].set(delta.astype(q.dtype))
+        ld = ld.at[:, 2 * H:3 * H].set(q[:, :H])
+        qgl = jnp.concatenate([g, ld], axis=1)      # [N, DV+LDW]
+    else:
+        LDW = -(-2 * H // 128) * 128
+        ld = jnp.zeros((num_segments, LDW), q.dtype)
+        ld = ld.at[:, :H].set(lse.astype(q.dtype))
+        ld = ld.at[:, H:2 * H].set(delta.astype(q.dtype))
+        qgl = jnp.concatenate([q, g, ld], axis=1)   # [N, DS+DV+LDW]
+    qgl_e = jnp.take(qgl, csr_v, axis=0)
     dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_dkv_kernel, NB=nb, ET=et, DS=DS,
-                          DV=DV, H=H, DSH=DSH, DVH=DVH,
-                          leaky_slope=leaky_slope),
+                          DV=DV, LDW=LDW, H=H, DSH=DSH, DVH=DVH,
+                          leaky_slope=leaky_slope, additive=additive),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(G,),
@@ -490,8 +552,6 @@ def _fused_attention_bwd(q, k, v, g, out, lse,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
@@ -500,12 +560,10 @@ def _fused_attention_bwd(q, k, v, g, out, lse,
                        pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
                                     memory_space=pltpu.VMEM)),
             scratch_shapes=[
-                pltpu.VMEM((2, et, DS), q_e.dtype),
-                pltpu.VMEM((2, et, DV), g_e.dtype),
-                pltpu.VMEM((2, et // 128, 2 * H, 128), ld_e.dtype),
+                pltpu.VMEM((2, et, (0 if additive else DS) + DV + LDW),
+                           qgl_e.dtype),
+                pltpu.VMEM((LDW, et), jnp.float32),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -513,9 +571,33 @@ def _fused_attention_bwd(q, k, v, g, out, lse,
         out_shape=(jax.ShapeDtypeStruct((n_pad, DS), k.dtype),
                    jax.ShapeDtypeStruct((n_pad, DV), v.dtype)),
         interpret=interpret,
-    )(csr_ts, csr_te, pad_rows(k), pad_rows(v), q_e, g_e, ld_e, csr_ids)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(csr_ts, csr_te, pad_rows(k), pad_rows(v), qgl_e, csr_ids)
 
     return (dq[:num_segments], dk[:num_segments], dv[:num_segments])
+
+
+def _xla_additive_reference(a_dst, a_src, v, src, dst, num_segments,
+                            leaky_slope, dvh, DV):
+    """Unfused additive-score composition; numerics oracle and XLA-backward
+    fallback for :func:`fused_gat_attention`."""
+    H = a_dst.shape[1]
+    DVH = dvh or DV // H
+    E = src.shape[0]
+    s = jnp.take(a_dst, dst, axis=0) + jnp.take(a_src, src, axis=0)  # [E, H]
+    if leaky_slope:
+        s = jnp.where(s >= 0, s, s * leaky_slope)
+    from ..segment import segment_softmax
+    p = segment_softmax(s, dst, num_segments=num_segments)
+    v_e = jnp.take(v[:, :H * DVH], src, axis=0).reshape(E, H, DVH)
+    msg = (v_e * p[..., None]).reshape(E, H * DVH)
+    out = jax.ops.segment_sum(msg, dst, num_segments=num_segments)
+    if H * DVH < DV:
+        out = jnp.concatenate(
+            [out, jnp.zeros((num_segments, DV - H * DVH), out.dtype)],
+            axis=1)
+    return out
 
 
 def _xla_reference(q, k, v, src, dst, num_segments, num_heads, leaky_slope,
@@ -565,25 +647,36 @@ def fused_graph_attention(q, k, v, layout: BlockedLayout, bwd_aux,
       num_heads: H.
       leaky_slope: if nonzero, leaky_relu applied to raw scores (GAT).
     """
-    out, _ = _fused_attention_fwd(q, k, v, layout.padded_v,
-                                  layout.padded_ids, layout.tile_starts,
-                                  layout.tile_ends, layout.num_segments,
-                                  num_heads, leaky_slope, nb, et, interpret,
-                                  dsh, dvh)
+    out, _, _ = _fused_attention_fwd(q, k, v, layout.padded_v,
+                                     layout.padded_ids, layout.tile_starts,
+                                     layout.tile_ends, layout.num_segments,
+                                     num_heads, leaky_slope, nb, et,
+                                     interpret, dsh, dvh)
     return out
+
+
+# Keep the forward's gathered k|v stream alive as a residual (the CSC
+# backward pass reads the exact same stream) unless it exceeds this cap —
+# re-gathering costs ~10 ns/edge, keeping it costs (DS+DV)*4 bytes/edge.
+_SAVE_KV_MB_DEFAULT = 4096
 
 
 def _fga_fwd(q, k, v, layout, bwd_aux, num_heads, leaky_slope, nb, et,
              interpret, dsh, dvh):
-    out, lse = _fused_attention_fwd(
+    out, lse, kv_e = _fused_attention_fwd(
         q, k, v, layout.padded_v, layout.padded_ids, layout.tile_starts,
         layout.tile_ends, layout.num_segments, num_heads, leaky_slope,
         nb, et, interpret, dsh, dvh)
-    return out, (q, k, v, layout, bwd_aux, out, lse)
+    import os as _os
+    cap = int(_os.environ.get("PGL_TPU_ATTN_SAVE_KV_MB",
+                              _SAVE_KV_MB_DEFAULT)) * (1 << 20)
+    if kv_e.size * kv_e.dtype.itemsize > cap:
+        kv_e = None
+    return out, (q, k, v, layout, bwd_aux, out, lse, kv_e)
 
 
 def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
-    q, k, v, layout, bwd_aux, out, lse = res
+    q, k, v, layout, bwd_aux, out, lse, kv_e = res
     H = num_heads
 
     import os as _os
@@ -607,7 +700,7 @@ def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
 
     csr = bwd_aux[0]
     dq, dk, dv = _fused_attention_bwd(
-        q, k, v, g, out, lse,
+        q, k, v, g, out, lse, kv_e,
         layout.padded_v, layout.padded_ids, layout.tile_starts,
         layout.tile_ends,
         csr.padded_v, csr.padded_ids, csr.tile_starts, csr.tile_ends,
@@ -616,6 +709,93 @@ def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
 
 
 fused_graph_attention.defvjp(_fga_fwd, _fga_bwd)
+
+
+def _pad128(x):
+    n, h = x.shape
+    if h == 128:
+        return x
+    return jnp.concatenate([x, jnp.zeros((n, 128 - h), x.dtype)], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_gat_attention(a_dst, a_src, v, layout, bwd_aux,
+                        leaky_slope: float = 0.2, nb: int = 256,
+                        et: int = 1024, interpret: bool = False, dvh=None):
+    """GAT additive attention, fused:
+    ``out[r] = Σ_{e: dst=r} softmax_r(leaky(a_dst[r] + a_src[src_e])) ·
+    v[src_e]``.
+
+    Unlike :func:`fused_graph_attention` (dot scores via MXU, which needs
+    HIGHEST-precision matmuls for fwd/bwd consistency), additive scores are
+    an exact f32 VPU outer sum — faster AND exact. Requires
+    ``3·H ≤ 128`` (the per-edge lse/delta/a_dst triple rides one 128-lane
+    stream chunk).
+
+    Args:
+      a_dst: [N, H] destination-side attention coefficients.
+      a_src: [N, H] source-side attention coefficients.
+      v: [N, DV] value features (DV lane-aligned; per-head width ``dvh``).
+      layout / bwd_aux: as in :func:`fused_graph_attention`.
+    """
+    H = a_dst.shape[1]
+    out, _, _ = _fused_attention_fwd(
+        _pad128(a_dst), _pad128(a_src), v, layout.padded_v,
+        layout.padded_ids, layout.tile_starts, layout.tile_ends,
+        layout.num_segments, H, leaky_slope, nb, et, interpret,
+        dsh=1, dvh=dvh, additive=True)
+    return out
+
+
+def _fga_add_fwd(a_dst, a_src, v, layout, bwd_aux, leaky_slope, nb, et,
+                 interpret, dvh):
+    H = a_dst.shape[1]
+    out, lse, kv_e = _fused_attention_fwd(
+        _pad128(a_dst), _pad128(a_src), v, layout.padded_v,
+        layout.padded_ids, layout.tile_starts, layout.tile_ends,
+        layout.num_segments, H, leaky_slope, nb, et, interpret,
+        dsh=1, dvh=dvh, additive=True)
+    import os as _os
+    cap = int(_os.environ.get("PGL_TPU_ATTN_SAVE_KV_MB",
+                              _SAVE_KV_MB_DEFAULT)) * (1 << 20)
+    if kv_e.size * kv_e.dtype.itemsize > cap:
+        kv_e = None
+    return out, (a_dst, a_src, v, layout, bwd_aux, out, lse, kv_e)
+
+
+def _fga_add_bwd(leaky_slope, nb, et, interpret, dvh, res, g):
+    a_dst, a_src, v, layout, bwd_aux, out, lse, kv_e = res
+    H = a_dst.shape[1]
+
+    import os as _os
+    use_fused = (bwd_aux is not None
+                 and _os.environ.get("PGL_TPU_ATTN_XLA_BWD", "0") != "1")
+    if not use_fused:
+        E = layout.num_edges
+        src = layout.padded_v[:E]
+        dst = layout.padded_ids.reshape(-1)[:E]
+
+        def ref(a_dst, a_src, v):
+            return _xla_additive_reference(a_dst, a_src, v, src, dst,
+                                           layout.num_segments,
+                                           leaky_slope, dvh, v.shape[1])
+
+        _, vjp = jax.vjp(ref, a_dst, a_src, v)
+        da, dk_, dv_ = vjp(g)
+        return da, dk_, dv_, None, None
+
+    csr = bwd_aux[0]
+    dq, dk, dv = _fused_attention_bwd(
+        _pad128(a_dst), _pad128(a_src), v, g, out, lse, kv_e,
+        layout.padded_v, layout.padded_ids, layout.tile_starts,
+        layout.tile_ends,
+        csr.padded_v, csr.padded_ids, csr.tile_starts, csr.tile_ends,
+        layout.num_segments, H, leaky_slope, nb, et, interpret,
+        dsh=1, dvh=dvh, additive=True)
+    return dq[:, :H], dk[:, :H], dv, None, None
+
+
+fused_gat_attention.defvjp(_fga_add_fwd, _fga_add_bwd)
 
 
 def gat_score_features(attn_dst, attn_src, pad_to: int = 128):
