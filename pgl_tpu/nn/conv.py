@@ -142,11 +142,18 @@ class GATConv(nn.Module):
         attn_src = jnp.sum(feature * w_src, axis=-1)
         attn_dst = jnp.sum(feature * w_dst, axis=-1)
         from ..ops.dispatch import use_fused_attention
+        H = self.num_heads
+        # the additive kernel applies attention-prob dropout in-kernel
+        # (deterministic counter-based mask, identical across the fwd and
+        # both bwd passes); only the dot-mode fallback still needs the
+        # unfused path for attn_drop.
+        drop_in_kernel = 3 * H <= 128
         if use_fused_attention(graph, graph.num_edges,
-                               training and self.attn_drop > 1e-15):
+                               training and self.attn_drop > 1e-15
+                               and not drop_in_kernel):
             # fused SDDMM+softmax+aggregate Pallas kernel (value width
             # padded to the lane size)
-            H, Dh = self.num_heads, self.hidden_size
+            Dh = self.hidden_size
             dv_pad = max(128, -(-H * Dh // 128) * 128)
             v = feature.reshape(-1, H * Dh)
             if dv_pad > H * Dh:
@@ -154,12 +161,19 @@ class GATConv(nn.Module):
                     [v, jnp.zeros((v.shape[0], dv_pad - H * Dh),
                                   v.dtype)], axis=1)
             csc, csr, perm = graph._spmm_layouts
-            if 3 * H <= 128:
+            if drop_in_kernel:
                 # additive-score kernel: exact f32 VPU scores, no matmul
                 from ..ops.pallas.attention_kernels import (
                     fused_gat_attention)
+                rate = float(self.attn_drop) if training else 0.0
+                seed = None
+                if rate > 1e-15:
+                    key = self.make_rng("dropout")
+                    kd = jax.random.key_data(key).astype(jnp.uint32)
+                    seed = (kd[0] ^ kd[1]).astype(jnp.int32)
                 out = fused_gat_attention(attn_dst, attn_src, v, csc,
-                                          (csr, perm), 0.2, dvh=Dh)
+                                          (csr, perm), 0.2, dvh=Dh,
+                                          attn_drop=rate, drop_seed=seed)
             else:
                 # many-head fallback: additive scores as a dot
                 from ..ops.pallas.attention_kernels import (

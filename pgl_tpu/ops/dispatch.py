@@ -37,8 +37,11 @@ def use_fused_attention(graph, num_edges: int, training_attn_drop: bool
                         ) -> bool:
     """Whether attention layers should take the fused Pallas path.
 
-    Attention-prob dropout can't run inside the fused kernel, so training
-    with attn_drop falls back to the unfused composition.
+    ``training_attn_drop``: pass True only when the layer needs dropout on
+    the attention probs AND its kernel mode can't apply it in-kernel (the
+    additive GAT kernel can — GATConv passes False there; the dot-mode
+    kernel can't, so e.g. TransformerConv still falls back when training
+    with attn_drop).
     """
     flag = os.environ.get("PGL_TPU_FUSED_ATTN", "auto").lower()
     if flag in ("0", "false", "off"):

@@ -22,7 +22,7 @@ no ``[E, H]`` probability tensor, no XLA scatter in either direction:
 
   * CSC pass (grid over *dst* row blocks): streams the forward's gathered
     ``k|v`` edge stream (kept as a residual — ZERO new gathers), recomputes
-    ``p = exp(s − lse)``, forms ``ds = p·(g·vᵀ − delta)`` and accumulates
+    ``p = exp(s − lse)``, forms ``ds`` and accumulates
     ``dq = ds @ k`` — all MXU.
   * CSR pass (grid over *src* row blocks): ``k``/``v`` rows are resident;
     ``q``, the cotangent ``g``, and the per-edge ``lse``/``delta`` pair
@@ -33,6 +33,17 @@ The TPU row gather is row-count-bound (~10 ns/row regardless of width),
 so the whole train step pays exactly TWO gathers per layer — one fused
 ``k|v`` in the forward (reused by the CSC pass) and one fused ``q|g|lse``
 in the CSR pass — instead of the naive seven.
+
+Two score modes share these kernels:
+  * dot (``fused_graph_attention``): true q·k scores on the MXU, at
+    HIGHEST precision (fwd/bwd lowering consistency — see in-kernel note);
+  * additive (``fused_gat_attention``): GAT's a_dst + a_src as an exact
+    f32 VPU outer sum — a_src rides the kv stream, the per-edge a_dst
+    rides the CSR ld chunk; d a_dst / d a_src are per-head row sums.
+    Attention-prob dropout runs IN-KERNEL (reference semantics: mask on
+    the post-softmax probs, denominator undropped): a counter-based hash
+    of the CSC edge index reproduces the identical mask in all three
+    passes, with ``ds = q·gv − p·delta`` (dropped q, undropped p).
 """
 
 from __future__ import annotations
@@ -51,7 +62,27 @@ __all__ = ["fused_graph_attention", "fused_gat_attention",
            "gat_score_features", "logits_score_features"]
 
 
-def _attn_kernel(tile_starts_ref, tile_ends_ref,
+def _drop_keep(idx, seed, h, rate):
+    """Deterministic per-(edge, head) Bernoulli(1-rate) keep mask from the
+    edge's CSC index — a counter-based multiplicative hash, so the forward
+    and both backward passes (which walk the edges in different orders)
+    reproduce the identical mask from the identical (idx, seed, h).
+
+    int32 arithmetic wraps (two's complement) on both XLA and Mosaic; the
+    sign bit is cleared before the threshold compare (2^-31 bias)."""
+    hc = (h * 0x632BE5AB) & 0xFFFFFFFF
+    if hc >= 1 << 31:
+        hc -= 1 << 32
+    x = idx ^ (seed + jnp.int32(hc))
+    x = x * jnp.int32(-1640531535)            # 0x9E3779B1
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(-2048144789)            # 0x85EBCA6B
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    thresh = jnp.int32(int((1.0 - rate) * (1 << 31)))
+    return (x & jnp.int32(0x7FFFFFFF)) < thresh
+
+
+def _attn_kernel(tile_starts_ref, tile_ends_ref, seed_ref,
                  q_ref,                 # [NB, DS] VMEM (this block's rows)
                  kv_ref,                # [Ep, DS+DV] HBM (gathered, CSC)
                  ids_ref,               # [Ep/128, 128] HBM int32
@@ -59,7 +90,8 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
                  lse_ref,               # [NB, H] VMEM
                  kv_tile, ids_tile, ast, acc, m_s, l_s, sem_kv, sem_i,
                  *, NB: int, ET: int, DS: int, DV: int, H: int,
-                 DSH: int, DVH: int, leaky_slope: float, additive: bool):
+                 DSH: int, DVH: int, leaky_slope: float, additive: bool,
+                 drop_rate: float):
     i = pl.program_id(0)
     e0 = tile_starts_ref[i]
     e1 = tile_ends_ref[i]
@@ -114,6 +146,12 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
             ast[:] = jnp.transpose(kv_tile[slot, :, :128]
                                    ).astype(jnp.float32)
 
+        if drop_rate:
+            # per-edge CSC index (edges of this tile are contiguous)
+            start = pl.multiple_of(e0 + t * ET, ET)
+            eidx = start + jax.lax.broadcasted_iota(jnp.int32, (1, ET), 1)
+            seed = seed_ref[0]
+
         m_prev = m_s[:]
         l_prev = l_s[:]
         acc_prev = acc[:]
@@ -146,6 +184,11 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
             p = jnp.exp(s - m_new[:, None])
             p = jnp.where(mask, p, 0.0)
             l_new = l_prev[:, h] * scale + jnp.sum(p, axis=1)
+            if drop_rate:
+                # reference semantics: dropout on the *post-softmax* probs —
+                # the softmax denominator (l, lse) stays undropped; only
+                # the value aggregation sees the mask.
+                p = jnp.where(_drop_keep(eidx, seed, h, drop_rate), p, 0.0)
             v_h = kv_tile[slot, :,
                           DS + h * DVH:DS + (h + 1) * DVH]   # [ET, DVH]
             # (default precision: output-side rounding only, no
@@ -165,10 +208,11 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
     jax.lax.fori_loop(0, num_tiles, body, ())
 
     l = l_s[:]
+    inv_keep = 1.0 / (1.0 - drop_rate) if drop_rate else 1.0
     out_parts = []
     for h in range(H):
         denom = jnp.maximum(l[:, h], 1e-30)[:, None]
-        out_parts.append(acc[:, h * DVH:(h + 1) * DVH] / denom)
+        out_parts.append(acc[:, h * DVH:(h + 1) * DVH] * (inv_keep / denom))
     if H * DVH < DV:   # zero tail when heads don't fill the padded width
         out_parts.append(jnp.zeros((NB, DV - H * DVH), jnp.float32))
     out = jnp.concatenate(out_parts, axis=1)
@@ -182,12 +226,13 @@ def _attn_kernel(tile_starts_ref, tile_ends_ref,
 @functools.partial(jax.jit, static_argnames=("num_segments", "num_heads",
                                              "nb", "et", "leaky_slope",
                                              "interpret", "dsh", "dvh",
-                                             "additive"))
+                                             "additive", "drop_rate"))
 def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
                          tile_ends, num_segments, num_heads: int,
                          leaky_slope: float, nb: int, et: int,
                          interpret: bool, dsh=None, dvh=None,
-                         additive: bool = False):
+                         additive: bool = False, drop_rate: float = 0.0,
+                         drop_seed=None):
     DS = q.shape[1]
     DV = v.shape[1]
     dsh = dsh or DS // num_heads
@@ -198,12 +243,15 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
     # ONE row gather for both streams — the gather is row-count-bound
     # (~10 ns/row regardless of width), so fusing k|v halves its cost.
     kv_e = jnp.take(jnp.concatenate([k, v], axis=1), padded_v, axis=0)
+    seed_arr = (jnp.zeros((1,), jnp.int32) if drop_seed is None
+                else jnp.asarray(drop_seed, jnp.int32).reshape(1))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, NB=nb, ET=et, DS=DS, DV=DV,
                           H=num_heads, DSH=dsh, DVH=dvh,
-                          leaky_slope=leaky_slope, additive=additive),
+                          leaky_slope=leaky_slope, additive=additive,
+                          drop_rate=drop_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(G,),
             in_specs=[
                 pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
@@ -231,12 +279,12 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(tile_starts, tile_ends, q_pad, kv_e, padded_ids)
+    )(tile_starts, tile_ends, seed_arr, q_pad, kv_e, padded_ids)
     out, lse = out
     return out[:num_segments], lse[:num_segments], kv_e
 
 
-def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
+def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref, seed_ref,
                         q_ref,                  # [NB, DS] VMEM (dst rows)
                         g_ref,                  # [NB, DV] VMEM (cotangent)
                         lse_ref,                # [NB, H] VMEM
@@ -248,7 +296,7 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
                         kv_tile, ids_tile, ast, sem_kv, sem_i,
                         *, NB: int, ET: int, DS: int, DV: int, H: int,
                         DSH: int, DVH: int, leaky_slope: float,
-                        additive: bool):
+                        additive: bool, drop_rate: float):
     i = pl.program_id(0)
     e0 = tile_starts_ref[i]
     e1 = tile_ends_ref[i]
@@ -295,6 +343,11 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
             ast[:] = jnp.transpose(kv_tile[slot, :, :128]
                                    ).astype(jnp.float32)
 
+        if drop_rate:
+            start = pl.multiple_of(e0 + t * ET, ET)
+            eidx = start + jax.lax.broadcasted_iota(jnp.int32, (1, ET), 1)
+            seed = seed_ref[0]
+
         dq_new = []
         for h in range(H):
             if additive:
@@ -313,13 +366,21 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
             # exact probs from the saved LSE (no online pass needed)
             p = jnp.exp(jnp.where(mask, s_act - lse_ref[:, h][:, None],
                                   -1e30))                    # [NB, ET]
+            if drop_rate:
+                # dropped probs q feed the gv term; the softmax-Jacobian
+                # delta term keeps the UNdropped p:
+                # ds = q*gv - p*delta (q == p when rate == 0)
+                q_eff = jnp.where(_drop_keep(eidx, seed, h, drop_rate),
+                                  p, 0.0) * (1.0 / (1.0 - drop_rate))
+            else:
+                q_eff = p
             g_h = g_ref[:, h * DVH:(h + 1) * DVH]           # [NB, DVH]
             v_h = kv_tile[slot, :,
                           DS + h * DVH:DS + (h + 1) * DVH]   # [ET, DVH]
             gv = jax.lax.dot_general(
                 g_h, v_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [NB, ET]
-            ds = p * (gv - delta_ref[:, h][:, None])
+            ds = q_eff * gv - p * delta_ref[:, h][:, None]
             if leaky_slope:
                 ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
             if additive:
@@ -338,19 +399,23 @@ def _attn_bwd_dq_kernel(tile_starts_ref, tile_ends_ref,
     jax.lax.fori_loop(0, num_tiles, body, ())
 
 
-def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
+def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref, seed_ref,
                          k_ref,                 # [NB, DS] VMEM (src rows)
                          v_ref,                 # [NB, DV] VMEM (src rows)
                          qgl_hbm,               # [Ep, DS+DV+LDW] HBM: one
                                                 #   gathered CSR stream of
                                                 #   q | g | (lse,delta)
+                         eidx_hbm,              # [Ep/128, 128] HBM int32:
+                                                #   CSC index of each CSR
+                                                #   edge (dropout only)
                          ids_hbm,               # [Ep/128, 128] HBM int32
                          dk_ref,                # [NB, DS] VMEM out
                          dv_ref,                # [NB, DV] VMEM out
-                         qgl_tile, ldt, ids_tile, sem_qgl, sem_i,
+                         qgl_tile, ldt, ids_tile, eidx_tile,
+                         sem_qgl, sem_i, sem_e,
                          *, NB: int, ET: int, DS: int, DV: int, LDW: int,
                          H: int, DSH: int, DVH: int, leaky_slope: float,
-                         additive: bool):
+                         additive: bool, drop_rate: float):
     # additive mode: no q part in the stream (QW=0); the ld chunk carries
     # lse (rows 0..H-1), delta (H..2H-1) AND the per-edge a_dst (2H..3H-1).
     QW = 0 if additive else DS
@@ -363,12 +428,18 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
 
     def tile_dma(slot, t):
         start = pl.multiple_of(e0 + t * ET, ET)
-        return (
+        copies = [
             pltpu.make_async_copy(qgl_hbm.at[pl.ds(start, ET), :],
                                   qgl_tile.at[slot], sem_qgl.at[slot]),
             pltpu.make_async_copy(ids_hbm.at[pl.ds(start // 128, ER), :],
                                   ids_tile.at[slot], sem_i.at[slot]),
-        )
+        ]
+        if drop_rate:
+            copies.append(
+                pltpu.make_async_copy(
+                    eidx_hbm.at[pl.ds(start // 128, ER), :],
+                    eidx_tile.at[slot], sem_e.at[slot]))
+        return copies
 
     @pl.when(num_tiles > 0)
     def _():
@@ -405,6 +476,12 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
             ldt[w * 128:(w + 1) * 128, :] = jnp.transpose(
                 qgl_tile[slot, :, c0:c0 + 128]).astype(jnp.float32)
 
+        if drop_rate:
+            seed = seed_ref[0]
+            eidx = jnp.concatenate(
+                [eidx_tile[slot, r].reshape(1, 128) for r in range(ER)],
+                axis=1)                                      # [1, ET]
+
         dk_new, dv_new = [], []
         for h in range(H):
             if additive:
@@ -423,13 +500,18 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
             lse_e = ldt[h:h + 1, :]                          # [1, ET]
             delta_e = ldt[H + h:H + h + 1, :]                # [1, ET]
             p = jnp.exp(jnp.where(mask, s_act - lse_e, -1e30))
+            if drop_rate:
+                q_eff = jnp.where(_drop_keep(eidx, seed, h, drop_rate),
+                                  p, 0.0) * (1.0 / (1.0 - drop_rate))
+            else:
+                q_eff = p
             v_h = v_ref[:, h * DVH:(h + 1) * DVH]           # [NB, DVH]
             g_h = qgl_tile[slot, :,
                            QW + h * DVH:QW + (h + 1) * DVH]  # [ET, DVH]
             gv = jax.lax.dot_general(
                 v_h, g_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [NB, ET]
-            ds = p * (gv - delta_e)
+            ds = q_eff * gv - p * delta_e
             if leaky_slope:
                 ds = ds * jnp.where(s_raw >= 0, 1.0, leaky_slope)
             if additive:
@@ -440,7 +522,7 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
                     ds.astype(q_h.dtype), q_h,
                     preferred_element_type=jnp.float32))     # [NB, DSH]
             dv_new.append(jax.lax.dot(
-                p.astype(g_h.dtype), g_h,
+                q_eff.astype(g_h.dtype), g_h,
                 preferred_element_type=jnp.float32))         # [NB, DVH]
         Wk = H if additive else H * DSH
         dk_ref[:, :Wk] = (dk_ref[:, :Wk]
@@ -457,13 +539,14 @@ def _attn_bwd_dkv_kernel(tile_starts_ref, tile_ends_ref,
 @functools.partial(jax.jit, static_argnames=("num_segments", "num_heads",
                                              "nb", "et", "leaky_slope",
                                              "interpret", "dsh", "dvh",
-                                             "additive"))
+                                             "additive", "drop_rate"))
 def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
                          csc_v, csc_ids, csc_ts, csc_te,
                          csr_v, csr_ids, csr_ts, csr_te,
                          num_segments, num_heads: int, leaky_slope: float,
                          nb: int, et: int, interpret: bool, dsh, dvh,
-                         additive: bool = False):
+                         additive: bool = False, drop_rate: float = 0.0,
+                         drop_seed=None, csr_perm=None):
     DS, DV = q.shape[1], v.shape[1]
     H = num_heads
     DSH = dsh or DS // H
@@ -482,12 +565,14 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
     if kv_e is None:
         # residual not kept (size cap) — re-gather, still one fused gather
         kv_e = jnp.take(jnp.concatenate([k, v], axis=1), csc_v, axis=0)
+    seed_arr = (jnp.zeros((1,), jnp.int32) if drop_seed is None
+                else jnp.asarray(drop_seed, jnp.int32).reshape(1))
     dq = pl.pallas_call(
         functools.partial(_attn_bwd_dq_kernel, NB=nb, ET=et, DS=DS, DV=DV,
                           H=H, DSH=DSH, DVH=DVH, leaky_slope=leaky_slope,
-                          additive=additive),
+                          additive=additive, drop_rate=drop_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(G,),
             in_specs=[
                 pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
@@ -515,7 +600,7 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(csc_ts, csc_te, pad_rows(q), pad_rows(g), pad_rows(lse),
+    )(csc_ts, csc_te, seed_arr, pad_rows(q), pad_rows(g), pad_rows(lse),
       pad_rows(delta), kv_e, csc_ids)
 
     # ---- CSR pass: dk, dv ----------------------------------------------
@@ -540,18 +625,29 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
         ld = ld.at[:, H:2 * H].set(delta.astype(q.dtype))
         qgl = jnp.concatenate([q, g, ld], axis=1)   # [N, DS+DV+LDW]
     qgl_e = jnp.take(qgl, csr_v, axis=0)
+    if drop_rate:
+        # CSC index of every CSR edge position, lane-major like the ids —
+        # a cheap sequential side stream (NOT a gather); lets both backward
+        # passes rebuild the forward's exact dropout mask.
+        Ep_csr = csr_ids.size
+        eidx_lm = jnp.full((Ep_csr,), -1, jnp.int32).at[
+            :csr_perm.shape[0]].set(csr_perm).reshape(-1, 128)
+    else:
+        eidx_lm = jnp.zeros((csr_ids.size // 128, 128), jnp.int32)
     dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_dkv_kernel, NB=nb, ET=et, DS=DS,
                           DV=DV, LDW=LDW, H=H, DSH=DSH, DVH=DVH,
-                          leaky_slope=leaky_slope, additive=additive),
+                          leaky_slope=leaky_slope, additive=additive,
+                          drop_rate=drop_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(G,),
             in_specs=[
                 pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, DV), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
@@ -564,6 +660,8 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
                            qgl_e.dtype),
                 pltpu.VMEM((LDW, et), jnp.float32),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -573,7 +671,8 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(csr_ts, csr_te, pad_rows(k), pad_rows(v), qgl_e, csr_ids)
+    )(csr_ts, csr_te, seed_arr, pad_rows(k), pad_rows(v), qgl_e,
+      eidx_lm, csr_ids)
 
     return (dq[:num_segments], dk[:num_segments], dv[:num_segments])
 
@@ -718,10 +817,11 @@ def _pad128(x):
     return jnp.concatenate([x, jnp.zeros((n, 128 - h), x.dtype)], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_gat_attention(a_dst, a_src, v, layout, bwd_aux,
                         leaky_slope: float = 0.2, nb: int = 256,
-                        et: int = 1024, interpret: bool = False, dvh=None):
+                        et: int = 1024, interpret: bool = False, dvh=None,
+                        attn_drop: float = 0.0, drop_seed=None):
     """GAT additive attention, fused:
     ``out[r] = Σ_{e: dst=r} softmax_r(leaky(a_dst[r] + a_src[src_e])) ·
     v[src_e]``.
@@ -743,28 +843,31 @@ def fused_gat_attention(a_dst, a_src, v, layout, bwd_aux,
         _pad128(a_dst), _pad128(a_src), v, layout.padded_v,
         layout.padded_ids, layout.tile_starts, layout.tile_ends,
         layout.num_segments, H, leaky_slope, nb, et, interpret,
-        dsh=1, dvh=dvh, additive=True)
+        dsh=1, dvh=dvh, additive=True, drop_rate=attn_drop,
+        drop_seed=drop_seed)
     return out
 
 
 def _fga_add_fwd(a_dst, a_src, v, layout, bwd_aux, leaky_slope, nb, et,
-                 interpret, dvh):
+                 interpret, dvh, attn_drop, drop_seed):
     H = a_dst.shape[1]
     out, lse, kv_e = _fused_attention_fwd(
         _pad128(a_dst), _pad128(a_src), v, layout.padded_v,
         layout.padded_ids, layout.tile_starts, layout.tile_ends,
         layout.num_segments, H, leaky_slope, nb, et, interpret,
-        dsh=1, dvh=dvh, additive=True)
+        dsh=1, dvh=dvh, additive=True, drop_rate=attn_drop,
+        drop_seed=drop_seed)
     import os as _os
     cap = int(_os.environ.get("PGL_TPU_ATTN_SAVE_KV_MB",
                               _SAVE_KV_MB_DEFAULT)) * (1 << 20)
     if kv_e.size * kv_e.dtype.itemsize > cap:
         kv_e = None
-    return out, (a_dst, a_src, v, layout, bwd_aux, out, lse, kv_e)
+    return out, (a_dst, a_src, v, layout, bwd_aux, out, lse, kv_e,
+                 drop_seed)
 
 
-def _fga_add_bwd(leaky_slope, nb, et, interpret, dvh, res, g):
-    a_dst, a_src, v, layout, bwd_aux, out, lse, kv_e = res
+def _fga_add_bwd(leaky_slope, nb, et, interpret, dvh, attn_drop, res, g):
+    a_dst, a_src, v, layout, bwd_aux, out, lse, kv_e, drop_seed = res
     H = a_dst.shape[1]
 
     import os as _os
@@ -782,17 +885,18 @@ def _fga_add_bwd(leaky_slope, nb, et, interpret, dvh, res, g):
 
         _, vjp = jax.vjp(ref, a_dst, a_src, v)
         da, dk_, dv_ = vjp(g)
-        return da, dk_, dv_, None, None
+        return da, dk_, dv_, None, None, None
 
-    csr = bwd_aux[0]
+    csr, perm = bwd_aux[0], bwd_aux[1]
     dq, dk, dv = _fused_attention_bwd(
         _pad128(a_dst), _pad128(a_src), v, g, out, lse, kv_e,
         layout.padded_v, layout.padded_ids, layout.tile_starts,
         layout.tile_ends,
         csr.padded_v, csr.padded_ids, csr.tile_starts, csr.tile_ends,
         layout.num_segments, H, leaky_slope, nb, et, interpret,
-        dsh=1, dvh=dvh, additive=True)
-    return dq[:, :H], dk[:, :H], dv, None, None
+        dsh=1, dvh=dvh, additive=True, drop_rate=attn_drop,
+        drop_seed=drop_seed, csr_perm=perm)
+    return dq[:, :H], dk[:, :H], dv, None, None, None
 
 
 fused_gat_attention.defvjp(_fga_add_fwd, _fga_add_bwd)

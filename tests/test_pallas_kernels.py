@@ -457,3 +457,61 @@ def test_fused_gat_additive_analytical_bwd(leaky):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fused_gat_additive_dropout():
+    """In-kernel attention-prob dropout: the deterministic hash mask is
+    replicated in XLA from the CSC edge index — fwd and grads must match
+    the masked unfused composition exactly (same mask, same scaling)."""
+    from pgl_tpu.ops.pallas.attention_kernels import (
+        fused_gat_attention, _drop_keep)
+    from pgl_tpu.ops.segment import segment_softmax
+    H, DVH, rate = 8, 8, 0.4
+    csc, csr, perm, a_dst, a_src, v, src, dst, DV = _make_additive_case(
+        140, 2000, H, DVH, seed=13)
+    E = int(src.shape[0])
+    seed = jnp.int32(12345)
+
+    def ref(a_dst, a_src, v):
+        s = jnp.take(a_dst, dst, axis=0) + jnp.take(a_src, src, axis=0)
+        s = jnp.where(s >= 0, s, s * 0.2)
+        p = segment_softmax(s, dst, num_segments=140)
+        idx = jnp.arange(E, dtype=jnp.int32)[:, None]        # CSC position
+        keep = jnp.stack([_drop_keep(idx[:, 0], seed, h, rate)
+                          for h in range(H)], axis=1)        # [E, H]
+        q = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        v_e = jnp.take(v[:, :H * DVH], src, axis=0).reshape(E, H, DVH)
+        msg = (v_e * q[..., None]).reshape(E, H * DVH)
+        out = jax.ops.segment_sum(msg, dst, num_segments=140)
+        return jnp.concatenate(
+            [out, jnp.zeros((140, DV - H * DVH), out.dtype)], axis=1)
+
+    def fused(a_dst, a_src, v):
+        return fused_gat_attention(a_dst, a_src, v, csc, (csr, perm), 0.2,
+                                   128, 256, True, DVH, rate, seed)
+
+    out_f = fused(a_dst, a_src, v)
+    out_r = ref(a_dst, a_src, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-4, atol=1e-5)
+
+    rng = np.random.default_rng(3)
+    tgt = jnp.asarray(rng.normal(size=(140, DV)).astype(np.float32))
+    g1 = jax.grad(lambda *a: ((fused(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(a_dst, a_src, v)
+    g2 = jax.grad(lambda *a: ((ref(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(a_dst, a_src, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_fused_gat_additive_dropout_rate0_matches_plain():
+    from pgl_tpu.ops.pallas.attention_kernels import fused_gat_attention
+    csc, csr, perm, a_dst, a_src, v, src, dst, DV = _make_additive_case(
+        120, 1500, 4, 16, seed=21)
+    out0 = fused_gat_attention(a_dst, a_src, v, csc, (csr, perm), 0.2,
+                               128, 256, True, 16)
+    out1 = fused_gat_attention(a_dst, a_src, v, csc, (csr, perm), 0.2,
+                               128, 256, True, 16, 0.0, jnp.int32(7))
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
