@@ -397,17 +397,23 @@ class TransformerConv(nn.Module):
             edge_feat = edge_feat.reshape(-1, H, D)
 
         from ..ops.dispatch import use_fused_attention
-        if (use_fused_attention(graph, graph.num_edges,
-                                training and self.attn_drop > 1e-15)
+        if (use_fused_attention(graph, graph.num_edges, False)
                 and edge_feat is None and self.concat
                 and (H * D) % 128 == 0):
-            # fused SDDMM+softmax+aggregate Pallas kernel
+            # fused SDDMM+softmax+aggregate Pallas kernel (attention-prob
+            # dropout applied in-kernel when training)
             from ..ops.pallas.attention_kernels import fused_graph_attention
             csc, csr, perm = graph._spmm_layouts
+            rate = float(self.attn_drop) if training else 0.0
+            seed = None
+            if rate > 1e-15:
+                kd = jax.random.key_data(
+                    self.make_rng("dropout")).astype(jnp.uint32)
+                seed = (kd[0] ^ kd[1]).astype(jnp.int32)
             output = fused_graph_attention(
                 q.reshape(-1, H * D), k.reshape(-1, H * D),
                 v.reshape(-1, H * D), csc, (csr, perm), H, 0.0,
-                dsh=D, dvh=D)
+                dsh=D, dvh=D, attn_drop=rate, drop_seed=seed)
         else:
             src, dst = graph.edges[:, 0], graph.edges[:, 1]
             k_e = jnp.take(k, src, axis=0)

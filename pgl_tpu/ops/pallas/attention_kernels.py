@@ -677,8 +677,21 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
     return (dq[:num_segments], dk[:num_segments], dv[:num_segments])
 
 
+def _apply_hash_dropout(p, rate, seed, H):
+    """The fused kernels' exact dropout (hash of the CSC edge position),
+    applied to [E, H] probs in XLA — keeps the unfused fallback/oracle
+    bit-consistent with the fused forward."""
+    E = p.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    seed = jnp.int32(0) if seed is None else jnp.asarray(seed, jnp.int32)
+    keep = jnp.stack([_drop_keep(idx, seed, h, rate) for h in range(H)],
+                     axis=1)
+    return jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
+
+
 def _xla_additive_reference(a_dst, a_src, v, src, dst, num_segments,
-                            leaky_slope, dvh, DV):
+                            leaky_slope, dvh, DV, attn_drop=0.0,
+                            drop_seed=None):
     """Unfused additive-score composition; numerics oracle and XLA-backward
     fallback for :func:`fused_gat_attention`."""
     H = a_dst.shape[1]
@@ -689,6 +702,8 @@ def _xla_additive_reference(a_dst, a_src, v, src, dst, num_segments,
         s = jnp.where(s >= 0, s, s * leaky_slope)
     from ..segment import segment_softmax
     p = segment_softmax(s, dst, num_segments=num_segments)
+    if attn_drop:
+        p = _apply_hash_dropout(p, attn_drop, drop_seed, H)
     v_e = jnp.take(v[:, :H * DVH], src, axis=0).reshape(E, H, DVH)
     msg = (v_e * p[..., None]).reshape(E, H * DVH)
     out = jax.ops.segment_sum(msg, dst, num_segments=num_segments)
@@ -700,7 +715,7 @@ def _xla_additive_reference(a_dst, a_src, v, src, dst, num_segments,
 
 
 def _xla_reference(q, k, v, src, dst, num_segments, num_heads, leaky_slope,
-                   dsh=None, dvh=None):
+                   dsh=None, dvh=None, attn_drop=0.0, drop_seed=None):
     """Unfused composition (gather → scores → segment softmax → weighted
     aggregation); used for the backward pass and as the numerics oracle."""
     DS, DV = q.shape[1], v.shape[1]
@@ -718,6 +733,8 @@ def _xla_reference(q, k, v, src, dst, num_segments, num_heads, leaky_slope,
         s = jnp.where(s >= 0, s, s * leaky_slope)
     from ..segment import segment_softmax
     p = segment_softmax(s, dst, num_segments=num_segments)
+    if attn_drop:
+        p = _apply_hash_dropout(p, attn_drop, drop_seed, num_heads)
     msg = (v_e * p[..., None]).reshape(E, num_heads * DVH)
     out = jax.ops.segment_sum(msg, dst, num_segments=num_segments)
     if num_heads * DVH < DV:
@@ -727,11 +744,13 @@ def _xla_reference(q, k, v, src, dst, num_segments, num_heads, leaky_slope,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def fused_graph_attention(q, k, v, layout: BlockedLayout, bwd_aux,
                           num_heads: int, leaky_slope: float = 0.0,
                           nb: int = 256, et: int = 1024,
-                          interpret: bool = False, dsh=None, dvh=None):
+                          interpret: bool = False, dsh=None, dvh=None,
+                          attn_drop: float = 0.0, drop_seed=None):
     """out[r] = Σ_{e: dst=r} softmax_r(q[r]·k[src_e]) · v[src_e].
 
     Args:
@@ -745,12 +764,17 @@ def fused_graph_attention(q, k, v, layout: BlockedLayout, bwd_aux,
         weighted-SpMM kernel (3 kernel calls, no scatter).
       num_heads: H.
       leaky_slope: if nonzero, leaky_relu applied to raw scores (GAT).
+      attn_drop / drop_seed: in-kernel dropout on the post-softmax probs
+        (deterministic counter-based mask; needs ``bwd_aux`` for the
+        fused backward and ``2H + 1 ≤ LDW``, i.e. any practical H).
     """
     out, _, _ = _fused_attention_fwd(q, k, v, layout.padded_v,
                                      layout.padded_ids, layout.tile_starts,
                                      layout.tile_ends, layout.num_segments,
                                      num_heads, leaky_slope, nb, et,
-                                     interpret, dsh, dvh)
+                                     interpret, dsh, dvh,
+                                     drop_rate=attn_drop,
+                                     drop_seed=drop_seed)
     return out
 
 
@@ -761,21 +785,23 @@ _SAVE_KV_MB_DEFAULT = 4096
 
 
 def _fga_fwd(q, k, v, layout, bwd_aux, num_heads, leaky_slope, nb, et,
-             interpret, dsh, dvh):
+             interpret, dsh, dvh, attn_drop, drop_seed):
     out, lse, kv_e = _fused_attention_fwd(
         q, k, v, layout.padded_v, layout.padded_ids, layout.tile_starts,
         layout.tile_ends, layout.num_segments, num_heads, leaky_slope,
-        nb, et, interpret, dsh, dvh)
+        nb, et, interpret, dsh, dvh, drop_rate=attn_drop,
+        drop_seed=drop_seed)
     import os as _os
     cap = int(_os.environ.get("PGL_TPU_ATTN_SAVE_KV_MB",
                               _SAVE_KV_MB_DEFAULT)) * (1 << 20)
     if kv_e.size * kv_e.dtype.itemsize > cap:
         kv_e = None
-    return out, (q, k, v, layout, bwd_aux, out, lse, kv_e)
+    return out, (q, k, v, layout, bwd_aux, out, lse, kv_e, drop_seed)
 
 
-def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
-    q, k, v, layout, bwd_aux, out, lse, kv_e = res
+def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh,
+             attn_drop, res, g):
+    q, k, v, layout, bwd_aux, out, lse, kv_e, drop_seed = res
     H = num_heads
 
     import os as _os
@@ -791,20 +817,22 @@ def _fga_bwd(num_heads, leaky_slope, nb, et, interpret, dsh, dvh, res, g):
 
         def ref(q, k, v):
             return _xla_reference(q, k, v, src, dst, layout.num_segments,
-                                  H, leaky_slope, dsh, dvh)
+                                  H, leaky_slope, dsh, dvh,
+                                  attn_drop, drop_seed)
 
         _, vjp = jax.vjp(ref, q, k, v)
         dq, dk, dv = vjp(g)
-        return dq, dk, dv, None, None
+        return dq, dk, dv, None, None, None
 
-    csr = bwd_aux[0]
+    csr, perm = bwd_aux[0], bwd_aux[1]
     dq, dk, dv = _fused_attention_bwd(
         q, k, v, g, out, lse, kv_e,
         layout.padded_v, layout.padded_ids, layout.tile_starts,
         layout.tile_ends,
         csr.padded_v, csr.padded_ids, csr.tile_starts, csr.tile_ends,
-        layout.num_segments, H, leaky_slope, nb, et, interpret, dsh, dvh)
-    return dq, dk, dv, None, None
+        layout.num_segments, H, leaky_slope, nb, et, interpret, dsh, dvh,
+        drop_rate=attn_drop, drop_seed=drop_seed, csr_perm=perm)
+    return dq, dk, dv, None, None, None
 
 
 fused_graph_attention.defvjp(_fga_fwd, _fga_bwd)
@@ -881,7 +909,8 @@ def _fga_add_bwd(leaky_slope, nb, et, interpret, dvh, attn_drop, res, g):
         def ref(a_dst, a_src, v):
             return _xla_additive_reference(a_dst, a_src, v, src, dst,
                                            layout.num_segments,
-                                           leaky_slope, dvh, v.shape[1])
+                                           leaky_slope, dvh, v.shape[1],
+                                           attn_drop, drop_seed)
 
         _, vjp = jax.vjp(ref, a_dst, a_src, v)
         da, dk_, dv_ = vjp(g)

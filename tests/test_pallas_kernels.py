@@ -515,3 +515,45 @@ def test_fused_gat_additive_dropout_rate0_matches_plain():
     out1 = fused_gat_attention(a_dst, a_src, v, csc, (csr, perm), 0.2,
                                128, 256, True, 16, 0.0, jnp.int32(7))
     np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_fused_dot_attention_dropout():
+    """Dot-score mode with in-kernel dropout (TransformerConv path)."""
+    from pgl_tpu.ops.pallas.attention_kernels import (
+        fused_graph_attention, _xla_reference)
+    from pgl_tpu.ops.pallas.segment_kernels import build_blocked_layout
+    rng = np.random.default_rng(6)
+    N, E, H, D, rate = 130, 1800, 2, 64, 0.3
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    csc = build_blocked_layout(indptr, src, N, 128, 256)
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate([[0],
+                               np.cumsum(np.bincount(src, minlength=N))])
+    csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
+    perm = jnp.asarray(order.astype(np.int32))
+    q = jnp.asarray(rng.normal(size=(N, H * D)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(N, H * D)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(N, H * D)).astype(np.float32))
+    seed = jnp.int32(987)
+    tgt = jnp.asarray(rng.normal(size=(N, H * D)).astype(np.float32))
+
+    def fused(q, k, v):
+        return fused_graph_attention(q, k, v, csc, (csr, perm), H, 0.0,
+                                     128, 256, True, D, D, rate, seed)
+
+    def ref(q, k, v):
+        return _xla_reference(q, k, v, jnp.asarray(src), jnp.asarray(dst),
+                              N, H, 0.0, D, D, rate, seed)
+
+    np.testing.assert_allclose(np.asarray(fused(q, k, v)),
+                               np.asarray(ref(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+    g1 = jax.grad(lambda *a: ((fused(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: ((ref(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
