@@ -134,7 +134,10 @@ class GATConv(nn.Module):
                 feature)
         feature = nn.Dense(self.num_heads * self.hidden_size,
                            name="linear")(feature)
-        feature = feature.reshape(-1, self.num_heads, self.hidden_size)
+        # shape-generalized: [N, H*Dh] single-device or [S, N_pad, H*Dh]
+        # halo-sharded — all per-head math keys off the trailing axes
+        feature = feature.reshape(
+            feature.shape[:-1] + (self.num_heads, self.hidden_size))
         w_src = self.param("weight_src", nn.initializers.xavier_uniform(),
                            (self.num_heads, self.hidden_size))
         w_dst = self.param("weight_dst", nn.initializers.xavier_uniform(),
@@ -143,6 +146,28 @@ class GATConv(nn.Module):
         attn_dst = jnp.sum(feature * w_dst, axis=-1)
         from ..ops.dispatch import use_fused_attention
         H = self.num_heads
+
+        if hasattr(graph, "gat_attention"):
+            # HaloGraph: per-shard flash attention over the owned dst rows
+            # with one boundary-row all_to_all (dropout runs in-kernel)
+            Dh = self.hidden_size
+            rate = float(self.attn_drop) if training else 0.0
+            seed = None
+            if rate > 1e-15:
+                kd = jax.random.key_data(
+                    self.make_rng("dropout")).astype(jnp.uint32)
+                seed = (kd[0] ^ kd[1]).astype(jnp.int32)
+            out = graph.gat_attention(
+                attn_dst, attn_src,
+                feature.reshape(feature.shape[:-2] + (H * Dh,)),
+                0.2, rate, seed)
+            output = out.reshape(out.shape[:-1] + (H, Dh))
+            if self.concat:
+                output = output.reshape(output.shape[:-2] + (H * Dh,))
+            else:
+                output = output.mean(axis=-2)
+            act = _resolve_act(self.activation)
+            return act(output) if act is not None else output
         # the additive kernel applies attention-prob dropout in-kernel
         # (deterministic counter-based mask, identical across the fwd and
         # both bwd passes); only the dot-mode fallback still needs the

@@ -553,10 +553,16 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
     DVH = dvh or DV // H
     n_pad = (num_segments + nb - 1) // nb * nb
     G = n_pad // nb
+    # the src table may be a different node space than the dst rows (e.g.
+    # a halo shard's [local + remote] table): its row count comes from k/v
+    num_src = k.shape[0]
+    ns_pad = (num_src + nb - 1) // nb * nb
+    Gs = ns_pad // nb
 
-    def pad_rows(x):
-        return jnp.zeros((n_pad,) + x.shape[1:], x.dtype
-                         ).at[:num_segments].set(x)
+    def pad_rows(x, to=None, n=None):
+        to = to or n_pad
+        n = n or num_segments
+        return jnp.zeros((to,) + x.shape[1:], x.dtype).at[:n].set(x)
 
     delta = jnp.sum(g[:, :H * DVH].reshape(-1, H, DVH)
                     * out[:, :H * DVH].reshape(-1, H, DVH), axis=-1)
@@ -641,7 +647,7 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
                           drop_rate=drop_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(G,),
+            grid=(Gs,),
             in_specs=[
                 pl.BlockSpec((nb, DS), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -666,15 +672,15 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=(jax.ShapeDtypeStruct((n_pad, DS), k.dtype),
-                   jax.ShapeDtypeStruct((n_pad, DV), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((ns_pad, DS), k.dtype),
+                   jax.ShapeDtypeStruct((ns_pad, DV), v.dtype)),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(csr_ts, csr_te, seed_arr, pad_rows(k), pad_rows(v), qgl_e,
-      eidx_lm, csr_ids)
+    )(csr_ts, csr_te, seed_arr, pad_rows(k, ns_pad, num_src),
+      pad_rows(v, ns_pad, num_src), qgl_e, eidx_lm, csr_ids)
 
-    return (dq[:num_segments], dk[:num_segments], dv[:num_segments])
+    return (dq[:num_segments], dk[:num_src], dv[:num_src])
 
 
 def _apply_hash_dropout(p, rate, seed, H):

@@ -181,6 +181,8 @@ class HaloGraph:
         self.node_feat = node_feat or {}
         self.edge_feat = edge_feat or {}
         self._shard_layouts = None
+        self._attn_layouts = None
+        self._num_edges = 0
 
     # -- construction -------------------------------------------------------
 
@@ -217,7 +219,10 @@ class HaloGraph:
         )
         obj = cls(arrays, g.num_nodes, mesh, axis,
                   built["h_pad"], built["halo_size"])
+        obj._num_edges = int(built["local_mask"].sum()
+                             + built["remote_mask"].sum())
         obj._build_shard_layouts(built)
+        obj._build_attn_layouts(built)
         obj._host_node_perm = built["node_perm"]
         obj._host_node_mask = built["node_mask"]
         obj._host_perm = perm
@@ -267,6 +272,77 @@ class HaloGraph:
         self._shard_layouts = (
             stack(built["local_edges"], built["local_mask"]),
             stack(built["remote_edges"], built["remote_mask"]))
+
+    def _build_attn_layouts(self, built):
+        """Per-shard fused-attention layouts over the UNIFIED edge set
+        (local + remote together — the per-dst softmax denominator must
+        span both): a CSC layout over the shard's owned ``N_pad`` rows and
+        a CSR layout over the shard's ``N_pad + S*H_pad`` src table
+        (owned block then halo buffer), plus the csr→csc position map the
+        flash backward's dropout stream rides."""
+        from ..ops.pallas.segment_kernels import build_blocked_layout
+        S = built["node_perm"].shape[0]
+        n_pad = built["node_perm"].shape[1]
+        n_loc = n_pad + S * self.h_pad
+        groups = {k: [] for k in ("cpv", "cpid", "cts", "cte",
+                                  "rpv", "rpid", "rts", "rte", "perm")}
+        for s in range(S):
+            kl = int(built["local_mask"][s].sum())
+            kr = int(built["remote_mask"][s].sum())
+            e_src = np.concatenate(
+                [built["local_edges"][s, :kl, 0],
+                 built["remote_edges"][s, :kr, 0] + n_pad]).astype(np.int64)
+            e_dst = np.concatenate(
+                [built["local_edges"][s, :kl, 1],
+                 built["remote_edges"][s, :kr, 1]]).astype(np.int64)
+            o_csc = np.argsort(e_dst, kind="stable")
+            indptr_d = np.concatenate(
+                [[0], np.cumsum(np.bincount(e_dst, minlength=n_pad))])
+            csc = build_blocked_layout(indptr_d, e_src[o_csc], n_pad)
+            src_csc = e_src[o_csc]
+            dst_csc = e_dst[o_csc]
+            o_csr = np.argsort(src_csc, kind="stable")
+            indptr_s = np.concatenate(
+                [[0], np.cumsum(np.bincount(src_csc, minlength=n_loc))])
+            csr = build_blocked_layout(indptr_s, dst_csc[o_csr], n_loc)
+            groups["cpv"].append(np.asarray(csc.padded_v))
+            groups["cpid"].append(np.asarray(csc.padded_ids).reshape(-1))
+            groups["cts"].append(np.asarray(csc.tile_starts))
+            groups["cte"].append(np.asarray(csc.tile_ends))
+            groups["rpv"].append(np.asarray(csr.padded_v))
+            groups["rpid"].append(np.asarray(csr.padded_ids).reshape(-1))
+            groups["rts"].append(np.asarray(csr.tile_starts))
+            groups["rte"].append(np.asarray(csr.tile_ends))
+            groups["perm"].append(o_csr.astype(np.int32))
+
+        def pad_stack(xs, fill):
+            ep = max(len(x) for x in xs)
+            return np.stack([np.pad(x, (0, ep - len(x)),
+                                    constant_values=fill) for x in xs])
+
+        sh2 = NamedSharding(self.mesh, P(self.axis, None))
+        sh3 = NamedSharding(self.mesh, P(self.axis, None, None))
+
+        def put2(x):
+            return jax.device_put(x.astype(np.int32), sh2)
+
+        sent_c = -(-n_pad // 256) * 256    # beyond every CSC block's range
+        sent_r = -(-n_loc // 256) * 256
+        self._attn_layouts = (
+            put2(pad_stack(groups["cpv"], 0)),
+            jax.device_put(
+                pad_stack(groups["cpid"], sent_c)
+                .reshape(S, -1, 128).astype(np.int32), sh3),
+            put2(np.stack(groups["cts"])),
+            put2(np.stack(groups["cte"])),
+            put2(pad_stack(groups["rpv"], 0)),
+            jax.device_put(
+                pad_stack(groups["rpid"], sent_r)
+                .reshape(S, -1, 128).astype(np.int32), sh3),
+            put2(np.stack(groups["rts"])),
+            put2(np.stack(groups["rte"])),
+            put2(pad_stack(groups["perm"], -1)),
+        )
 
     # -- host <-> sharded layout -------------------------------------------
 
@@ -318,6 +394,10 @@ class HaloGraph:
     @property
     def num_nodes(self) -> int:
         return self._num_nodes
+
+    @property
+    def num_edges(self) -> int:
+        return self._num_edges
 
     @property
     def num_shards(self) -> int:
@@ -538,6 +618,108 @@ class HaloGraph:
         )(self.send_idx, self.local_edges, self.local_mask,
           self.remote_edges, self.remote_mask, src_feat, dst_feat)
 
+    def gat_attention(self, a_dst, a_src, v, leaky_slope: float = 0.2,
+                      attn_drop: float = 0.0, drop_seed=None):
+        """Multi-chip fused GAT attention:
+        ``out[r] = Σ softmax_r(leaky(a_dst[r] + a_src[src])) · v[src]``
+        over each shard's owned dst rows.
+
+        One all_to_all moves the boundary rows of the ``a_src | v`` payload
+        (comm ∝ cut); each shard then runs the flash-style additive
+        attention kernel (:func:`fused_gat_attention`) over its unified
+        local+halo src table — softmax denominators span local and remote
+        in-edges, matching the single-device result exactly. Falls back to
+        a per-shard XLA composition off-TPU.
+
+        Args:
+          a_dst / a_src: ``[S, N_pad, H]`` sharded attention coefficients.
+          v: ``[S, N_pad, DV]`` sharded values (``DV = H * dvh``).
+          attn_drop / drop_seed: in-kernel attention-prob dropout (the
+            seed is decorrelated per shard with the mesh axis index).
+
+        Returns ``[S, N_pad, DV]`` sharded.
+        """
+        ax = self.axis
+        H = a_dst.shape[-1]
+        DV = v.shape[-1]
+        if DV % H:
+            raise ValueError(f"v width {DV} not divisible by heads {H}")
+        dvh = DV // H
+        dvp = max(128, -(-DV // 128) * 128)
+        lays = self._attn_layouts
+        import jax as _jax
+        use_pallas = (_jax.default_backend() == "tpu"
+                      or __import__("os").environ.get(
+                          "PGL_TPU_FUSED_ATTN", "auto") in ("1", "true"))
+        interpret = _jax.default_backend() != "tpu"
+
+        def local(cpv, cpid, cts, cte, rpv, rpid, rts, rte, aperm,
+                  send_idx, a_d, a_s, vv, seed):
+            from ..ops.pallas.segment_kernels import BlockedLayout
+            from ..ops.pallas.attention_kernels import (
+                fused_gat_attention, _drop_keep)
+            a_d0, a_s0, v0 = a_d[0], a_s[0], vv[0]
+            n_pad = a_d0.shape[0]
+            payload = jnp.concatenate([a_s0, v0], axis=1)
+            send = jnp.take(payload, send_idx[0], axis=0)
+            halo = jax.lax.all_to_all(send, ax, 0, 0)
+            tbl = jnp.concatenate(
+                [payload, halo.reshape(-1, payload.shape[1])], axis=0)
+            a_src_tbl = tbl[:, :H]
+            v_tbl = tbl[:, H:]
+            n_loc = tbl.shape[0]
+            sd = seed[0] ^ jax.lax.axis_index(ax).astype(jnp.int32)
+            if use_pallas:
+                if dvp > DV:
+                    v_tbl = jnp.concatenate(
+                        [v_tbl, jnp.zeros((n_loc, dvp - DV), v_tbl.dtype)],
+                        axis=1)
+                csc = BlockedLayout(cpv[0], cpid[0], cts[0], cte[0], n_pad,
+                                    int(cpv.shape[1]))
+                csr = BlockedLayout(rpv[0], rpid[0], rts[0], rte[0], n_loc,
+                                    int(rpv.shape[1]))
+                out = fused_gat_attention(
+                    a_d0, a_src_tbl, v_tbl, csc, (csr, aperm[0]),
+                    leaky_slope, 256, 1024, interpret, dvh,
+                    attn_drop, sd if attn_drop else None)
+                return out[None, :, :DV]
+            # XLA composition from the same csc arrays (off-TPU path)
+            Ep = cpv.shape[1]
+            src_e = cpv[0]
+            dst_e = cpid[0].reshape(-1)
+            valid = dst_e < n_pad
+            s = (jnp.take(a_d0, jnp.minimum(dst_e, n_pad - 1), axis=0)
+                 + jnp.take(a_src_tbl, src_e, axis=0))       # [Ep, H]
+            if leaky_slope:
+                s = jnp.where(s >= 0, s, s * leaky_slope)
+            s = jnp.where(valid[:, None], s, -jnp.inf)
+            dst_c = jnp.where(valid, dst_e, n_pad - 1)
+            smax = jax.ops.segment_max(s, dst_c, num_segments=n_pad)
+            smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+            ex = jnp.where(valid[:, None],
+                           jnp.exp(s - jnp.take(smax, dst_c, axis=0)), 0.0)
+            den = jax.ops.segment_sum(ex, dst_c, num_segments=n_pad)
+            p = ex / jnp.maximum(jnp.take(den, dst_c, axis=0), 1e-30)
+            if attn_drop:
+                idx = jax.lax.broadcasted_iota(jnp.int32, (Ep,), 0)
+                keep = jnp.stack([_drop_keep(idx, sd, h, attn_drop)
+                                  for h in range(H)], axis=1)
+                p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - attn_drop))
+            v_e = jnp.take(v_tbl, src_e, axis=0).reshape(Ep, H, dvh)
+            msg = (v_e * p[..., None]).reshape(Ep, DV)
+            out = jax.ops.segment_sum(msg, dst_c, num_segments=n_pad)
+            return out[None]
+
+        seed_arr = (jnp.zeros((1,), jnp.int32) if drop_seed is None
+                    else jnp.asarray(drop_seed, jnp.int32).reshape(1))
+        P2, P3 = P(ax, None), P(ax, None, None)
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P2, P3, P2, P2, P2, P3, P2, P2, P2,
+                      P3, P3, P3, P3, P(None)),
+            out_specs=P3, check_vma=False,
+        )(*lays, self.send_idx, a_dst, a_src, v, seed_arr)
+
     def edge_softmax(self, logits):
         """Softmax over each owned node's in-edges — fully local (every
         in-edge of an owned dst lives on this shard): no collectives at
@@ -629,9 +811,10 @@ class HaloGraph:
 
     def tree_flatten(self):
         children = tuple(getattr(self, k) for k in self._LEAVES) + \
-            (self.node_feat, self.edge_feat, self._shard_layouts)
+            (self.node_feat, self.edge_feat, self._shard_layouts,
+             self._attn_layouts)
         aux = (self._num_nodes, self.mesh, self.axis, self.h_pad,
-               self.halo_size)
+               self.halo_size, self._num_edges)
         return children, aux
 
     @classmethod
@@ -639,10 +822,10 @@ class HaloGraph:
         obj = object.__new__(cls)
         for k, v in zip(cls._LEAVES, children):
             setattr(obj, k, v)
-        (obj.node_feat, obj.edge_feat,
-         obj._shard_layouts) = children[len(cls._LEAVES):]
+        (obj.node_feat, obj.edge_feat, obj._shard_layouts,
+         obj._attn_layouts) = children[len(cls._LEAVES):]
         (obj._num_nodes, obj.mesh, obj.axis, obj.h_pad,
-         obj.halo_size) = aux
+         obj.halo_size, obj._num_edges) = aux
         return obj
 
     def __repr__(self):

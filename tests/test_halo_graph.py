@@ -186,3 +186,72 @@ def test_halo_gcn_layer(graphs):
     ref = layer.apply(params, gt, gt.node_feat["h"])
     np.testing.assert_allclose(hg.unshard_node_values(out),
                                np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused multi-chip GAT attention
+# ---------------------------------------------------------------------------
+
+def _gat_layer_and_params(graphs):
+    from pgl_tpu.nn import GATConv
+    gt, hg = graphs
+    layer = GATConv(input_size=D, hidden_size=6, num_heads=4,
+                    feat_drop=0.0, attn_drop=0.0)
+    x = hg.shard_node_values(FEAT)
+    params = layer.init(jax.random.key(0), hg, x)
+    return layer, params, x, gt, hg
+
+
+def test_halo_gat_conv_parity(graphs):
+    """GATConv on a HaloGraph (per-shard attention + halo exchange)
+    matches the single-device layer, forward and gradients."""
+    layer, params, x, gt, hg = _gat_layer_and_params(graphs)
+    out_h = hg.unshard_node_values(layer.apply(params, hg, x))
+    out_1 = layer.apply(params, gt, gt.node_feat["h"])
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_1),
+                               rtol=1e-4, atol=1e-5)
+
+    g_h = jax.grad(lambda p: (layer.apply(p, hg, x) ** 2).sum())(params)
+    g_1 = jax.grad(
+        lambda p: (layer.apply(p, gt, gt.node_feat["h"]) ** 2).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_h),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_halo_gat_fused_kernel_branch(graphs, monkeypatch):
+    """The Pallas (interpret) per-shard kernel branch agrees with the XLA
+    per-shard composition."""
+    layer, params, x, gt, hg = _gat_layer_and_params(graphs)
+    out_xla = layer.apply(params, hg, x)
+    monkeypatch.setenv("PGL_TPU_FUSED_ATTN", "1")
+    out_pl = layer.apply(params, hg, x)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_halo_gat_attention_dropout_deterministic(graphs):
+    """Same drop seed → identical output; different seeds differ; rate
+    keeps the expectation roughly unbiased."""
+    gt, hg = graphs
+    rng2 = np.random.default_rng(11)
+    H, DVH = 4, 8
+    a_dst = hg.shard_node_values(
+        rng2.normal(size=(N, H)).astype(np.float32))
+    a_src = hg.shard_node_values(
+        rng2.normal(size=(N, H)).astype(np.float32))
+    v = hg.shard_node_values(
+        rng2.normal(size=(N, H * DVH)).astype(np.float32))
+    o1 = hg.gat_attention(a_dst, a_src, v, 0.2, 0.5, jnp.int32(3))
+    o2 = hg.gat_attention(a_dst, a_src, v, 0.2, 0.5, jnp.int32(3))
+    o3 = hg.gat_attention(a_dst, a_src, v, 0.2, 0.5, jnp.int32(4))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert float(jnp.max(jnp.abs(o1 - o3))) > 0
+    o0 = hg.gat_attention(a_dst, a_src, v, 0.2, 0.0)
+    # dropout is unbiased in expectation — a loose sanity band
+    mean = np.asarray(jnp.stack(
+        [hg.gat_attention(a_dst, a_src, v, 0.2, 0.5, jnp.int32(s))
+         for s in range(8)])).mean(axis=0)
+    denom = np.abs(np.asarray(o0)).mean() + 1e-6
+    assert np.abs(mean - np.asarray(o0)).mean() / denom < 0.5

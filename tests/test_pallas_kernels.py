@@ -557,3 +557,49 @@ def test_fused_dot_attention_dropout():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_fused_gat_additive_rectangular_spaces():
+    """dst rows and src table are different node spaces (the halo-shard
+    shape: owned dst rows vs [local + remote] src table)."""
+    from pgl_tpu.ops.pallas.attention_kernels import (
+        fused_gat_attention, _xla_additive_reference)
+    from pgl_tpu.ops.pallas.segment_kernels import build_blocked_layout
+    rng = np.random.default_rng(17)
+    N_dst, N_src, E, H, DVH = 100, 160, 1700, 4, 16
+    dst = np.sort(rng.integers(0, N_dst, E)).astype(np.int64)
+    src = rng.integers(0, N_src, E).astype(np.int64)
+    indptr = np.concatenate([[0],
+                             np.cumsum(np.bincount(dst, minlength=N_dst))])
+    csc = build_blocked_layout(indptr, src, N_dst, 128, 256)
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate(
+        [[0], np.cumsum(np.bincount(src, minlength=N_src))])
+    csr = build_blocked_layout(indptr_s, dst[order], N_src, 128, 256)
+    perm = jnp.asarray(order.astype(np.int32))
+    a_dst = jnp.asarray(rng.normal(size=(N_dst, H)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(N_src, H)).astype(np.float32))
+    DV = 128
+    v = jnp.zeros((N_src, DV)).at[:, :H * DVH].set(
+        jnp.asarray(rng.normal(size=(N_src, H * DVH)).astype(np.float32)))
+    tgt = jnp.asarray(rng.normal(size=(N_dst, DV)).astype(np.float32))
+
+    def fused(a_dst, a_src, v):
+        return fused_gat_attention(a_dst, a_src, v, csc, (csr, perm), 0.2,
+                                   128, 256, True, DVH)
+
+    def ref(a_dst, a_src, v):
+        return _xla_additive_reference(a_dst, a_src, v, jnp.asarray(src),
+                                       jnp.asarray(dst), N_dst, 0.2,
+                                       DVH, DV)
+
+    np.testing.assert_allclose(np.asarray(fused(a_dst, a_src, v)),
+                               np.asarray(ref(a_dst, a_src, v)),
+                               rtol=1e-4, atol=1e-5)
+    g1 = jax.grad(lambda *a: ((fused(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(a_dst, a_src, v)
+    g2 = jax.grad(lambda *a: ((ref(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(a_dst, a_src, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
