@@ -45,7 +45,7 @@ class HaloGCN(nn.Module):
     num_class: int
 
     @nn.compact
-    def __call__(self, hg, x):
+    def __call__(self, hg, x, training=False):
         deg = jnp.maximum(hg.indegree().astype(x.dtype), 1.0) ** -0.5
         for i, width in enumerate((self.hidden, self.num_class)):
             h = nn.Dense(width, name=f"lin_{i}")(x)
@@ -55,6 +55,41 @@ class HaloGCN(nn.Module):
         return x
 
 
+class HaloGAT(nn.Module):
+    """2-layer GAT — each layer runs the per-shard flash additive-score
+    kernel with one boundary-row all_to_all (HaloGraph.gat_attention)."""
+    hidden: int
+    num_class: int
+
+    @nn.compact
+    def __call__(self, hg, x, training=False):
+        from pgl_tpu.nn import GATConv
+        x = GATConv(input_size=x.shape[-1], hidden_size=self.hidden,
+                    num_heads=8, feat_drop=0.0,
+                    attn_drop=0.6 if training else 0.0,
+                    activation="elu", name="gat_0")(hg, x,
+                                                    training=training)
+        return GATConv(input_size=self.hidden * 8,
+                       hidden_size=self.num_class, num_heads=1,
+                       feat_drop=0.0, attn_drop=0.0,
+                       name="gat_1")(hg, x)
+
+
+class HaloUniMP(nn.Module):
+    """UniMP (TransformerConv stack + masked label embedding) — dot-score
+    attention per shard via HaloGraph.dot_attention."""
+    hidden: int
+    num_class: int
+
+    @nn.compact
+    def __call__(self, hg, x, training=False):
+        from pgl_tpu.models import UniMP
+        return UniMP(input_size=x.shape[-1], num_class=self.num_class,
+                     num_layers=2, hidden_size=self.hidden, num_heads=2,
+                     dropout=0.1, use_label_embed=False,
+                     name="unimp")(hg, x, training=training)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=150)
@@ -62,6 +97,8 @@ def main():
     parser.add_argument("--lr", type=float, default=1e-2)
     parser.add_argument("--partition", default="metis",
                         choices=["metis", "range"])
+    parser.add_argument("--model", default="gcn",
+                        choices=["gcn", "gat", "unimp"])
     args = parser.parse_args()
 
     g, labels, train_index = cora_shaped_graph(seed=0)
@@ -84,7 +121,8 @@ def main():
     w_test = hg.shard_node_values(test_mask)
     x = hg.node_feat["h"]
 
-    model = HaloGCN(hidden=args.hidden, num_class=int(labels.max()) + 1)
+    cls = {"gcn": HaloGCN, "gat": HaloGAT, "unimp": HaloUniMP}[args.model]
+    model = cls(hidden=args.hidden, num_class=int(labels.max()) + 1)
     params = model.init(jax.random.key(0), hg, x)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
@@ -112,7 +150,7 @@ def main():
         if epoch % 25 == 0:
             print(f"epoch {epoch}: loss {float(loss):.4f}")
     acc = float(accuracy(params, hg, x, y, w_test))
-    print(f"halo-sharded GCN [{args.partition} partition, "
+    print(f"halo-sharded {args.model.upper()} [{args.partition} partition, "
           f"{len(devices)} devices]: test acc {acc:.4f} "
           f"({(time.time()-t0)/args.epochs*1000:.1f} ms/epoch)")
 

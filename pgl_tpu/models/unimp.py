@@ -46,7 +46,7 @@ class UniMP(nn.Module):
                              name="label_embed")(jnp.maximum(label, 0))
             mask = (label_mask if label_mask is not None
                     else jnp.zeros(label.shape, bool))
-            feature = feature + jnp.where(mask[:, None], embed, 0.0)
+            feature = feature + jnp.where(mask[..., None], embed, 0.0)
         h = feature
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
@@ -83,7 +83,7 @@ class RUniMP(nn.Module):
                              name="label_embed")(jnp.maximum(label, 0))
             mask = (label_mask if label_mask is not None
                     else jnp.zeros(label.shape, bool))
-            feature = feature + jnp.where(mask[:, None], embed, 0.0)
+            feature = feature + jnp.where(mask[..., None], embed, 0.0)
         h = feature
         for i in range(self.num_layers):
             last = i == self.num_layers - 1

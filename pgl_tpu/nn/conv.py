@@ -413,16 +413,36 @@ class TransformerConv(nn.Module):
         adrop = nn.Dropout(self.attn_drop, deterministic=not training)
         if self.feat_drop > 1e-5:
             feature = fdrop(feature)
-        q = nn.Dense(H * D, name="q")(feature).reshape(-1, H, D) / (D ** 0.5)
-        k = nn.Dense(H * D, name="k")(feature).reshape(-1, H, D)
-        v = nn.Dense(H * D, name="v")(feature).reshape(-1, H, D)
+        # kept flat [..., H*D] so the layer works on [N, F] single-device
+        # and [S, N_pad, F] halo-sharded inputs alike
+        q = nn.Dense(H * D, name="q")(feature) / (D ** 0.5)
+        k = nn.Dense(H * D, name="k")(feature)
+        v = nn.Dense(H * D, name="v")(feature)
         if edge_feat is not None:
             if self.feat_drop > 1e-5:
                 edge_feat = fdrop(edge_feat)
             edge_feat = edge_feat.reshape(-1, H, D)
 
         from ..ops.dispatch import use_fused_attention
-        if (use_fused_attention(graph, graph.num_edges, False)
+        if hasattr(graph, "dot_attention"):
+            # HaloGraph: per-shard flash dot-score attention over the
+            # owned dst rows with one boundary-row all_to_all
+            if edge_feat is not None:
+                raise NotImplementedError(
+                    "edge_feat is not supported on HaloGraph "
+                    "TransformerConv (per-edge features are shard-local; "
+                    "use a single-device Graph)")
+            rate = float(self.attn_drop) if training else 0.0
+            seed = None
+            if rate > 1e-15:
+                kd = jax.random.key_data(
+                    self.make_rng("dropout")).astype(jnp.uint32)
+                seed = (kd[0] ^ kd[1]).astype(jnp.int32)
+            output = graph.dot_attention(q, k, v, H, rate, seed)
+            if not self.concat:
+                output = output.reshape(
+                    output.shape[:-1] + (H, D)).mean(axis=-2)
+        elif (use_fused_attention(graph, graph.num_edges, False)
                 and edge_feat is None and self.concat
                 and (H * D) % 128 == 0):
             # fused SDDMM+softmax+aggregate Pallas kernel (attention-prob
@@ -436,10 +456,12 @@ class TransformerConv(nn.Module):
                     self.make_rng("dropout")).astype(jnp.uint32)
                 seed = (kd[0] ^ kd[1]).astype(jnp.int32)
             output = fused_graph_attention(
-                q.reshape(-1, H * D), k.reshape(-1, H * D),
-                v.reshape(-1, H * D), csc, (csr, perm), H, 0.0,
+                q, k, v, csc, (csr, perm), H, 0.0,
                 dsh=D, dvh=D, attn_drop=rate, drop_seed=seed)
         else:
+            q = q.reshape(-1, H, D)
+            k = k.reshape(-1, H, D)
+            v = v.reshape(-1, H, D)
             src, dst = graph.edges[:, 0], graph.edges[:, 1]
             k_e = jnp.take(k, src, axis=0)
             v_e = jnp.take(v, src, axis=0)

@@ -639,25 +639,60 @@ class HaloGraph:
 
         Returns ``[S, N_pad, DV]`` sharded.
         """
+        return self._halo_attention("additive", a_dst, a_src, v,
+                                    a_dst.shape[-1], leaky_slope,
+                                    attn_drop, drop_seed)
+
+    def dot_attention(self, q, k, v, num_heads: int,
+                      attn_drop: float = 0.0, drop_seed=None):
+        """Multi-chip fused dot-score (TransformerConv/UniMP) attention:
+        ``out[r] = Σ softmax_r(q[r] · k[src]) · v[src]`` over each shard's
+        owned dst rows, per head (reference ``pgl/nn/conv.py:724-886``
+        composes this from send_uv + reduce_softmax on one device).
+
+        Same halo pattern as :meth:`gat_attention` — one all_to_all of the
+        boundary rows of the ``k | v`` payload, then the flash dot-score
+        kernel per shard over the unified local+halo src table.
+
+        Args:
+          q / k: ``[S, N_pad, DS]`` sharded score features, ``DS = H·dsh``
+            (the caller applies any 1/√d scaling to q).
+          v: ``[S, N_pad, DV]`` sharded values (``DV = H * dvh``).
+
+        Returns ``[S, N_pad, DV]`` sharded.
+        """
+        return self._halo_attention("dot", q, k, v, num_heads, 0.0,
+                                    attn_drop, drop_seed)
+
+    def _halo_attention(self, mode, dst_s, src_s, v, num_heads,
+                        leaky_slope, attn_drop, drop_seed):
         ax = self.axis
-        H = a_dst.shape[-1]
+        H = num_heads
+        DS = dst_s.shape[-1]
         DV = v.shape[-1]
         if DV % H:
             raise ValueError(f"v width {DV} not divisible by heads {H}")
+        if DS % H:
+            raise ValueError(f"score width {DS} not divisible by {H}")
         dvh = DV // H
+        dsh = DS // H
         dvp = max(128, -(-DV // 128) * 128)
         lays = self._attn_layouts
         import jax as _jax
-        use_pallas = (_jax.default_backend() == "tpu"
-                      or __import__("os").environ.get(
-                          "PGL_TPU_FUSED_ATTN", "auto") in ("1", "true"))
+        # the dot kernel streams q|k in lane-aligned head chunks — a
+        # non-128-multiple DS goes through the XLA composition instead
+        can_pallas = mode == "additive" or DS % 128 == 0
+        use_pallas = can_pallas and (
+            _jax.default_backend() == "tpu"
+            or __import__("os").environ.get(
+                "PGL_TPU_FUSED_ATTN", "auto") in ("1", "true"))
         interpret = _jax.default_backend() != "tpu"
 
         def local(cpv, cpid, cts, cte, rpv, rpid, rts, rte, aperm,
                   send_idx, a_d, a_s, vv, seed):
             from ..ops.pallas.segment_kernels import BlockedLayout
             from ..ops.pallas.attention_kernels import (
-                fused_gat_attention, _drop_keep)
+                fused_gat_attention, fused_graph_attention, _drop_keep)
             a_d0, a_s0, v0 = a_d[0], a_s[0], vv[0]
             n_pad = a_d0.shape[0]
             payload = jnp.concatenate([a_s0, v0], axis=1)
@@ -665,8 +700,8 @@ class HaloGraph:
             halo = jax.lax.all_to_all(send, ax, 0, 0)
             tbl = jnp.concatenate(
                 [payload, halo.reshape(-1, payload.shape[1])], axis=0)
-            a_src_tbl = tbl[:, :H]
-            v_tbl = tbl[:, H:]
+            a_src_tbl = tbl[:, :DS]
+            v_tbl = tbl[:, DS:]
             n_loc = tbl.shape[0]
             sd = seed[0] ^ jax.lax.axis_index(ax).astype(jnp.int32)
             if use_pallas:
@@ -678,18 +713,31 @@ class HaloGraph:
                                     int(cpv.shape[1]))
                 csr = BlockedLayout(rpv[0], rpid[0], rts[0], rte[0], n_loc,
                                     int(rpv.shape[1]))
-                out = fused_gat_attention(
-                    a_d0, a_src_tbl, v_tbl, csc, (csr, aperm[0]),
-                    leaky_slope, 256, 1024, interpret, dvh,
-                    attn_drop, sd if attn_drop else None)
+                if mode == "additive":
+                    out = fused_gat_attention(
+                        a_d0, a_src_tbl, v_tbl, csc, (csr, aperm[0]),
+                        leaky_slope, 256, 1024, interpret, dvh,
+                        attn_drop, sd if attn_drop else None)
+                else:
+                    out = fused_graph_attention(
+                        a_d0, a_src_tbl, v_tbl, csc, (csr, aperm[0]),
+                        H, leaky_slope, 256, 1024, interpret, dsh, dvh,
+                        attn_drop, sd if attn_drop else None)
                 return out[None, :, :DV]
             # XLA composition from the same csc arrays (off-TPU path)
             Ep = cpv.shape[1]
             src_e = cpv[0]
             dst_e = cpid[0].reshape(-1)
             valid = dst_e < n_pad
-            s = (jnp.take(a_d0, jnp.minimum(dst_e, n_pad - 1), axis=0)
-                 + jnp.take(a_src_tbl, src_e, axis=0))       # [Ep, H]
+            dst_g = jnp.minimum(dst_e, n_pad - 1)
+            if mode == "additive":
+                s = (jnp.take(a_d0, dst_g, axis=0)
+                     + jnp.take(a_src_tbl, src_e, axis=0))   # [Ep, H]
+            else:
+                q_e = jnp.take(a_d0, dst_g, axis=0).reshape(Ep, H, dsh)
+                k_e = jnp.take(a_src_tbl, src_e,
+                               axis=0).reshape(Ep, H, dsh)
+                s = jnp.sum(q_e * k_e, axis=-1)              # [Ep, H]
             if leaky_slope:
                 s = jnp.where(s >= 0, s, s * leaky_slope)
             s = jnp.where(valid[:, None], s, -jnp.inf)
@@ -718,7 +766,7 @@ class HaloGraph:
             in_specs=(P2, P3, P2, P2, P2, P3, P2, P2, P2,
                       P3, P3, P3, P3, P(None)),
             out_specs=P3, check_vma=False,
-        )(*lays, self.send_idx, a_dst, a_src, v, seed_arr)
+        )(*lays, self.send_idx, dst_s, src_s, v, seed_arr)
 
     def edge_softmax(self, logits):
         """Softmax over each owned node's in-edges — fully local (every

@@ -255,3 +255,75 @@ def test_halo_gat_attention_dropout_deterministic(graphs):
          for s in range(8)])).mean(axis=0)
     denom = np.abs(np.asarray(o0)).mean() + 1e-6
     assert np.abs(mean - np.asarray(o0)).mean() / denom < 0.5
+
+
+# ---------------------------------------------------------------------------
+# fused multi-chip dot-score (TransformerConv) attention
+# ---------------------------------------------------------------------------
+
+def test_halo_transformer_conv_parity(graphs):
+    """TransformerConv on a HaloGraph (per-shard dot attention + halo
+    exchange) matches the single-device layer, forward and gradients."""
+    from pgl_tpu.nn import TransformerConv
+    gt, hg = graphs
+    layer = TransformerConv(input_size=D, hidden_size=8, num_heads=4,
+                            feat_drop=0.0, attn_drop=0.0)
+    x = hg.shard_node_values(FEAT)
+    params = layer.init(jax.random.key(0), hg, x)
+    out_h = hg.unshard_node_values(layer.apply(params, hg, x))
+    out_1 = layer.apply(params, gt, gt.node_feat["h"])
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_1),
+                               rtol=1e-4, atol=1e-5)
+
+    g_h = jax.grad(lambda p: (layer.apply(p, hg, x) ** 2).sum())(params)
+    g_1 = jax.grad(
+        lambda p: (layer.apply(p, gt, gt.node_feat["h"]) ** 2).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_h),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_halo_dot_attention_fused_kernel_branch(graphs, monkeypatch):
+    """The Pallas (interpret) dot-score branch agrees with the XLA
+    per-shard composition, including DS = H*dsh = 128 lane alignment."""
+    gt, hg = graphs
+    rng2 = np.random.default_rng(23)
+    H, dsh, dvh = 4, 32, 32
+    q = hg.shard_node_values(
+        rng2.normal(size=(N, H * dsh)).astype(np.float32))
+    k = hg.shard_node_values(
+        rng2.normal(size=(N, H * dsh)).astype(np.float32))
+    v = hg.shard_node_values(
+        rng2.normal(size=(N, H * dvh)).astype(np.float32))
+    out_xla = hg.dot_attention(q, k, v, H)
+    monkeypatch.setenv("PGL_TPU_FUSED_ATTN", "1")
+    out_pl = hg.dot_attention(q, k, v, H)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn_in):
+        q, k, v = fn_in
+        return (hg.dot_attention(q, k, v, H) ** 2).sum()
+
+    g_pl = jax.grad(loss)((q, k, v))
+    monkeypatch.delenv("PGL_TPU_FUSED_ATTN")
+    g_xla = jax.grad(loss)((q, k, v))
+    for a, b in zip(g_pl, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_halo_transformer_conv_mean_heads(graphs):
+    """concat=False head-mean works on the sharded [S, N_pad, H, D]
+    layout."""
+    from pgl_tpu.nn import TransformerConv
+    gt, hg = graphs
+    layer = TransformerConv(input_size=D, hidden_size=8, num_heads=4,
+                            feat_drop=0.0, attn_drop=0.0, concat=False)
+    x = hg.shard_node_values(FEAT)
+    params = layer.init(jax.random.key(0), hg, x)
+    out_h = hg.unshard_node_values(layer.apply(params, hg, x))
+    out_1 = layer.apply(params, gt, gt.node_feat["h"])
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_1),
+                               rtol=1e-4, atol=1e-5)
