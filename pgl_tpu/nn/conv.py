@@ -62,7 +62,7 @@ class GraphSageConv(nn.Module):
         if act is not None:
             output = act(output)
         if self.normalize:
-            output = _l2_normalize(output, axis=1)
+            output = _l2_normalize(output, axis=-1)
         return output
 
 
@@ -82,7 +82,7 @@ class PinSageConv(nn.Module):
         act = _resolve_act(act)
         if act is not None:
             output = act(output)
-        return _l2_normalize(output, axis=1)
+        return _l2_normalize(output, axis=-1)
 
 
 class GCNConv(nn.Module):
@@ -245,22 +245,26 @@ class GATv2Conv(nn.Module):
                 feature)
         feature = nn.Dense(self.num_heads * self.hidden_size,
                            name="linear")(feature)
-        feature = feature.reshape(-1, self.num_heads, self.hidden_size)
+        # trailing-axis reshapes so the layer works on [N, F] and the
+        # halo-sharded [S, N_pad, F] layouts alike
+        feature = feature.reshape(
+            feature.shape[:-1] + (self.num_heads, self.hidden_size))
         attn = self.param("attn", nn.initializers.xavier_uniform(),
                           (1, self.num_heads, self.hidden_size))
         alpha = graph.send_uv(feature, feature, "add")
         alpha = jax.nn.leaky_relu(alpha, negative_slope=0.2)
         alpha = jnp.sum(alpha * attn, axis=-1)
         alpha = GF.edge_softmax(graph, alpha)
-        alpha = alpha.reshape(-1, self.num_heads, 1)
+        alpha = alpha[..., None]
         if self.attn_drop > 1e-15:
             alpha = nn.Dropout(self.attn_drop, deterministic=not training)(
                 alpha)
         output = graph.send_ue_recv(feature, alpha, "mul", "sum")
         if self.concat:
-            output = output.reshape(-1, self.num_heads * self.hidden_size)
+            output = output.reshape(
+                output.shape[:-2] + (self.num_heads * self.hidden_size,))
         else:
-            output = output.mean(axis=1)
+            output = output.mean(axis=-2)
         act = _resolve_act(self.activation)
         if act is not None:
             output = act(output)
@@ -678,18 +682,20 @@ class FAConv(nn.Module):
     @nn.compact
     def __call__(self, graph, feature, training: bool = False):
         norm = GF.degree_norm(graph, dtype=feature.dtype)
-        src, dst = graph.edges[:, 0], graph.edges[:, 1]
-        h_src = jnp.take(feature, src, axis=0)
-        h_dst = jnp.take(feature, dst, axis=0)
-        gate_in = jnp.concatenate([h_src, h_dst], axis=1)
-        alpha = jnp.tanh(nn.Dense(1, name="gate")(gate_in))
-        d_src = jnp.take(norm, src, axis=0)
-        d_dst = jnp.take(norm, dst, axis=0)
-        alpha = alpha * d_src * d_dst
+        # The reference gathers both endpoints and applies one Dense to
+        # [h_src | h_dst]. Dense is linear, so the per-edge gate splits
+        # into node-side halves combined by the SDDMM primitive — no
+        # per-edge gather, and the same composition runs on a HaloGraph:
+        #   gate(h_s|h_d) = h_s·W[:D] + h_d·W[D:] + b
+        gate = nn.Dense(1, name="gate")
+        z = jnp.zeros_like(feature)
+        b = gate(jnp.concatenate([z, z], axis=-1))           # bias only
+        s_src = gate(jnp.concatenate([feature, z], axis=-1)) - b
+        s_dst = gate(jnp.concatenate([z, feature], axis=-1))
+        alpha = jnp.tanh(graph.send_uv(s_src, s_dst, "add"))
+        alpha = alpha * graph.send_uv(norm, norm, "mul")
         alpha = nn.Dropout(self.drop, deterministic=not training)(alpha)
-        from .. import math as gmath
-        return gmath.segment_sum(h_src * alpha, dst,
-                                 num_segments=graph.num_nodes)
+        return graph.send_ue_recv(feature, alpha, "mul", "sum")
 
 
 class BernProp(nn.Module):

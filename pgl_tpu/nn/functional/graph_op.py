@@ -54,6 +54,13 @@ def graph_norm(graph, feature):
 def edge_softmax(graph, logits, norm_by: str = "dst"):
     """Softmax of per-edge logits over each node's incoming (or outgoing)
     edges, returned in original edge order (reference ``graph_op.py:101``)."""
+    if hasattr(graph, "edge_softmax"):      # HaloGraph: shard-local op
+        if norm_by != "dst":
+            raise NotImplementedError(
+                "HaloGraph edge_softmax normalizes over incoming edges "
+                "(each shard owns all in-edges of its dst rows); "
+                "norm_by='src' would need a second exchange")
+        return graph.edge_softmax(logits)
     col = 1 if norm_by == "dst" else 0
     seg = graph.edges[:, col]
     return gmath.segment_softmax(logits, seg, num_segments=graph.num_nodes)

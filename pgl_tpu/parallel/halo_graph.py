@@ -562,23 +562,25 @@ class HaloGraph:
                     return msg + wv
                 raise NotImplementedError(message_op)
 
-            lmsg = combine(jnp.take(xs, le[:, 0], axis=0), wl) \
-                * lm[:, None]
+            def mask(msg, m):
+                return msg * m.reshape((-1,) + (1,) * (msg.ndim - 1))
+
+            lmsg = mask(combine(jnp.take(xs, le[:, 0], axis=0), wl), lm)
             out = jax.ops.segment_sum(lmsg, le[:, 1], num_segments=n_pad)
-            rmsg = combine(jnp.take(halo_flat, re_[:, 0], axis=0), wr) \
-                * rm[:, None]
+            rmsg = mask(combine(jnp.take(halo_flat, re_[:, 0], axis=0), wr),
+                        rm)
             out = out + jax.ops.segment_sum(rmsg, re_[:, 1],
                                             num_segments=n_pad)
             return out[None]
 
-        ef_spec = P(ax, None) if edge_feat.ndim == 2 \
-            else P(ax, *((None,) * (edge_feat.ndim - 1)))
+        ef_spec = P(ax, *((None,) * (edge_feat.ndim - 1)))
+        f_spec = P(ax, *((None,) * (feature.ndim - 1)))
         return shard_map(
             local, mesh=self.mesh,
             in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
                       P(ax, None, None), P(ax, None),
-                      P(ax, None, None), ef_spec),
-            out_specs=P(ax, None, None), check_vma=False,
+                      f_spec, ef_spec),
+            out_specs=f_spec, check_vma=False,
         )(self.send_idx, self.local_edges, self.local_mask,
           self.remote_edges, self.remote_mask, feature, edge_feat)
 

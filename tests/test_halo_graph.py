@@ -327,3 +327,59 @@ def test_halo_transformer_conv_mean_heads(graphs):
     out_1 = layer.apply(params, gt, gt.node_feat["h"])
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_1),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# full conv-layer zoo on the halo layout
+# ---------------------------------------------------------------------------
+
+def _zoo(D):
+    # the layers exercising DISTINCT grap-op compositions; the pure
+    # send_recv-loop layers (APPNP/GPR/GCNII/SSGC/Bern/Cheb) share the
+    # code path already covered by test_halo_send_u_recv + "gcn"/"sgc"
+    import pgl_tpu.nn as gnn
+    return {
+        "graphsage": gnn.GraphSageConv(input_size=D, hidden_size=6),
+        "gcn": gnn.GCNConv(input_size=D, output_size=6),
+        "gatv2": gnn.GATv2Conv(input_size=D, hidden_size=6, num_heads=2,
+                               feat_drop=0.0, attn_drop=0.0),
+        "gin": gnn.GINConv(input_size=D, output_size=6),
+        "sgc": gnn.SGCConv(input_size=D, output_size=6, k_hop=2,
+                           cached=False),
+        "ngcf": gnn.NGCFConv(input_size=D, output_size=6),
+        "lightgcn": gnn.LightGCNConv(),
+        "faconv": gnn.FAConv(hidden_size=D, drop=0.0),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_zoo(D)))
+def test_halo_layer_zoo_parity(graphs, name):
+    """Every conv layer runs unmodified on the [S, N_pad, D] halo layout
+    and matches the single-device Graph bit-for-bit (the layers compose
+    only send_recv / send_ue_recv / send_uv / edge_softmax / degree_norm,
+    all of which HaloGraph provides shard-local + halo exchange)."""
+    layer = _zoo(D)[name]
+    gt, hg = graphs
+    x = hg.shard_node_values(FEAT)
+    params = layer.init(jax.random.key(0), hg, x)
+    out_h = hg.unshard_node_values(layer.apply(params, hg, x))
+    ref = layer.apply(params, gt, gt.node_feat["h"])
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_halo_pinsage_edge_weights(graphs):
+    """PinSage's per-edge weights ride the sharded edge layout
+    (shard_edge_values → send_ue_recv)."""
+    import pgl_tpu.nn as gnn
+    gt, hg = graphs
+    rng2 = np.random.default_rng(3)
+    ew = rng2.uniform(0.5, 1.5, (E, 1)).astype(np.float32)
+    layer = gnn.PinSageConv(input_size=D, hidden_size=6)
+    x = hg.shard_node_values(FEAT)
+    ew_h = hg.shard_edge_values(ew)
+    params = layer.init(jax.random.key(0), hg, x, ew_h)
+    out_h = hg.unshard_node_values(layer.apply(params, hg, x, ew_h))
+    ref = layer.apply(params, gt, gt.node_feat["h"], jnp.asarray(ew))
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
