@@ -8,8 +8,10 @@ and multi-host bootstrap/loading helpers.
 
 from .dist_graph import ShardedGraph, shard_edges
 from .halo_graph import HaloGraph, build_halo_partition
+from .halo_heter import HaloHeterGraph
 from .embedding import ShardedEmbedding
 from . import multihost
 
 __all__ = ["ShardedGraph", "shard_edges", "HaloGraph",
-           "build_halo_partition", "ShardedEmbedding", "multihost"]
+           "build_halo_partition", "HaloHeterGraph", "ShardedEmbedding",
+           "multihost"]
