@@ -267,3 +267,26 @@ class PGLBoxTrainer:
 
     def embeddings(self) -> np.ndarray:
         return self.embedding.dump_to_mem()
+
+    def infer(self, out_dir: str, batch_nodes: int = 0) -> int:
+        """Inference pass: stream every node's trained embedding to
+        sharded ``part-XXXXX.npz`` files (``ids`` + ``emb`` arrays) —
+        the analog of the reference's infer mode, which walks the node
+        set pass-by-pass and writes ``id \\t emb`` shards
+        (``cluster_train_and_infer.py``, infer section). Reads the
+        mmap-backed table slice-by-slice; peak RAM is one shard.
+
+        Returns the number of shards written."""
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        B = batch_nodes or max(self.cfg["pass_nodes"] * 16, 1 << 16)
+        table = self.embedding.table.weight  # mmap-backed [N, emb_size]
+        n = self.graph.num_nodes
+        shards = 0
+        for lo in range(0, n, B):
+            hi = min(lo + B, n)
+            np.savez(os.path.join(out_dir, f"part-{shards:05d}.npz"),
+                     ids=np.arange(lo, hi, dtype=np.int64),
+                     emb=np.asarray(table[lo:hi]))
+            shards += 1
+        return shards

@@ -145,6 +145,14 @@ def test_pglbox_out_of_core(tmp_path):
     assert (tmp_path / "emb" / "weight.npy").exists()
     assert not np.allclose(before, after)
 
+    # infer pass: stream every node's embedding to sharded npz files
+    shards = tr.infer(str(tmp_path / "infer"), batch_nodes=32)
+    assert shards == -(-80 // 32)
+    got = np.concatenate([
+        np.load(tmp_path / "infer" / f"part-{i:05d}.npz")["emb"]
+        for i in range(shards)])
+    np.testing.assert_allclose(got, after)
+
     # begin_pass/end_pass contract: double begin raises, capacity drop works
     emb = DistEmbedding(80, 8, str(tmp_path / "emb2"), capacity=4)
     t = emb.begin_pass(np.array([3, 3, 3, 5, 5, 7, 9, 11]))
