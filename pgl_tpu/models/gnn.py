@@ -25,9 +25,14 @@ class GCN(nn.Module):
     num_layers: int = 2
     hidden_size: int = 16
     dropout: float = 0.5
+    remat: bool = False
 
     @nn.compact
     def __call__(self, graph, feature, training: bool = False):
+        # remat=True rematerializes each layer's activations in the
+        # backward pass — deep stacks trade recompute FLOPs for the
+        # [N, hidden] activation memory (jax.checkpoint per layer)
+        conv = nn.remat(GCNConv) if self.remat else GCNConv
         norm = None
         for i in range(self.num_layers):
             if training and self.dropout > 0:
@@ -36,9 +41,9 @@ class GCN(nn.Module):
             last = i == self.num_layers - 1
             in_size = self.input_size if i == 0 else self.hidden_size
             out_size = self.num_class if last else self.hidden_size
-            feature = GCNConv(in_size, out_size,
-                              activation=None if last else "relu",
-                              name=f"gcn_{i}")(graph, feature, norm)
+            feature = conv(in_size, out_size,
+                           activation=None if last else "relu",
+                           name=f"gcn_{i}")(graph, feature, norm)
         return feature
 
 
@@ -73,17 +78,20 @@ class GraphSage(nn.Module):
     hidden_size: int = 128
     aggr_func: str = "mean"
     dropout: float = 0.5
+    remat: bool = False
 
     @nn.compact
     def __call__(self, graph, feature, training: bool = False):
+        conv = (nn.remat(GraphSageConv, static_argnums=(3,))
+                if self.remat else GraphSageConv)
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             in_size = self.input_size if i == 0 else self.hidden_size
-            feature = GraphSageConv(
+            feature = conv(
                 in_size, self.num_class if last else self.hidden_size,
                 aggr_func=self.aggr_func, normalize=not last,
                 name=f"sage_{i}")(graph, feature,
-                                  act=None if last else "relu")
+                                  None if last else "relu")
             if not last and training and self.dropout > 0:
                 feature = nn.Dropout(self.dropout, deterministic=False)(
                     feature)
@@ -119,16 +127,19 @@ class DeepGCNII(nn.Module):
     lambda_l: float = 0.5
     alpha: float = 0.1
     dropout: float = 0.6
+    remat: bool = False
 
     @nn.compact
     def __call__(self, graph, feature, training: bool = False):
         drop = nn.Dropout(self.dropout, deterministic=not training)
         feature = drop(feature)
         feature = jax.nn.relu(nn.Dense(self.hidden_size, name="in")(feature))
-        feature = GCNII(self.hidden_size, activation="relu",
-                        lambda_l=self.lambda_l, alpha=self.alpha,
-                        k_hop=self.k_hop, dropout=self.dropout,
-                        name="gcnii")(graph, feature, training=training)
+        gcnii_cls = (nn.remat(GCNII, static_argnums=(3, 4))
+                     if self.remat else GCNII)
+        feature = gcnii_cls(self.hidden_size, activation="relu",
+                            lambda_l=self.lambda_l, alpha=self.alpha,
+                            k_hop=self.k_hop, dropout=self.dropout,
+                            name="gcnii")(graph, feature, None, training)
         feature = drop(feature)
         return nn.Dense(self.num_class, name="out")(feature)
 

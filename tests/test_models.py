@@ -61,3 +61,30 @@ def test_model_trains(name, data):
     # at least one parameter actually moved
     flat = jax.tree_util.tree_leaves(grads)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_remat_stacks_parity():
+    """remat=True (per-layer jax.checkpoint) is numerically identical to
+    the plain stacks, forward and gradients — it only trades recompute
+    for activation memory."""
+    import jax
+    import numpy as np
+    from pgl_tpu.datasets import powerlaw_graph
+    from pgl_tpu.models import GCN, GraphSage, DeepGCNII
+
+    g = powerlaw_graph(num_nodes=128, avg_degree=6, feat_dim=8,
+                       seed=0).tensor()
+    x = g.node_feat["h"]
+    for cls, kw in [(GCN, dict(num_layers=3, hidden_size=8)),
+                    (GraphSage, dict(num_layers=2, hidden_size=8)),
+                    (DeepGCNII, dict(hidden_size=8, k_hop=3, dropout=0.0))]:
+        m0 = cls(input_size=8, num_class=4, **kw)
+        m1 = cls(input_size=8, num_class=4, remat=True, **kw)
+        p = m0.init(jax.random.key(0), g, x)
+        np.testing.assert_array_equal(np.asarray(m0.apply(p, g, x)),
+                                      np.asarray(m1.apply(p, g, x)))
+        g0 = jax.grad(lambda p: (m0.apply(p, g, x) ** 2).sum())(p)
+        g1 = jax.grad(lambda p: (m1.apply(p, g, x) ** 2).sum())(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
