@@ -425,24 +425,41 @@ class TransformerConv(nn.Module):
         if edge_feat is not None:
             if self.feat_drop > 1e-5:
                 edge_feat = fdrop(edge_feat)
-            edge_feat = edge_feat.reshape(-1, H, D)
+            if not hasattr(graph, "dot_attention"):
+                edge_feat = edge_feat.reshape(-1, H, D)
 
         from ..ops.dispatch import use_fused_attention
         if hasattr(graph, "dot_attention"):
             # HaloGraph: per-shard flash dot-score attention over the
             # owned dst rows with one boundary-row all_to_all
-            if edge_feat is not None:
-                raise NotImplementedError(
-                    "edge_feat is not supported on HaloGraph "
-                    "TransformerConv (per-edge features are shard-local; "
-                    "use a single-device Graph)")
             rate = float(self.attn_drop) if training else 0.0
             seed = None
             if rate > 1e-15:
                 kd = jax.random.key_data(
                     self.make_rng("dropout")).astype(jnp.uint32)
                 seed = (kd[0] ^ kd[1]).astype(jnp.int32)
-            output = graph.dot_attention(q, k, v, H, rate, seed)
+            if edge_feat is None:
+                output = graph.dot_attention(q, k, v, H, rate, seed)
+            else:
+                # per-edge features break the fused-kernel contract (its
+                # k|v stream is node-indexed); compose in edge space:
+                # one halo exchange of the k|v payload, dst gathers are
+                # shard-local, aggregation via recv_edge_values
+                kv_e = graph.send_uv(jnp.concatenate([k, v], axis=-1),
+                                     jnp.zeros_like(q[..., :1]), "add")
+                q_e = graph.send_uv(jnp.zeros_like(q), q, "add")
+                k_e = kv_e[..., :H * D] + edge_feat
+                v_e = kv_e[..., H * D:2 * H * D] + edge_feat
+                alpha = jnp.sum(
+                    q_e.reshape(q_e.shape[:-1] + (H, D))
+                    * k_e.reshape(k_e.shape[:-1] + (H, D)), axis=-1)
+                alpha = GF.edge_softmax(graph, alpha)
+                if self.attn_drop > 1e-15:
+                    alpha = adrop(alpha)
+                msg = (v_e.reshape(v_e.shape[:-1] + (H, D))
+                       * alpha[..., None])
+                output = graph.recv_edge_values(
+                    msg.reshape(msg.shape[:-2] + (H * D,)))
             if not self.concat:
                 output = output.reshape(
                     output.shape[:-1] + (H, D)).mean(axis=-2)

@@ -770,6 +770,33 @@ class HaloGraph:
             out_specs=P3, check_vma=False,
         )(*lays, self.send_idx, dst_s, src_s, v, seed_arr)
 
+    def recv_edge_values(self, edge_vals, reduce_op: str = "sum"):
+        """Aggregate per-edge values (the sharded ``[S, E_pad, ...]``
+        layout from :meth:`shard_edge_values` / :meth:`send_uv`) to their
+        dst rows — fully local, no collectives (each shard owns every
+        in-edge of its dst rows)."""
+        if reduce_op != "sum":
+            raise NotImplementedError("recv_edge_values supports sum")
+        ax = self.axis
+
+        def local(ledges, lmask, redges, rmask, ev):
+            x = ev[0]
+            dst = jnp.concatenate([ledges[0][:, 1], redges[0][:, 1]])
+            m = jnp.concatenate([lmask[0], rmask[0]])
+            n_pad = self.node_perm.shape[1]
+            xm = x * m.reshape((-1,) + (1,) * (x.ndim - 1))
+            return jax.ops.segment_sum(xm, dst,
+                                       num_segments=n_pad)[None]
+
+        spec = P(ax, *((None,) * (edge_vals.ndim - 1)))
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None), spec),
+            out_specs=spec, check_vma=False,
+        )(self.local_edges, self.local_mask, self.remote_edges,
+          self.remote_mask, edge_vals)
+
     def edge_softmax(self, logits):
         """Softmax over each owned node's in-edges — fully local (every
         in-edge of an owned dst lives on this shard): no collectives at

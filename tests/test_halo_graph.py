@@ -383,3 +383,31 @@ def test_halo_pinsage_edge_weights(graphs):
     ref = layer.apply(params, gt, gt.node_feat["h"], jnp.asarray(ew))
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_halo_transformer_conv_edge_feat(graphs):
+    """TransformerConv with per-edge features on a HaloGraph (edge-space
+    composition + recv_edge_values) matches the single-device layer."""
+    from pgl_tpu.nn import TransformerConv
+    gt, hg = graphs
+    H, Dh = 2, 4
+    layer = TransformerConv(input_size=D, hidden_size=Dh, num_heads=H,
+                            feat_drop=0.0, attn_drop=0.0)
+    rng2 = np.random.default_rng(9)
+    ef = rng2.normal(size=(E, H * Dh)).astype(np.float32)
+    x = hg.shard_node_values(FEAT)
+    ef_h = hg.shard_edge_values(ef)
+    params = layer.init(jax.random.key(0), hg, x, ef_h)
+    out_h = hg.unshard_node_values(layer.apply(params, hg, x, ef_h))
+    out_1 = layer.apply(params, gt, gt.node_feat["h"], jnp.asarray(ef))
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_1),
+                               rtol=1e-4, atol=1e-5)
+
+    g_h = jax.grad(
+        lambda p: (layer.apply(p, hg, x, ef_h) ** 2).sum())(params)
+    g_1 = jax.grad(lambda p: (layer.apply(
+        p, gt, gt.node_feat["h"], jnp.asarray(ef)) ** 2).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_h),
+                    jax.tree_util.tree_leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
