@@ -112,6 +112,10 @@ def main():
     print(f"devices={len(devices)} halo={hg.halo_size} rows/layer "
           f"(comm {hg.comm_bytes_per_exchange/2**10:.0f} KiB/exchange/"
           f"feature-col vs {full_bytes/2**10:.0f} KiB full-replication)")
+    rep = hg.scaling_report(feat_dim=g.node_feat["h"].shape[1])
+    print(f"projected scaling efficiency {rep['scaling_efficiency']:.2f} "
+          f"(edge skew {rep['edge_skew']:.2f}, "
+          f"halo rows/shard {rep['halo_rows_recv']})")
 
     train_mask = np.zeros(N, np.float32)
     train_mask[np.asarray(train_index)] = 1.0

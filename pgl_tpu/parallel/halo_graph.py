@@ -770,6 +770,41 @@ class HaloGraph:
             out_specs=P3, check_vma=False,
         )(*lays, self.send_idx, dst_s, src_s, v, seed_arr)
 
+    def scaling_report(self, feat_dim: int = 128,
+                       edge_ns: float = 16.0,
+                       ici_gbps: float = 400.0) -> dict:
+        """Analytic scaling projection for this partition (the cost model
+        of docs/HALO.md, with the v5e-measured per-edge constant).
+
+        Returns per-shard local/remote edge counts, halo rows, the edge
+        skew (max/mean — balance sets efficiency once comm hides), the
+        per-shard comm and compute times under the model, and the
+        projected scaling efficiency vs one giant chip.
+        """
+        lm = np.asarray(self._host_lmask).sum(axis=1)
+        rm = np.asarray(self._host_rmask).sum(axis=1)
+        e_s = lm + rm
+        # halo rows each shard RECEIVES = unique halo-buffer slots its
+        # remote edges read (slot = producer * h_pad + position)
+        redges = np.asarray(jax.device_get(self.remote_edges))
+        rmask = np.asarray(self._host_rmask)
+        recv_rows = np.array([
+            len(np.unique(redges[s, rmask[s] > 0, 0]))
+            for s in range(self.num_shards)], dtype=np.float64)
+        t_comm = recv_rows * feat_dim * 4 / (ici_gbps * 1e9)      # seconds
+        t_comp = e_s * edge_ns * 1e-9
+        t_layer = np.maximum(t_comm, t_comp)
+        total_edges = float(e_s.sum())
+        eff = ((total_edges * edge_ns * 1e-9)
+               / (self.num_shards * t_layer.max()))
+        return dict(edges_per_shard=e_s.astype(int).tolist(),
+                    local_edges=lm.astype(int).tolist(),
+                    remote_edges=rm.astype(int).tolist(),
+                    halo_rows_recv=recv_rows.astype(int).tolist(),
+                    edge_skew=float(e_s.max() / max(e_s.mean(), 1.0)),
+                    t_comm_s=t_comm.tolist(), t_compute_s=t_comp.tolist(),
+                    scaling_efficiency=float(eff))
+
     def recv_edge_values(self, edge_vals, reduce_op: str = "sum"):
         """Aggregate per-edge values (the sharded ``[S, E_pad, ...]``
         layout from :meth:`shard_edge_values` / :meth:`send_uv`) to their

@@ -411,3 +411,23 @@ def test_halo_transformer_conv_edge_feat(graphs):
                     jax.tree_util.tree_leaves(g_1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_scaling_report(mesh):
+    """scaling_report: exact per-shard edge/halo accounting + a sane
+    efficiency projection (clustered graph → comm hidden, eff ≈ 1/skew)."""
+    npc, S = 64, 8
+    n = npc * S
+    rng2 = np.random.default_rng(4)
+    intra = [rng2.integers(0, npc, (500, 2)) + c * npc for c in range(S)]
+    bridges = rng2.integers(0, n, (50, 2))
+    edges = np.concatenate(intra + [bridges])
+    parts = np.arange(n) // npc
+    hg = HaloGraph.from_graph(Graph(edges, num_nodes=n), mesh, parts=parts)
+    rep = hg.scaling_report(feat_dim=128)
+    assert sum(rep["edges_per_shard"]) == len(edges)
+    assert sum(rep["halo_rows_recv"]) == hg.halo_size
+    # clustered + balanced: comm far below compute, efficiency high
+    assert all(c < t for c, t in zip(rep["t_comm_s"], rep["t_compute_s"]))
+    assert 0.8 < rep["scaling_efficiency"] <= 1.0
+    assert rep["edge_skew"] >= 1.0
