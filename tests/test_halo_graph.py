@@ -431,3 +431,51 @@ def test_scaling_report(mesh):
     assert all(c < t for c, t in zip(rep["t_comm_s"], rep["t_compute_s"]))
     assert 0.8 < rep["scaling_efficiency"] <= 1.0
     assert rep["edge_skew"] >= 1.0
+
+
+def test_halo_degenerate_partitions(mesh):
+    """Tiny graphs (fewer meaningful nodes than shards) and zero-cut
+    partitions must still produce exact results."""
+    from pgl_tpu.nn import GATConv
+    rng2 = np.random.default_rng(6)
+    # N=11 over 8 shards: several shards own 1 node, one owns 4
+    edges = rng2.integers(0, 11, (23, 2))
+    feat = rng2.normal(size=(11, D)).astype(np.float32)
+    g = Graph(edges, num_nodes=11, node_feat={"h": feat})
+    hg = HaloGraph.from_graph(g, mesh)
+    gt = g.tensor()
+    out = hg.send_u_recv(hg.shard_node_values(feat), "sum")
+    np.testing.assert_allclose(
+        hg.unshard_node_values(out),
+        np.asarray(gt.send_recv(gt.node_feat["h"], "sum")),
+        rtol=1e-5, atol=1e-6)
+
+    layer = GATConv(input_size=D, hidden_size=3, num_heads=2,
+                    feat_drop=0.0, attn_drop=0.0)
+    x = hg.shard_node_values(feat)
+    params = layer.init(jax.random.key(0), hg, x)
+    np.testing.assert_allclose(
+        np.asarray(hg.unshard_node_values(layer.apply(params, hg, x))),
+        np.asarray(layer.apply(params, gt, gt.node_feat["h"])),
+        rtol=1e-4, atol=1e-5)
+
+    # zero-cut partition: all edges intra-shard, halo must be 0 and the
+    # attention path still exact
+    npc = 8
+    n = npc * 8
+    intra = np.concatenate(
+        [rng2.integers(0, npc, (40, 2)) + c * npc for c in range(8)])
+    feat2 = rng2.normal(size=(n, D)).astype(np.float32)
+    g2 = Graph(intra, num_nodes=n, node_feat={"h": feat2})
+    hg2 = HaloGraph.from_graph(g2, Mesh(np.array(jax.devices()),
+                                        ("node",)),
+                               parts=np.arange(n) // npc)
+    assert hg2.halo_size == 0
+    gt2 = g2.tensor()
+    x2 = hg2.shard_node_values(feat2)
+    params2 = layer.init(jax.random.key(1), hg2, x2)
+    np.testing.assert_allclose(
+        np.asarray(hg2.unshard_node_values(
+            layer.apply(params2, hg2, x2))),
+        np.asarray(layer.apply(params2, gt2, gt2.node_feat["h"])),
+        rtol=1e-4, atol=1e-5)
