@@ -141,3 +141,28 @@ def test_amp_bf16_training_converges():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+def test_checkpoint_sharded_halo_state(tmp_path):
+    """Checkpointing mesh-sharded training state: sharded arrays save and
+    restore with their shardings (restore with a target), so halo-sharded
+    training resumes without a gather to host."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from pgl_tpu.utils.checkpoint import save_pytree, load_pytree
+
+    mesh = Mesh(np.array(jax.devices()), ("node",))
+    sh = NamedSharding(mesh, P("node", None))
+    x = jax.device_put(np.arange(64, dtype=np.float32).reshape(8, 8), sh)
+    state = {"params": {"w": x}, "step": jnp.asarray(7)}
+    save_pytree(str(tmp_path / "ck"), state)
+
+    zeros = jax.device_put(np.zeros((8, 8), np.float32), sh)
+    target = {"params": {"w": zeros}, "step": jnp.asarray(0)}
+    got = load_pytree(str(tmp_path / "ck"), target)
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                  np.asarray(x))
+    assert int(got["step"]) == 7
+    assert got["params"]["w"].sharding == sh
