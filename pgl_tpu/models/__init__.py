@@ -2,10 +2,10 @@
 
 from .gnn import (GCN, GAT, GraphSage, GIN, DeepGCNII, APPNPModel, SGC,
                   SSGC, GATv2, GPRGNN, FAGCN, BernNet, ChebNetII)
-from .unimp import UniMP, RUniMP
+from .unimp import UniMP, RUniMP, label_propagation_smooth
 from .sampled_sage import BipartiteSAGE
 from . import kg
 
 __all__ = ["GCN", "GAT", "GraphSage", "GIN", "DeepGCNII", "APPNPModel",
            "SGC", "SSGC", "GATv2", "GPRGNN", "FAGCN", "BernNet",
-           "ChebNetII", "UniMP", "RUniMP", "BipartiteSAGE", "kg"]
+           "ChebNetII", "UniMP", "RUniMP", "label_propagation_smooth", "BipartiteSAGE", "kg"]

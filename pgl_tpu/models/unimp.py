@@ -21,7 +21,42 @@ import flax.linen as nn
 
 from ..nn import TransformerConv
 
-__all__ = ["UniMP", "RUniMP"]
+__all__ = ["UniMP", "RUniMP", "label_propagation_smooth"]
+
+
+def label_propagation_smooth(graph, probs, gold_onehot, train_mask,
+                             alpha: float = 0.2, hops: int = 3):
+    """Post-smoothing by pinned-label propagation — the R-UniMP
+    leaderboard trick (reference
+    ``examples/kddcup2021/MAG240M/r_unimp/post_smoothing.py:57-80``):
+
+    each hop replaces every node's class distribution with
+    ``(1-α)·(Σ_in-neighbors y + y) / (indeg+1) + α·y0``, renormalized,
+    with train nodes pinned to their gold one-hot labels throughout.
+    The reference runs it host-side in 50k-node batches; here it is a
+    jittable device loop that runs on a ``Graph`` or a halo-sharded
+    ``HaloGraph`` unchanged (``probs``/masks in the graph's node layout).
+
+    Args:
+      probs: ``[..., N, C]`` base predictions (rows should be
+        probability-like; train rows are overwritten).
+      gold_onehot: same shape — one-hot gold labels (zeros off-train).
+      train_mask: ``[..., N]`` float/bool — where to pin gold labels.
+      alpha: weight of the original predictions each hop.
+      hops: number of propagation steps.
+
+    Returns the smoothed ``[..., N, C]`` distribution.
+    """
+    m = jnp.asarray(train_mask, probs.dtype)[..., None]
+    y0 = probs * (1 - m) + gold_onehot * m
+    norm = (1.0 / (graph.indegree().astype(probs.dtype) + 1.0))[..., None]
+    y = y0
+    for _ in range(hops):
+        agg = graph.send_recv(y, "sum") + y
+        y = (1 - alpha) * agg * norm + alpha * y0
+        y = y / jnp.maximum(jnp.sum(y, -1, keepdims=True), 1e-12)
+        y = y * (1 - m) + gold_onehot * m
+    return y
 
 
 class UniMP(nn.Module):

@@ -88,3 +88,44 @@ def test_remat_stacks_parity():
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_label_propagation_smooth():
+    """Post-smoothing (R-UniMP trick): pinned-label propagation improves
+    noisy base predictions on a community graph, and the halo-sharded
+    run matches single-device exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from pgl_tpu.datasets import community_graph
+    from pgl_tpu.parallel import HaloGraph
+    from pgl_tpu.models import label_propagation_smooth
+
+    g, labels = community_graph(num_nodes=240, num_classes=3, feat_dim=4,
+                                avg_degree=10, seed=2)
+    N, C = 240, 3
+    rng = np.random.default_rng(0)
+    gold = np.eye(C, dtype=np.float32)[np.asarray(labels)]
+    # noisy base predictions: correct signal + heavy noise
+    probs = gold * 0.4 + rng.random((N, C)).astype(np.float32)
+    probs /= probs.sum(-1, keepdims=True)
+    train = np.zeros(N, np.float32)
+    train[rng.choice(N, N // 3, replace=False)] = 1.0
+    test = train < 0.5
+
+    gt = g.tensor()
+    sm = label_propagation_smooth(gt, jnp.asarray(probs),
+                                  jnp.asarray(gold), jnp.asarray(train))
+    acc0 = (probs.argmax(-1) == np.asarray(labels))[test].mean()
+    acc1 = (np.asarray(sm).argmax(-1) == np.asarray(labels))[test].mean()
+    assert acc1 > acc0 + 0.1, (acc0, acc1)
+
+    mesh = Mesh(np.array(jax.devices()), ("node",))
+    hg = HaloGraph.from_graph(g, mesh)
+    sm_h = label_propagation_smooth(
+        hg, hg.shard_node_values(probs), hg.shard_node_values(gold),
+        hg.shard_node_values(train))
+    np.testing.assert_allclose(
+        np.asarray(hg.unshard_node_values(sm_h)), np.asarray(sm),
+        rtol=1e-5, atol=1e-6)
