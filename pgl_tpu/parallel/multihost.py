@@ -87,10 +87,14 @@ def sharded_graph_from_host_shards(
         local_shards[sid] = e[order]
         local_perms[sid] = order
         e_pad_local = max(e_pad_local, len(e))
-    e_pad = int(np.asarray(jax.experimental.multihost_utils
-                           .process_allgather(
-                               jnp.asarray([e_pad_local]))).max()) \
-        if jax.process_count() > 1 else e_pad_local
+    if jax.process_count() > 1:
+        # explicit import: `jax.experimental.multihost_utils` attribute
+        # access raises under jax's lazy-deprecation getattr
+        from jax.experimental import multihost_utils
+        e_pad = int(np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([e_pad_local]))).max())
+    else:
+        e_pad = e_pad_local
     e_pad = (e_pad + 127) // 128 * 128
 
     def make_local(sid):
