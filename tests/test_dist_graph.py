@@ -186,6 +186,20 @@ def test_multihost_two_process_cpu(tmp_path):
         ref_out = ref.send_recv(jnp.asarray(feat), "sum")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                    rtol=1e-4, atol=1e-5)
+        # companion API: per-shard edge values reshard into the graph's
+        # dst-sorted layout (exercises the multi-process perm path)
+        from pgl_tpu.parallel.multihost import (
+            shard_edge_values_from_host_shards)
+        all_w = [rng.normal(size=(30,)).astype(np.float32)
+                 for _ in range(2)]
+        w = shard_edge_values_from_host_shards(
+            sg, lambda sid: all_w[sid])
+        out_w = sg.send_ue_recv(jnp.asarray(feat), w, "mul", "sum")
+        ref_w = ref.send_ue_recv(
+            jnp.asarray(feat), jnp.asarray(np.concatenate(all_w)),
+            "mul", "sum")
+        np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w),
+                                   rtol=1e-4, atol=1e-5)
         print(f"RANK{rank} PASS", flush=True)
     """)
     script = tmp_path / "mh.py"
