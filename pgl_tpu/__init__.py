@@ -21,6 +21,9 @@ from . import sampling
 from . import datasets
 from . import models
 from . import parallel
+from . import partition
+from . import native
 
-__all__ = ["Graph", "BiGraph", "HeterGraph", "Message", "math", "ops", "nn", "utils", "sampling",
-           "datasets", "models", "parallel"]
+__all__ = ["Graph", "BiGraph", "HeterGraph", "Message", "math", "ops",
+           "nn", "utils", "sampling", "datasets", "models", "parallel",
+           "partition", "native"]
