@@ -921,6 +921,18 @@ class HaloGraph:
     _LEAVES = ("node_perm", "node_mask", "send_idx", "local_edges",
                "local_mask", "remote_edges", "remote_mask", "perm")
 
+    def __getattr__(self, name):
+        # host-side index arrays (_host_*) exist only on objects built by
+        # from_graph — a pytree round-trip (e.g. returning a HaloGraph
+        # FROM a jitted function) drops them by design; the device-side
+        # API stays fully functional
+        if name.startswith("_host_"):
+            raise AttributeError(
+                f"{name} is host-only state: shard/unshard and "
+                "scaling_report need the HaloGraph object returned by "
+                "from_graph, not one reconstructed inside jit")
+        raise AttributeError(name)
+
     def tree_flatten(self):
         children = tuple(getattr(self, k) for k in self._LEAVES) + \
             (self.node_feat, self.edge_feat, self._shard_layouts,
