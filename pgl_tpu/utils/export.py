@@ -18,17 +18,29 @@ import jax.numpy as jnp
 __all__ = ["export_model", "load_model", "Predictor"]
 
 
+def _abstract(a):
+    """ShapeDtypeStruct preserving any multi-device sharding, so
+    halo-sharded inference functions export with their mesh layout."""
+    sh = getattr(a, "sharding", None)
+    if sh is not None and getattr(sh, "num_devices", 1) > 1:
+        return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+    a = jnp.asarray(a)
+    return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+
 def export_model(fn: Callable, example_args: Sequence, path: str):
     """Serialize ``jax.jit(fn)`` traced at ``example_args`` to ``path``.
 
     ``fn`` must be a closed inference function (params captured), e.g.
-    ``lambda x: model.apply(params, graph, x)``.
+    ``lambda x: model.apply(params, graph, x)``. Mesh-sharded example
+    args (e.g. a HaloGraph's ``[S, N_pad, D]`` features) export with
+    their shardings — the artifact replays on a same-shape mesh,
+    collectives included.
     """
     from jax import export as jexport
 
-    exported = jexport.export(jax.jit(fn))(*(
-        jax.ShapeDtypeStruct(jnp.asarray(a).shape, jnp.asarray(a).dtype)
-        for a in example_args))
+    exported = jexport.export(jax.jit(fn))(
+        *(_abstract(a) for a in example_args))
     blob = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:

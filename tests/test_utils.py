@@ -166,3 +166,36 @@ def test_checkpoint_sharded_halo_state(tmp_path):
                                   np.asarray(x))
     assert int(got["step"]) == 7
     assert got["params"]["w"].sharding == sh
+
+
+def test_export_halo_sharded_inference(tmp_path):
+    """A halo-sharded inference function exports to a portable artifact
+    (collectives included) and serves through Predictor with the sharded
+    input layout preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from pgl_tpu import Graph
+    from pgl_tpu.parallel import HaloGraph
+    from pgl_tpu.utils.export import export_model, Predictor
+    import pgl_tpu.nn as gnn
+
+    rng = np.random.default_rng(0)
+    g = Graph(rng.integers(0, 64, (200, 2)), num_nodes=64,
+              node_feat={"h": rng.normal(size=(64, 8)).astype(np.float32)})
+    mesh = Mesh(np.array(jax.devices()), ("node",))
+    hg = HaloGraph.from_graph(g, mesh)
+    x = hg.shard_node_values(np.asarray(g.node_feat["h"]))
+    layer = gnn.GCNConv(input_size=8, output_size=4)
+    params = layer.init(jax.random.key(0), hg, x)
+
+    def infer(x):
+        return layer.apply(params, hg, x)
+
+    path = str(tmp_path / "halo_model.bin")
+    export_model(infer, (x,), path)
+    pred = Predictor(path)
+    out = pred.run(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(infer(x)),
+                               rtol=1e-5, atol=1e-6)
