@@ -199,3 +199,52 @@ def test_export_halo_sharded_inference(tmp_path):
     out = pred.run(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(infer(x)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_mixed_precision_training():
+    """utils.amp recipe end-to-end: bf16 params/activations in the loss,
+    f32 master weights at the optimizer — training converges and master
+    params remain f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from pgl_tpu.datasets import community_graph
+    from pgl_tpu.models import GCN
+    from pgl_tpu.utils import amp
+
+    g, labels = community_graph(num_nodes=200, num_classes=2, feat_dim=8,
+                                avg_degree=10, seed=1)
+    gt = g.tensor()
+    x = gt.node_feat["h"]
+    y = jnp.asarray(np.asarray(labels))
+    model = GCN(input_size=8, num_class=2, num_layers=2, hidden_size=16,
+                dropout=0.0)
+    params = model.init(jax.random.key(0), gt, x)
+    opt = optax.adam(1e-2)
+    ost = opt.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, gt, amp.to_bf16(x))
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), y).mean()
+
+    grad_fn = amp.bf16_params_policy(jax.value_and_grad(loss_fn))
+
+    @jax.jit
+    def step(params, ost):
+        loss, grads = grad_fn(params)
+        upd, ost = opt.update(grads, ost)
+        return optax.apply_updates(params, upd), ost, loss
+
+    l0 = None
+    for _ in range(60):
+        params, ost, loss = step(params, ost)
+        if l0 is None:
+            l0 = float(loss)
+    assert l0 / float(loss) > 3, (l0, float(loss))
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32
+    acc = float((np.asarray(jnp.argmax(
+        model.apply(params, gt, x), -1)) == np.asarray(labels)).mean())
+    assert acc > 0.9, acc
