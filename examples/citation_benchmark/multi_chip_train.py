@@ -132,9 +132,10 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, hg, x, y, w):
+    def train_step(params, opt_state, hg, x, y, w, key):
         def loss_fn(p):
-            logits = model.apply(p, hg, x)
+            logits = model.apply(p, hg, x, training=True,
+                                 rngs={"dropout": key})
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
             return (ce * w).sum() / w.sum()
 
@@ -148,9 +149,11 @@ def main():
         return ((pred == y) * w).sum() / w.sum()
 
     t0 = time.time()
+    key = jax.random.key(1)
     for epoch in range(args.epochs):
+        key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, hg, x, y,
-                                             w_train)
+                                             w_train, sub)
         if epoch % 25 == 0:
             print(f"epoch {epoch}: loss {float(loss):.4f}")
     acc = float(accuracy(params, hg, x, y, w_test))

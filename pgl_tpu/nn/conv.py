@@ -443,11 +443,11 @@ class TransformerConv(nn.Module):
             else:
                 # per-edge features break the fused-kernel contract (its
                 # k|v stream is node-indexed); compose in edge space:
-                # one halo exchange of the k|v payload, dst gathers are
+                # ONE halo exchange of the k|v payload, the q gather is
                 # shard-local, aggregation via recv_edge_values
                 kv_e = graph.send_uv(jnp.concatenate([k, v], axis=-1),
                                      jnp.zeros_like(q[..., :1]), "add")
-                q_e = graph.send_uv(jnp.zeros_like(q), q, "add")
+                q_e = graph.gather_dst_values(q)
                 k_e = kv_e[..., :H * D] + edge_feat
                 v_e = kv_e[..., H * D:2 * H * D] + edge_feat
                 alpha = jnp.sum(

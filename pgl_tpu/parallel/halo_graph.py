@@ -189,12 +189,18 @@ class HaloGraph:
     @classmethod
     def from_graph(cls, graph, mesh: Mesh, axis: str = "node",
                    parts: Optional[np.ndarray] = None,
-                   partition: str = "range") -> "HaloGraph":
+                   partition: str = "range",
+                   attention_layouts: bool = True) -> "HaloGraph":
         """Partition ``graph``'s nodes over ``mesh[axis]``.
 
         ``partition``: "range" (contiguous ids), "metis" (the native
         multilevel partitioner — minimizes the cut and therefore the halo),
         or pass an explicit ``parts`` array.
+
+        ``attention_layouts=False`` skips building the fused-attention
+        blocked layouts (~20 B/edge of extra device memory + host argsort
+        work) — use it for models that only aggregate (GCN/SAGE/...) and
+        never call :meth:`gat_attention` / :meth:`dot_attention`.
         """
         g = graph.numpy() if graph.is_tensor else graph
         S = mesh.shape[axis]
@@ -222,7 +228,8 @@ class HaloGraph:
         obj._num_edges = int(built["local_mask"].sum()
                              + built["remote_mask"].sum())
         obj._build_shard_layouts(built)
-        obj._build_attn_layouts(built)
+        if attention_layouts:
+            obj._build_attn_layouts(built)
         obj._host_node_perm = built["node_perm"]
         obj._host_node_mask = built["node_mask"]
         obj._host_perm = perm
@@ -676,18 +683,34 @@ class HaloGraph:
             raise ValueError(f"v width {DV} not divisible by heads {H}")
         if DS % H:
             raise ValueError(f"score width {DS} not divisible by {H}")
+        if attn_drop and drop_seed is None:
+            raise ValueError(
+                "attn_drop > 0 requires an explicit drop_seed — without "
+                "one every step would reuse the same dropout mask (vary "
+                "it per step, e.g. fold the step index into the seed)")
         dvh = DV // H
         dsh = DS // H
         dvp = max(128, -(-DV // 128) * 128)
+        if self._attn_layouts is None:
+            raise RuntimeError(
+                "this HaloGraph was built with attention_layouts=False; "
+                "rebuild with from_graph(..., attention_layouts=True) to "
+                "use gat_attention/dot_attention")
         lays = self._attn_layouts
+        import os as _os
         import jax as _jax
-        # the dot kernel streams q|k in lane-aligned head chunks — a
-        # non-128-multiple DS goes through the XLA composition instead
-        can_pallas = mode == "additive" or DS % 128 == 0
-        use_pallas = can_pallas and (
-            _jax.default_backend() == "tpu"
-            or __import__("os").environ.get(
-                "PGL_TPU_FUSED_ATTN", "auto") in ("1", "true"))
+        # the dot kernel streams q|k in lane-aligned head chunks, and the
+        # additive backward packs lse|delta|a_dst into one 128-lane chunk —
+        # unsupported shapes go through the XLA composition instead
+        can_pallas = (mode == "additive" and 3 * H <= 128) \
+            or (mode == "dot" and DS % 128 == 0)
+        env = _os.environ.get("PGL_TPU_FUSED_ATTN", "auto").lower()
+        if env in ("0", "false", "off"):
+            use_pallas = False
+        else:
+            use_pallas = can_pallas and (
+                _jax.default_backend() == "tpu"
+                or env in ("1", "true", "on"))
         interpret = _jax.default_backend() != "tpu"
 
         def local(cpv, cpid, cts, cte, rpv, rpid, rts, rte, aperm,
@@ -804,6 +827,29 @@ class HaloGraph:
                     edge_skew=float(e_s.max() / max(e_s.mean(), 1.0)),
                     t_comm_s=t_comm.tolist(), t_compute_s=t_comp.tolist(),
                     scaling_efficiency=float(eff))
+
+    def gather_dst_values(self, values):
+        """Per-edge gather of dst-side node values into the sharded
+        ``[S, E_pad, ...]`` edge layout — fully local, no collectives
+        (every edge's dst is an owned row on its shard)."""
+        ax = self.axis
+
+        def local(ledges, lmask, redges, rmask, x):
+            xs = x[0]
+            dst = jnp.concatenate([ledges[0][:, 1], redges[0][:, 1]])
+            m = jnp.concatenate([lmask[0], rmask[0]])
+            out = jnp.take(xs, dst, axis=0)
+            return (out * m.reshape((-1,) + (1,) * (out.ndim - 1)))[None]
+
+        nd = values.ndim - 2
+        spec = P(ax, *((None,) * (nd + 1)))
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None), spec),
+            out_specs=spec, check_vma=False,
+        )(self.local_edges, self.local_mask, self.remote_edges,
+          self.remote_mask, values)
 
     def recv_edge_values(self, edge_vals, reduce_op: str = "sum"):
         """Aggregate per-edge values (the sharded ``[S, E_pad, ...]``
