@@ -828,6 +828,74 @@ class HaloGraph:
                     t_comm_s=t_comm.tolist(), t_compute_s=t_comp.tolist(),
                     scaling_efficiency=float(eff))
 
+    def gather_src_values(self, values):
+        """Per-edge gather of src-side node values into the sharded
+        ``[S, E_pad, ...]`` edge layout — one all_to_all moves the
+        boundary rows, local-src edges read the owned block."""
+        ax = self.axis
+
+        def local(send_idx, ledges, lmask, redges, rmask, x):
+            xs = x[0]
+            send = jnp.take(xs, send_idx[0], axis=0)
+            halo = jax.lax.all_to_all(send, ax, 0, 0)
+            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+
+            def part(edges, mask, tbl):
+                out = jnp.take(tbl, edges[:, 0], axis=0)
+                return out * mask.reshape((-1,) + (1,) * (out.ndim - 1))
+
+            out = jnp.concatenate(
+                [part(ledges[0], lmask[0], xs),
+                 part(redges[0], rmask[0], halo_flat)], axis=0)
+            return out[None]
+
+        nd = values.ndim - 2
+        spec = P(ax, *((None,) * (nd + 1)))
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
+                      P(ax, None, None), P(ax, None), spec),
+            out_specs=spec, check_vma=False,
+        )(self.send_idx, self.local_edges, self.local_mask,
+          self.remote_edges, self.remote_mask, values)
+
+    def send(self, message_func, src_feat=None, dst_feat=None,
+             edge_feat=None, node_feat=None):
+        """UDF message passing on the halo layout — same contract as
+        :meth:`pgl_tpu.Graph.send` (``message_func(src, dst, edge)`` over
+        dicts of per-edge tensors), with src rows arriving via one
+        all_to_all per feature and dst/edge values shard-local.
+
+        Returns a dict of ``[S, E_pad, ...]`` messages for :meth:`recv`.
+        """
+        if (src_feat is not None or dst_feat is not None) \
+                and node_feat is not None:
+            raise ValueError(
+                "Can not use src/dst feat and node feat at the same time")
+        src_in = dict(node_feat or {}) if node_feat is not None \
+            else dict(src_feat or {})
+        dst_in = dict(node_feat or {}) if node_feat is not None \
+            else dict(dst_feat or {})
+        gathered_src = {k: self.gather_src_values(v)
+                        for k, v in src_in.items()}
+        gathered_dst = {k: self.gather_dst_values(v)
+                        for k, v in dst_in.items()}
+        msg = message_func(gathered_src, gathered_dst,
+                           dict(edge_feat or {}))
+        if not isinstance(msg, dict):
+            raise TypeError("message_func must return a dict of tensors")
+        return msg
+
+    def recv(self, reduce_func, msg: dict):
+        """Aggregate per-edge messages to their owned dst rows (string
+        reduce 'sum'/'mean'/'max'/'min'; fully shard-local). Nodes with
+        no incoming message produce zeros (reference contract)."""
+        if not isinstance(msg, dict):
+            raise TypeError("msg must be a dict")
+        out = {k: self.recv_edge_values(v, reduce_func)
+               for k, v in msg.items()}
+        return out if len(msg) > 1 else out[next(iter(msg))]
+
     def gather_dst_values(self, values):
         """Per-edge gather of dst-side node values into the sharded
         ``[S, E_pad, ...]`` edge layout — fully local, no collectives
@@ -856,8 +924,8 @@ class HaloGraph:
         layout from :meth:`shard_edge_values` / :meth:`send_uv`) to their
         dst rows — fully local, no collectives (each shard owns every
         in-edge of its dst rows)."""
-        if reduce_op != "sum":
-            raise NotImplementedError("recv_edge_values supports sum")
+        if reduce_op not in ("sum", "mean", "max", "min"):
+            raise ValueError(reduce_op)
         ax = self.axis
 
         def local(ledges, lmask, redges, rmask, ev):
@@ -865,9 +933,22 @@ class HaloGraph:
             dst = jnp.concatenate([ledges[0][:, 1], redges[0][:, 1]])
             m = jnp.concatenate([lmask[0], rmask[0]])
             n_pad = self.node_perm.shape[1]
-            xm = x * m.reshape((-1,) + (1,) * (x.ndim - 1))
-            return jax.ops.segment_sum(xm, dst,
-                                       num_segments=n_pad)[None]
+            mb = m.reshape((-1,) + (1,) * (x.ndim - 1))
+            if reduce_op in ("sum", "mean"):
+                out = jax.ops.segment_sum(x * mb, dst,
+                                          num_segments=n_pad)
+                if reduce_op == "mean":
+                    deg = jax.ops.segment_sum(m, dst, num_segments=n_pad)
+                    out = out / jnp.maximum(deg, 1.0).reshape(
+                        (-1,) + (1,) * (out.ndim - 1))
+            else:
+                seg_fn = (jax.ops.segment_max if reduce_op == "max"
+                          else jax.ops.segment_min)
+                fill = -jnp.inf if reduce_op == "max" else jnp.inf
+                out = seg_fn(jnp.where(mb > 0, x, fill), dst,
+                             num_segments=n_pad)
+                out = jnp.where(jnp.isfinite(out), out, 0.0)
+            return out[None]
 
         spec = P(ax, *((None,) * (edge_vals.ndim - 1)))
         return shard_map(

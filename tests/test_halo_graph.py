@@ -479,3 +479,28 @@ def test_halo_degenerate_partitions(mesh):
             layer.apply(params2, hg2, x2))),
         np.asarray(layer.apply(params2, gt2, gt2.node_feat["h"])),
         rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["sum", "mean", "max"])
+def test_halo_udf_send_recv(graphs, op):
+    """The UDF send/recv contract (reference DistGPUGraph overrides
+    pgl/graph.py:1509) runs on the halo layout: per-edge message_func
+    over gathered src/dst dicts, string reduce, zeros for isolated
+    nodes."""
+    gt, hg = graphs
+    rng2 = np.random.default_rng(8)
+    w = rng2.normal(size=(N, 3)).astype(np.float32)
+
+    def message(src, dst, edge):
+        return {"m": src["h"] * 0.5 + dst["w"].sum(-1, keepdims=True)}
+
+    ref_msg = gt.send(message, src_feat={"h": gt.node_feat["h"]},
+                      dst_feat={"w": jnp.asarray(w)})
+    ref = gt.recv(op, ref_msg)
+
+    x = hg.shard_node_values(FEAT)
+    wh = hg.shard_node_values(w)
+    msg = hg.send(message, src_feat={"h": x}, dst_feat={"w": wh})
+    out = hg.recv(op, msg)
+    np.testing.assert_allclose(np.asarray(hg.unshard_node_values(out)),
+                               np.asarray(ref), rtol=1e-4, atol=1e-5)
