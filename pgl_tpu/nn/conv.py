@@ -36,6 +36,15 @@ def _resolve_act(activation) -> Optional[Callable]:
     return getattr(jax.nn, activation)
 
 
+def _attn_drop_seed(module, rate):
+    """Fold this step's 'dropout' rng into the int32 seed the in-kernel
+    counter-based attention dropout consumes (None when rate is 0)."""
+    if rate <= 1e-15:
+        return None
+    kd = jax.random.key_data(module.make_rng("dropout")).astype(jnp.uint32)
+    return (kd[0] ^ kd[1]).astype(jnp.int32)
+
+
 def _l2_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.sqrt(
         jnp.maximum(jnp.sum(x * x, axis=axis, keepdims=True), eps))
@@ -152,11 +161,7 @@ class GATConv(nn.Module):
             # with one boundary-row all_to_all (dropout runs in-kernel)
             Dh = self.hidden_size
             rate = float(self.attn_drop) if training else 0.0
-            seed = None
-            if rate > 1e-15:
-                kd = jax.random.key_data(
-                    self.make_rng("dropout")).astype(jnp.uint32)
-                seed = (kd[0] ^ kd[1]).astype(jnp.int32)
+            seed = _attn_drop_seed(self, rate)
             out = graph.gat_attention(
                 attn_dst, attn_src,
                 feature.reshape(feature.shape[:-2] + (H * Dh,)),
@@ -191,11 +196,7 @@ class GATConv(nn.Module):
                 from ..ops.pallas.attention_kernels import (
                     fused_gat_attention)
                 rate = float(self.attn_drop) if training else 0.0
-                seed = None
-                if rate > 1e-15:
-                    key = self.make_rng("dropout")
-                    kd = jax.random.key_data(key).astype(jnp.uint32)
-                    seed = (kd[0] ^ kd[1]).astype(jnp.int32)
+                seed = _attn_drop_seed(self, rate)
                 out = fused_gat_attention(attn_dst, attn_src, v, csc,
                                           (csr, perm), 0.2, dvh=Dh,
                                           attn_drop=rate, drop_seed=seed)
@@ -433,11 +434,7 @@ class TransformerConv(nn.Module):
             # HaloGraph: per-shard flash dot-score attention over the
             # owned dst rows with one boundary-row all_to_all
             rate = float(self.attn_drop) if training else 0.0
-            seed = None
-            if rate > 1e-15:
-                kd = jax.random.key_data(
-                    self.make_rng("dropout")).astype(jnp.uint32)
-                seed = (kd[0] ^ kd[1]).astype(jnp.int32)
+            seed = _attn_drop_seed(self, rate)
             if edge_feat is None:
                 output = graph.dot_attention(q, k, v, H, rate, seed)
             else:
@@ -471,11 +468,7 @@ class TransformerConv(nn.Module):
             from ..ops.pallas.attention_kernels import fused_graph_attention
             csc, csr, perm = graph._spmm_layouts
             rate = float(self.attn_drop) if training else 0.0
-            seed = None
-            if rate > 1e-15:
-                kd = jax.random.key_data(
-                    self.make_rng("dropout")).astype(jnp.uint32)
-                seed = (kd[0] ^ kd[1]).astype(jnp.int32)
+            seed = _attn_drop_seed(self, rate)
             output = fused_graph_attention(
                 q, k, v, csc, (csr, perm), H, 0.0,
                 dsh=D, dvh=D, attn_drop=rate, drop_seed=seed)

@@ -57,6 +57,20 @@ def _pad_to(x: int, mult: int) -> int:
     return max((x + mult - 1) // mult * mult, mult)
 
 
+def _shard_spec(axis: str, ndim: int) -> P:
+    """P(axis, None, ...) matching an [S, ...] array of ``ndim`` axes."""
+    return P(axis, *((None,) * (ndim - 1)))
+
+
+def _exchange_halo(axis: str, owned_rows, send_idx_s):
+    """The boundary exchange every halo op shares: gather this shard's
+    send rows, all_to_all them over the mesh axis, flatten the per-peer
+    blocks into one [S*H_pad, ...] table."""
+    send = jnp.take(owned_rows, send_idx_s, axis=0)
+    halo = jax.lax.all_to_all(send, axis, 0, 0)
+    return halo.reshape((-1,) + halo.shape[2:])
+
+
 def build_halo_partition(edges: np.ndarray, num_nodes: int, num_shards: int,
                          parts: Optional[np.ndarray] = None):
     """Host-side construction of every index structure HaloGraph needs.
@@ -441,9 +455,7 @@ class HaloGraph:
         def local(node_perm, send_idx, ledges, lmask, redges, rmask, x):
             xs = x[0]                                   # [N_pad, D]
             n_pad = xs.shape[0]
-            send = jnp.take(xs, send_idx[0], axis=0)    # [S, H_pad, D]
-            halo = jax.lax.all_to_all(send, ax, 0, 0)
-            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0])
 
             le, lm = ledges[0], lmask[0]
             re_, rm = redges[0], rmask[0]
@@ -501,9 +513,7 @@ class HaloGraph:
                   send_idx, ledges, lmask, redges, rmask, x):
             xs = x[0]
             n_pad = xs.shape[0]
-            send = jnp.take(xs, send_idx[0], axis=0)
-            halo = jax.lax.all_to_all(send, ax, 0, 0)
-            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0])
             if pad:
                 z = jnp.zeros((xs.shape[0], pad), xs.dtype)
                 xs_p = jnp.concatenate([xs, z], axis=1)
@@ -550,9 +560,7 @@ class HaloGraph:
         def local(send_idx, ledges, lmask, redges, rmask, x, ef):
             xs = x[0]
             n_pad = xs.shape[0]
-            send = jnp.take(xs, send_idx[0], axis=0)
-            halo = jax.lax.all_to_all(send, ax, 0, 0)
-            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0])
 
             le, lm = ledges[0], lmask[0]
             re_, rm = redges[0], rmask[0]
@@ -580,8 +588,8 @@ class HaloGraph:
                                             num_segments=n_pad)
             return out[None]
 
-        ef_spec = P(ax, *((None,) * (edge_feat.ndim - 1)))
-        f_spec = P(ax, *((None,) * (feature.ndim - 1)))
+        ef_spec = _shard_spec(ax, edge_feat.ndim)
+        f_spec = _shard_spec(ax, feature.ndim)
         return shard_map(
             local, mesh=self.mesh,
             in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
@@ -598,9 +606,7 @@ class HaloGraph:
 
         def local(send_idx, ledges, lmask, redges, rmask, sf, df):
             sfs, dfs = sf[0], df[0]
-            send = jnp.take(sfs, send_idx[0], axis=0)
-            halo = jax.lax.all_to_all(send, ax, 0, 0)
-            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+            halo_flat = _exchange_halo(ax, sfs, send_idx[0])
 
             def part(edges, mask, src_tbl):
                 a = jnp.take(src_tbl, edges[:, 0], axis=0)
@@ -698,7 +704,6 @@ class HaloGraph:
                 "use gat_attention/dot_attention")
         lays = self._attn_layouts
         import os as _os
-        import jax as _jax
         # the dot kernel streams q|k in lane-aligned head chunks, and the
         # additive backward packs lse|delta|a_dst into one 128-lane chunk —
         # unsupported shapes go through the XLA composition instead
@@ -709,9 +714,9 @@ class HaloGraph:
             use_pallas = False
         else:
             use_pallas = can_pallas and (
-                _jax.default_backend() == "tpu"
+                jax.default_backend() == "tpu"
                 or env in ("1", "true", "on"))
-        interpret = _jax.default_backend() != "tpu"
+        interpret = jax.default_backend() != "tpu"
 
         def local(cpv, cpid, cts, cte, rpv, rpid, rts, rte, aperm,
                   send_idx, a_d, a_s, vv, seed):
@@ -721,10 +726,9 @@ class HaloGraph:
             a_d0, a_s0, v0 = a_d[0], a_s[0], vv[0]
             n_pad = a_d0.shape[0]
             payload = jnp.concatenate([a_s0, v0], axis=1)
-            send = jnp.take(payload, send_idx[0], axis=0)
-            halo = jax.lax.all_to_all(send, ax, 0, 0)
             tbl = jnp.concatenate(
-                [payload, halo.reshape(-1, payload.shape[1])], axis=0)
+                [payload, _exchange_halo(ax, payload, send_idx[0])],
+                axis=0)
             a_src_tbl = tbl[:, :DS]
             v_tbl = tbl[:, DS:]
             n_loc = tbl.shape[0]
@@ -836,9 +840,7 @@ class HaloGraph:
 
         def local(send_idx, ledges, lmask, redges, rmask, x):
             xs = x[0]
-            send = jnp.take(xs, send_idx[0], axis=0)
-            halo = jax.lax.all_to_all(send, ax, 0, 0)
-            halo_flat = halo.reshape((-1,) + halo.shape[2:])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0])
 
             def part(edges, mask, tbl):
                 out = jnp.take(tbl, edges[:, 0], axis=0)
@@ -849,8 +851,7 @@ class HaloGraph:
                  part(redges[0], rmask[0], halo_flat)], axis=0)
             return out[None]
 
-        nd = values.ndim - 2
-        spec = P(ax, *((None,) * (nd + 1)))
+        spec = _shard_spec(ax, values.ndim)
         return shard_map(
             local, mesh=self.mesh,
             in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
@@ -909,8 +910,7 @@ class HaloGraph:
             out = jnp.take(xs, dst, axis=0)
             return (out * m.reshape((-1,) + (1,) * (out.ndim - 1)))[None]
 
-        nd = values.ndim - 2
-        spec = P(ax, *((None,) * (nd + 1)))
+        spec = _shard_spec(ax, values.ndim)
         return shard_map(
             local, mesh=self.mesh,
             in_specs=(P(ax, None, None), P(ax, None),
@@ -950,7 +950,7 @@ class HaloGraph:
                 out = jnp.where(jnp.isfinite(out), out, 0.0)
             return out[None]
 
-        spec = P(ax, *((None,) * (edge_vals.ndim - 1)))
+        spec = _shard_spec(ax, edge_vals.ndim)
         return shard_map(
             local, mesh=self.mesh,
             in_specs=(P(ax, None, None), P(ax, None),
