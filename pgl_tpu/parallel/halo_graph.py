@@ -223,6 +223,17 @@ class HaloGraph:
             parts = metis_partition(g, S)
         built = build_halo_partition(np.asarray(g.edges), g.num_nodes, S,
                                      parts)
+        obj = cls._from_built(built, g.num_nodes, mesh, axis,
+                              attention_layouts)
+        for k, v in g.node_feat.items():
+            obj.node_feat[k] = obj.shard_node_values(np.asarray(v))
+        for k, v in g.edge_feat.items():
+            obj.edge_feat[k] = obj.shard_edge_values(np.asarray(v))
+        return obj
+
+    @classmethod
+    def _from_built(cls, built, num_nodes, mesh, axis,
+                    attention_layouts=True):
         sh2 = NamedSharding(mesh, P(axis, None))
         sh3 = NamedSharding(mesh, P(axis, None, None))
         perm = np.concatenate([built["local_perm"], built["remote_perm"]],
@@ -237,7 +248,7 @@ class HaloGraph:
             remote_mask=jax.device_put(built["remote_mask"], sh2),
             perm=jax.device_put(perm, sh2),
         )
-        obj = cls(arrays, g.num_nodes, mesh, axis,
+        obj = cls(arrays, num_nodes, mesh, axis,
                   built["h_pad"], built["halo_size"])
         obj._num_edges = int(built["local_mask"].sum()
                              + built["remote_mask"].sum())
@@ -249,10 +260,61 @@ class HaloGraph:
         obj._host_perm = perm
         obj._host_lmask = built["local_mask"]
         obj._host_rmask = built["remote_mask"]
-        for k, v in g.node_feat.items():
-            obj.node_feat[k] = obj.shard_node_values(np.asarray(v))
-        for k, v in g.edge_feat.items():
-            obj.edge_feat[k] = obj.shard_edge_values(np.asarray(v))
+        return obj
+
+    _SAVE_KEYS = ("node_perm", "node_mask", "send_idx", "local_edges",
+                  "local_mask", "local_perm", "remote_edges",
+                  "remote_mask", "remote_perm")
+
+    def save(self, path: str):
+        """Persist the partition's index structures (npz) so a production
+        boot skips METIS + halo construction entirely — at billions of
+        edges that build dominates startup. Node/edge features are saved
+        in global order and re-sharded at load."""
+        el_pad = self.local_edges.shape[1]
+        built = dict(
+            node_perm=self._host_node_perm,
+            node_mask=self._host_node_mask,
+            send_idx=np.asarray(jax.device_get(self.send_idx)),
+            local_edges=np.asarray(jax.device_get(self.local_edges)),
+            local_mask=self._host_lmask,
+            local_perm=self._host_perm[:, :el_pad],
+            remote_edges=np.asarray(jax.device_get(self.remote_edges)),
+            remote_mask=self._host_rmask,
+            remote_perm=self._host_perm[:, el_pad:],
+        )
+        feats = {f"nfeat_{k}": np.asarray(self.unshard_node_values(v))
+                 for k, v in self.node_feat.items()}
+        feats.update({f"efeat_{k}": np.asarray(self.unshard_edge_values(v))
+                      for k, v in self.edge_feat.items()})
+        np.savez_compressed(
+            path, num_nodes=self._num_nodes, axis=self.axis,
+            h_pad=self.h_pad, halo_size=self.halo_size,
+            attention=self._attn_layouts is not None, **built, **feats)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh,
+             attention_layouts: Optional[bool] = None) -> "HaloGraph":
+        """Rebuild a saved partition on ``mesh`` (same shard count)."""
+        z = np.load(path, allow_pickle=False)
+        built = {k: z[k] for k in cls._SAVE_KEYS}
+        built["h_pad"] = int(z["h_pad"])
+        built["halo_size"] = int(z["halo_size"])
+        S = built["node_perm"].shape[0]
+        axis = str(z["axis"])
+        if mesh.shape[axis] != S:
+            raise ValueError(
+                f"saved partition has {S} shards, mesh[{axis!r}] has "
+                f"{mesh.shape[axis]}")
+        if attention_layouts is None:
+            attention_layouts = bool(z["attention"])
+        obj = cls._from_built(built, int(z["num_nodes"]), mesh, axis,
+                              attention_layouts)
+        for k in z.files:
+            if k.startswith("nfeat_"):
+                obj.node_feat[k[6:]] = obj.shard_node_values(z[k])
+            elif k.startswith("efeat_"):
+                obj.edge_feat[k[6:]] = obj.shard_edge_values(z[k])
         return obj
 
     def _build_shard_layouts(self, built):

@@ -504,3 +504,28 @@ def test_halo_udf_send_recv(graphs, op):
     out = hg.recv(op, msg)
     np.testing.assert_allclose(np.asarray(hg.unshard_node_values(out)),
                                np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_halo_save_load_round_trip(graphs, tmp_path):
+    """Persisted partitions skip METIS + halo construction at boot: every
+    aggregation and attention result matches the freshly built graph."""
+    gt, hg = graphs
+    path = str(tmp_path / "halo.npz")
+    hg.save(path)
+    mesh2 = Mesh(np.array(jax.devices()), ("node",))
+    hg2 = HaloGraph.load(path, mesh2)
+    assert hg2.num_nodes == hg.num_nodes
+    assert hg2.num_edges == hg.num_edges
+    assert hg2.halo_size == hg.halo_size
+    x = hg2.node_feat["h"]
+    np.testing.assert_allclose(
+        np.asarray(hg2.unshard_node_values(hg2.send_u_recv(x, "sum"))),
+        np.asarray(gt.send_recv(gt.node_feat["h"], "sum")),
+        rtol=1e-5, atol=1e-6)
+    rng2 = np.random.default_rng(12)
+    a = hg2.shard_node_values(rng2.normal(size=(N, 2)).astype(np.float32))
+    v = hg2.shard_node_values(
+        rng2.normal(size=(N, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(hg2.gat_attention(a, a, v)),
+        np.asarray(hg.gat_attention(a, a, v)), rtol=1e-5, atol=1e-6)
