@@ -69,10 +69,14 @@ class HaloHeterGraph:
                 [np.asarray(g[t].edges).reshape(-1, 2) for t in etypes])
             parts = metis_partition(
                 Graph(union, num_nodes=num_nodes), mesh.shape[axis])
+        from ..graph import Graph
         subs = {}
         for t in etypes:
-            sub = g[t]
-            subs[t] = HaloGraph.from_graph(sub, mesh, axis=axis,
+            # feat-less per-etype graphs: node features are shared across
+            # relations, so they shard ONCE at the hetero level below
+            # (not one copy per etype)
+            bare = Graph(np.asarray(g[t].edges), num_nodes=num_nodes)
+            subs[t] = HaloGraph.from_graph(bare, mesh, axis=axis,
                                            parts=parts)
         obj = cls(subs)
         any_sub = next(iter(subs.values()))
@@ -125,6 +129,41 @@ class HaloHeterGraph:
             d = s.indegree()
             out = d if out is None else out + d
         return out
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, directory: str):
+        """Persist every relation's partition (one npz per etype, plus a
+        shared feature file) so a production boot skips the union-METIS +
+        per-relation halo builds."""
+        import os
+        import json
+        os.makedirs(directory, exist_ok=True)
+        for t, sub in self._subgraphs.items():
+            sub.save(os.path.join(directory, f"{t}.npz"))
+        if self.node_feat:
+            np.savez_compressed(
+                os.path.join(directory, "feats.npz"),
+                **{k: np.asarray(self.unshard_node_values(v))
+                   for k, v in self.node_feat.items()})
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump({"etypes": list(self._subgraphs)}, f)
+
+    @classmethod
+    def load(cls, directory: str, mesh: Mesh) -> "HaloHeterGraph":
+        import os
+        import json
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        subs = {t: HaloGraph.load(os.path.join(directory, f"{t}.npz"),
+                                  mesh) for t in meta["etypes"]}
+        obj = cls(subs)
+        fp = os.path.join(directory, "feats.npz")
+        if os.path.exists(fp):
+            z = np.load(fp)
+            obj.node_feat = {k: obj.shard_node_values(z[k])
+                             for k in z.files}
+        return obj
 
     # -- pytree -------------------------------------------------------------
 

@@ -93,3 +93,24 @@ def test_pytree_jit_argument(graphs):
         return hhg["cites"].send_recv(x, "sum").sum()
 
     assert np.isfinite(float(f(hhg, x)))
+
+
+def test_heter_save_load_round_trip(graphs, tmp_path):
+    """Persisted hetero partitions reload without re-partitioning; RGCN
+    output matches the freshly built graphs."""
+    from pgl_tpu.nn import RGCNConv
+    hgt, hhg = graphs
+    d = str(tmp_path / "hetero")
+    hhg.save(d)
+    mesh2 = Mesh(np.array(jax.devices()), ("node",))
+    hhg2 = HaloHeterGraph.load(d, mesh2)
+    assert sorted(hhg2.edge_types) == sorted(hhg.edge_types)
+    assert hhg2.halo_size == hhg.halo_size
+    layer = RGCNConv(in_dim=D, out_dim=5, etypes=["cites", "writes"])
+    x = hhg2.shard_node_values(FEAT)
+    params = layer.init(jax.random.key(0), hhg2, x)
+    np.testing.assert_allclose(
+        np.asarray(hhg2.unshard_node_values(layer.apply(params, hhg2, x))),
+        np.asarray(hhg.unshard_node_values(
+            layer.apply(params, hhg, hhg.shard_node_values(FEAT)))),
+        rtol=1e-5, atol=1e-6)
