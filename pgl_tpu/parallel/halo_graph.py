@@ -106,36 +106,32 @@ def build_halo_partition(edges: np.ndarray, num_nodes: int, num_shards: int,
     e_shard = parts[dst]                     # dst owner holds the edge
     is_local = parts[src] == e_shard
 
-    # halo: per (consumer s, producer p) the unique global srcs needed
-    needed = [[None] * S for _ in range(S)]
-    h_max = 1
+    # halo: per (consumer s, producer p) the unique global srcs needed.
+    # One sorted-unique pass over composite keys (s, p, src) replaces the
+    # former O(S^2 * E) per-pair masking loops — at 8M edges / 64 shards
+    # that loop took minutes, this takes ~E log E.
     rem = ~is_local
-    for s in range(S):
-        sel = rem & (e_shard == s)
-        rsrc = src[sel]
-        powner = parts[rsrc]
-        for p in range(S):
-            u = np.unique(rsrc[powner == p])
-            needed[s][p] = u
-            h_max = max(h_max, len(u))
-    h_pad = _pad_to(h_max, 8)
+    rem_idx = np.flatnonzero(rem)
+    s_e = e_shard[rem_idx]
+    u_e = src[rem_idx].astype(np.int64)
+    p_e = parts[u_e]
+    key = (s_e * S + p_e) * np.int64(num_nodes) + u_e
+    uniq, inv = np.unique(key, return_inverse=True)
+    grp = uniq // num_nodes                     # s * S + p per unique src
+    grp_starts = np.searchsorted(grp, np.arange(S * S))
+    pos_of_uniq = np.arange(len(uniq)) - grp_starts[grp]
+    counts = np.bincount(grp, minlength=S * S)
+    h_pad = _pad_to(int(counts.max()) if len(uniq) else 1, 8)
 
     # send_idx[p, s] = p-local ranks of the nodes p must send to s
     send_idx = np.zeros((S, S, h_pad), np.int32)
-    for s in range(S):
-        for p in range(S):
-            u = needed[s][p]
-            send_idx[p, s, :len(u)] = local_rank[u]
+    send_idx[grp % S, grp // S, pos_of_uniq] = \
+        local_rank[uniq % num_nodes]
 
     # per-edge halo slot: position of src within the flattened halo buffer
     halo_slot = np.zeros(E, np.int64)
-    for s in range(S):
-        for p in range(S):
-            u = needed[s][p]
-            sel = rem & (e_shard == s) & (parts[src] == p)
-            if sel.any():
-                pos = np.searchsorted(u, src[sel])
-                halo_slot[sel] = p * h_pad + pos
+    halo_slot[rem_idx] = p_e * h_pad + pos_of_uniq[inv]
+    halo_size = int(len(uniq))
 
     # edge grouping: per shard, local-src block then remote-src block
     def group(sel_mask, col0):
@@ -160,8 +156,6 @@ def build_halo_partition(edges: np.ndarray, num_nodes: int, num_shards: int,
     ledges, lmask, lperm = group(is_local, local_rank[src])
     redges, rmask, rperm = group(rem, halo_slot)
 
-    halo_size = int(sum(len(needed[s][p]) for s in range(S)
-                        for p in range(S)))
     return dict(node_perm=node_perm, node_mask=node_mask,
                 send_idx=send_idx,
                 local_edges=ledges, local_mask=lmask, local_perm=lperm,
