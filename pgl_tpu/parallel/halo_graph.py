@@ -144,13 +144,12 @@ def build_halo_partition(edges: np.ndarray, num_nodes: int, num_shards: int,
         # dst-sorted within shard so a future Pallas layout applies directly
         order = order[np.lexsort((dst[order], e_shard[order]))]
         offs = np.concatenate([[0], np.cumsum(counts)])
-        for s in range(S):
-            idx = order[offs[s]:offs[s + 1]]
-            k = len(idx)
-            arr[s, :k, 0] = col0[idx]
-            arr[s, :k, 1] = local_rank[dst[idx]]
-            msk[s, :k] = 1.0
-            prm[s, :k] = idx
+        sh = e_shard[order]
+        pos = np.arange(len(order)) - offs[sh]
+        arr[sh, pos, 0] = col0[order]
+        arr[sh, pos, 1] = local_rank[dst[order]]
+        msk[sh, pos] = 1.0
+        prm[sh, pos] = order
         return arr, msk, prm
 
     ledges, lmask, lperm = group(is_local, local_rank[src])
