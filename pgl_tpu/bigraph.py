@@ -27,8 +27,7 @@ from .utils.edge_index import EdgeIndex
 __all__ = ["BiGraph"]
 
 
-def _is_device_array(x) -> bool:
-    return isinstance(x, jax.Array) or isinstance(x, jax.core.Tracer)
+from .graph import _check_feat_dict, _concat_feats, _is_device_array
 
 
 @jax.tree_util.register_pytree_node_class
@@ -56,9 +55,11 @@ class BiGraph:
         self._src_num_nodes = int(src_num_nodes)
         self._dst_num_nodes = int(dst_num_nodes)
         self._num_edges = int(edges.shape[0])
-        self._src_node_feat = dict(src_node_feat or {})
-        self._dst_node_feat = dict(dst_node_feat or {})
-        self._edge_feat = dict(edge_feat or {})
+        self._src_node_feat = _check_feat_dict(src_node_feat,
+                                               "src_node_feat")
+        self._dst_node_feat = _check_feat_dict(dst_node_feat,
+                                               "dst_node_feat")
+        self._edge_feat = _check_feat_dict(edge_feat, "edge_feat")
         self._adj_src_index = kwargs.get("adj_src_index")
         self._adj_dst_index = kwargs.get("adj_dst_index")
         self._graph_src_node_index = kwargs.get("_graph_src_node_index")
@@ -243,6 +244,10 @@ class BiGraph:
         """Aggregate messages onto the dst (or src) node space
         (reference ``:1159``)."""
         self._require_tensor()
+        if not isinstance(msg, dict):
+            raise TypeError("msg must be a dict")
+        if not msg:
+            raise ValueError("msg is empty")
         index = self.adj_dst_index if recv_mode == "dst" \
             else self.adj_src_index
         num = self._dst_num_nodes if recv_mode == "dst" \
@@ -300,13 +305,23 @@ class BiGraph:
             adj_src = self.adj_src_index.tensor(sharding)
             adj_dst = self.adj_dst_index.tensor(sharding)
             from .ops.pallas.segment_kernels import build_blocked_layout
+            # same chunk planning as Graph._build_spmm_layouts: bound the
+            # gathered [E, D] message buffer for very large graphs
+            import os as _os
+            chunk_thresh = int(_os.environ.get("PGL_TPU_SPMM_CHUNK_EDGES",
+                                               4 * 1024 * 1024))
+            chunk = chunk_thresh if (chunk_thresh
+                                     and self._num_edges > chunk_thresh) \
+                else 0
             spmm_layouts = (
                 build_blocked_layout(np.asarray(self.adj_dst_index.indptr),
                                      np.asarray(self.adj_dst_index.sorted_v),
-                                     self._dst_num_nodes),
+                                     self._dst_num_nodes,
+                                     chunk_edges=chunk),
                 build_blocked_layout(np.asarray(self.adj_src_index.indptr),
                                      np.asarray(self.adj_src_index.sorted_v),
-                                     self._src_num_nodes))
+                                     self._src_num_nodes,
+                                     chunk_edges=chunk))
         else:
             spmm_layouts = None
             adj_src = self._adj_src_index and self._adj_src_index.tensor(
@@ -357,6 +372,8 @@ class BiGraph:
 
     @classmethod
     def disjoint(cls, graph_list: Sequence["BiGraph"]) -> "BiGraph":
+        if not graph_list:
+            raise ValueError("graph_list is empty")
         is_tensor = graph_list[0]._is_tensor
         xp = jnp if is_tensor else np
         src_off = np.cumsum([0] + [g.src_num_nodes for g in graph_list])
@@ -364,16 +381,13 @@ class BiGraph:
         parts = []
         for g, so, do in zip(graph_list, src_off[:-1], dst_off[:-1]):
             e = g.edges
-            shifted = xp.stack([e[:, 0] + so, e[:, 1] + do], axis=1)
-            parts.append(shifted)
+            # one broadcast add, offsets cast to the edge dtype so device
+            # edges stay int32 (TPUs have no native int64 ALU path)
+            off = np.asarray([so, do]).astype(
+                e.dtype if not is_tensor else np.int32)
+            parts.append(e + (jnp.asarray(off) if is_tensor else off))
         edges = xp.concatenate(parts, axis=0)
-
-        def _cat(dicts):
-            keys = set(dicts[0].keys())
-            for d in dicts[1:]:
-                keys &= set(d.keys())
-            return {k: xp.concatenate([d[k] for d in dicts], axis=0)
-                    for k in sorted(keys)}
+        _cat = lambda dicts: _concat_feats(dicts, xp)
 
         gsi = np.asarray(src_off, dtype=np.int32)
         gdi = np.asarray(dst_off, dtype=np.int32)
@@ -398,10 +412,16 @@ class BiGraph:
         g = self.numpy()
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "edges.npy"), np.asarray(g._edges))
+        meta = {"src_num_nodes": g._src_num_nodes,
+                "dst_num_nodes": g._dst_num_nodes,
+                "num_graph": g._num_graph}
+        for name in ("_graph_src_node_index", "_graph_dst_node_index",
+                     "_graph_edge_index"):
+            v = getattr(g, name)
+            if v is not None:
+                meta[name] = np.asarray(v).tolist()
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"src_num_nodes": g._src_num_nodes,
-                       "dst_num_nodes": g._dst_num_nodes,
-                       "num_graph": g._num_graph}, f)
+            json.dump(meta, f)
         for sub, feats in (("src_node_feat", g._src_node_feat),
                            ("dst_node_feat", g._dst_node_feat),
                            ("edge_feat", g._edge_feat)):
@@ -424,11 +444,16 @@ class BiGraph:
                     if fn.endswith(".npy"):
                         feats[sub][fn[:-4]] = np.load(
                             os.path.join(d, fn), mmap_mode=mmap_mode)
+        extra = {name: np.asarray(meta[name], dtype=np.int64)
+                 for name in ("_graph_src_node_index",
+                              "_graph_dst_node_index",
+                              "_graph_edge_index") if name in meta}
         return cls(edges, src_num_nodes=meta["src_num_nodes"],
                    dst_num_nodes=meta["dst_num_nodes"],
                    src_node_feat=feats["src_node_feat"],
                    dst_node_feat=feats["dst_node_feat"],
-                   edge_feat=feats["edge_feat"])
+                   edge_feat=feats["edge_feat"],
+                   _num_graph=meta.get("num_graph", 1), **extra)
 
     # -- pytree -------------------------------------------------------------
 

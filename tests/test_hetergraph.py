@@ -152,3 +152,33 @@ def test_bigraph_jit():
 
     out = f(bg, bg.src_node_feat["h"])
     assert out.shape == (4, 2)
+
+
+def test_bigraph_batched_dump_load_round_trip(tmp_path):
+    """dump/load preserves disjoint-batching state (num_graph and the
+    per-graph index arrays) — a round-tripped batch must not silently
+    merge its subgraphs."""
+    from pgl_tpu.bigraph import BiGraph
+    import numpy as np
+    g1 = BiGraph(np.array([[0, 1], [1, 0]]), 2, 2,
+                 src_node_feat={"h": np.ones((2, 3), np.float32)})
+    g2 = BiGraph(np.array([[0, 0], [2, 1], [1, 1]]), 3, 2,
+                 src_node_feat={"h": np.zeros((3, 3), np.float32)})
+    bg = BiGraph.disjoint([g1, g2])
+    assert bg.num_graph == 2
+    bg.dump(str(tmp_path / "bg"))
+    r = BiGraph.load(str(tmp_path / "bg"))
+    assert r.num_graph == 2
+    np.testing.assert_array_equal(np.asarray(r.graph_src_node_id),
+                                  np.asarray(bg.graph_src_node_id))
+    np.testing.assert_array_equal(np.asarray(r.graph_edge_id),
+                                  np.asarray(bg.graph_edge_id))
+    np.testing.assert_array_equal(np.asarray(r.edges),
+                                  np.asarray(bg.edges))
+    # device batching stays int32 (the device-id invariant)
+    t1, t2 = g1.tensor(), g2.tensor()
+    bt = BiGraph.disjoint([t1, t2])
+    assert bt.edges.dtype == np.int32
+    import pytest
+    with pytest.raises(ValueError):
+        BiGraph.disjoint([])
