@@ -43,6 +43,11 @@ class _GraphShard:
 
     def __init__(self, server_id: int, num_servers: int,
                  edge_types: List[str], node_types: List[str]):
+        import threading
+        # one coarse lock: handler threads (ThreadingTCPServer) may mutate
+        # and compact concurrently; compaction's read-build-store must not
+        # overwrite a concurrent invalidation
+        self._lock = threading.RLock()
         self.server_id = server_id
         self.num_servers = num_servers
         # etype → list of (src, dst, w|None) pending numpy chunks
@@ -65,67 +70,82 @@ class _GraphShard:
         mine = (src % self.num_servers) == self.server_id
         ws = (np.asarray(weights, dtype=np.float64)[mine]
               if weights is not None else None)
-        self._pending[etype].append((src[mine], dst[mine], ws))
-        self._csr[etype] = None
-        self._alias[etype].clear()
+        with self._lock:
+            self._pending[etype].append((src[mine], dst[mine], ws))
+            self._csr[etype] = None
+            self._alias[etype].clear()
         return int(mine.sum())
 
     def add_nodes(self, ntype: str, nodes):
         nodes = np.asarray(nodes, dtype=np.int64)
         mine = nodes[(nodes % self.num_servers) == self.server_id]
-        self._node_chunks[ntype].append(mine)
-        self._nodes[ntype] = None
+        with self._lock:
+            self._node_chunks[ntype].append(mine)
+            self._nodes[ntype] = None
+            self._all_nodes = None
         return len(mine)
 
     def set_node_feat(self, ntype: str, name: str, nodes, values):
         nodes = np.asarray(nodes, dtype=np.int64)
         mine = (nodes % self.num_servers) == self.server_id
         vals = np.asarray(values, dtype=object)[mine]
-        self._feat_chunks[(ntype, name)].append((nodes[mine], vals))
-        self._feat[(ntype, name)] = None
+        with self._lock:
+            self._feat_chunks[(ntype, name)].append((nodes[mine], vals))
+            self._feat[(ntype, name)] = None
         return True
 
     # -- lazy compaction -----------------------------------------------------
 
     def _ensure_csr(self, etype: str):
-        csr = self._csr.get(etype)
-        if csr is not None:
+        with self._lock:
+            csr = self._csr.get(etype)
+            if csr is not None:
+                return csr
+            chunks = self._pending.get(etype, [])
+            if not chunks:
+                empty = (np.zeros(0, np.int64), np.zeros(1, np.int64),
+                         np.zeros(0, np.int64), None)
+                self._csr[etype] = empty
+                return empty
+            src = np.concatenate([c[0] for c in chunks])
+            dst = np.concatenate([c[1] for c in chunks])
+            has_w = any(c[2] is not None for c in chunks)
+            w = (np.concatenate([
+                c[2] if c[2] is not None else np.ones(len(c[0]))
+                for c in chunks]) if has_w else None)
+            order = np.argsort(src, kind="stable")
+            src_s = src[order]
+            ids, counts = np.unique(src_s, return_counts=True)
+            indptr = np.zeros(len(ids) + 1, np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            csr = (ids, indptr, dst[order],
+                   w[order] if w is not None else None)
+            self._csr[etype] = csr
             return csr
-        chunks = self._pending.get(etype, [])
-        if not chunks:
-            empty = (np.zeros(0, np.int64), np.zeros(1, np.int64),
-                     np.zeros(0, np.int64), None)
-            self._csr[etype] = empty
-            return empty
-        src = np.concatenate([c[0] for c in chunks])
-        dst = np.concatenate([c[1] for c in chunks])
-        has_w = any(c[2] is not None for c in chunks)
-        w = (np.concatenate([
-            c[2] if c[2] is not None else np.ones(len(c[0]))
-            for c in chunks]) if has_w else None)
-        order = np.argsort(src, kind="stable")
-        src_s = src[order]
-        ids, counts = np.unique(src_s, return_counts=True)
-        indptr = np.zeros(len(ids) + 1, np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        csr = (ids, indptr, dst[order], w[order] if w is not None else None)
-        self._csr[etype] = csr
-        return csr
 
     def _ensure_nodes(self, ntype: Optional[str]) -> np.ndarray:
-        if ntype is None:
-            pools = [self._ensure_nodes(t) for t in self._node_chunks]
-            return (np.unique(np.concatenate(pools)) if pools
-                    else np.zeros(0, np.int64))
-        pool = self._nodes.get(ntype)
-        if pool is None:
-            chunks = self._node_chunks.get(ntype, [])
-            pool = (np.unique(np.concatenate(chunks)) if chunks
-                    else np.zeros(0, np.int64))
-            self._nodes[ntype] = pool
-        return pool
+        with self._lock:
+            if ntype is None:
+                # cached like the typed pools (invalidated in add_nodes) —
+                # rebuilding the union per page made untyped iteration
+                # quadratic per epoch
+                if getattr(self, "_all_nodes", None) is None:
+                    pools = [self._ensure_nodes(t)
+                             for t in self._node_chunks]
+                    self._all_nodes = (
+                        np.unique(np.concatenate(pools)) if pools
+                        else np.zeros(0, np.int64))
+                return self._all_nodes
+            pool = self._nodes.get(ntype)
+            if pool is None:
+                chunks = self._node_chunks.get(ntype, [])
+                pool = (np.unique(np.concatenate(chunks)) if chunks
+                        else np.zeros(0, np.int64))
+                self._nodes[ntype] = pool
+            return pool
 
     def _ensure_feat(self, ntype: str, name: str):
+      with self._lock:
         key = (ntype, name)
         tab = self._feat.get(key)
         if tab is None:
@@ -168,8 +188,11 @@ class _GraphShard:
         return out_n, out_w
 
     def sample_neighbors(self, etype: str, nodes, max_degree: int,
-                         seed: int = 0):
-        """Uniform (or weighted when weights were loaded) neighbor sample."""
+                         seed=None):
+        """Uniform (or weighted when weights were loaded) neighbor sample.
+        ``seed=None`` (the default) draws fresh entropy per request —
+        repeated calls then differ, as sampling should; pass a seed for
+        reproducibility."""
         rng = np.random.default_rng(seed)
         ids, indptr, nbrs, w = self._ensure_csr(etype)
         out = []
@@ -197,7 +220,7 @@ class _GraphShard:
         return out
 
     def random_sample_nodes(self, node_type: Optional[str], size: int,
-                            seed: int = 0):
+                            seed=None):
         pool = self._ensure_nodes(node_type)
         if not len(pool):
             return np.zeros(0, dtype=np.int64)
@@ -330,7 +353,9 @@ class DistGraphClient:
         self._broadcast("set_node_feat", ntype, name, nodes, values)
 
     def _broadcast(self, method, *args):
-        return [c.call(method, *args) for c in self._conns]
+        # writes are not idempotent: a reply lost after the server applied
+        # the request must not be resent (it would duplicate edges/nodes)
+        return [c.call(method, *args, retries=0) for c in self._conns]
 
     def _shard_of(self, node: int) -> int:
         return int(node) % self.num_servers
@@ -338,7 +363,7 @@ class DistGraphClient:
     # -- sampling (reference ``:225-316``) -----------------------------------
 
     def sample_successor(self, nodes, max_degree: int, edge_type: str,
-                         seed: int = 0):
+                         seed=None):
         nodes = np.asarray(nodes, dtype=np.int64)
         if self.use_cache:
             return self._sample_cached(nodes, max_degree, edge_type, seed)
@@ -351,8 +376,9 @@ class DistGraphClient:
             idx = np.nonzero(owners == s)[0]
             if idx.size == 0:
                 continue
-            res = self._conns[s].call("sample_neighbors", edge_type,
-                                      nodes[idx], max_degree, seed + s)
+            res = self._conns[s].call(
+                "sample_neighbors", edge_type, nodes[idx], max_degree,
+                None if seed is None else seed + s)
             for i, r in zip(idx, res):
                 results[i] = r
         return results
@@ -387,9 +413,9 @@ class DistGraphClient:
                 big_res = {}
                 if big:
                     # over-cap hubs: sample on the server, don't cache
-                    res = self._conns[s].call("sample_neighbors", edge_type,
-                                              np.asarray(big), max_degree,
-                                              seed + s)
+                    res = self._conns[s].call(
+                        "sample_neighbors", edge_type, np.asarray(big),
+                        max_degree, None if seed is None else seed + s)
                     big_res = dict(zip(big, res))
                 for j, (nb, w) in enumerate(zip(nbrs, wts)):
                     i = misses[int(sel[j])]
@@ -416,17 +442,27 @@ class DistGraphClient:
         return nbrs[sel]
 
     def sample_predecessor(self, nodes, max_degree: int, edge_type: str,
-                           seed: int = 0):
+                           seed=None):
+        if not self.symmetry:
+            raise ValueError(
+                "sample_predecessor needs reverse edges, which are only "
+                "loaded when the config sets symmetry: true — with "
+                "symmetry: false every node would silently get zero "
+                "predecessors")
         return self.sample_successor(nodes, max_degree,
                                      helper.reverse_etype(edge_type), seed)
 
     def random_sample_nodes(self, node_type=None, size: int = 1,
-                            seed: int = 0):
-        per = max(size // self.num_servers, 1)
-        parts = [c.call("random_sample_nodes", node_type, per, seed + i)
+                            seed=None):
+        # ceil quota: floor under-delivered (512 over 3 servers -> 510)
+        per = -(-size // self.num_servers)
+        parts = [c.call("random_sample_nodes", node_type, per,
+                        None if seed is None else seed + i)
                  for i, c in enumerate(self._conns)]
-        out = np.concatenate([p for p in parts if len(p)]) \
-            if parts else np.zeros(0, np.int64)
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return np.zeros(0, np.int64)
+        out = np.concatenate(parts)
         if len(out) > size:
             out = np.random.default_rng(seed).choice(out, size,
                                                      replace=False)
@@ -482,8 +518,25 @@ class DistGraphClient:
                                           nodes[idx])
                 for i, r in zip(idx, res):
                     vals[i] = r
+            info = self._nfeat_info.get((node_type, name))
+            if info is not None:
+                dtype, dim = info
+                vals = [self._decode_feat(v, dtype, dim) for v in vals]
             out.append(vals)
         return out[0] if single else out
+
+    @staticmethod
+    def _decode_feat(value, dtype, dim):
+        """Apply the dtype/dim declared in nfeat_info (reference client's
+        bytes->typed decode, ``dist_graph.py:404-447``); missing values
+        stay None."""
+        if value is None:
+            return None
+        if isinstance(value, (bytes, str)):
+            txt = value.decode() if isinstance(value, bytes) else value
+            return np.asarray(txt.split(), dtype=dtype)
+        arr = np.asarray(value, dtype=dtype)
+        return arr.reshape(dim) if dim > 1 else arr.reshape(())
 
     def get_node_types(self):
         return self.node_types

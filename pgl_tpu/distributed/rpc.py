@@ -59,7 +59,10 @@ def _strip(obj: Any, bufs: List[np.ndarray]) -> Any:
         bufs.append(arr)
         return ref
     if isinstance(obj, tuple):
-        return tuple(_strip(x, bufs) for x in obj)
+        vals = [_strip(x, bufs) for x in obj]
+        # preserve namedtuples (plain tuple(...) would drop the type)
+        return type(obj)(*vals) if hasattr(obj, "_fields") \
+            else tuple(vals)
     if isinstance(obj, list):
         return [_strip(x, bufs) for x in obj]
     if isinstance(obj, dict):
@@ -72,7 +75,9 @@ def _fill(obj: Any, arrays: List[np.ndarray]) -> Any:
     if isinstance(obj, _NpRef):
         return arrays[obj.index]
     if isinstance(obj, tuple):
-        return tuple(_fill(x, arrays) for x in obj)
+        vals = [_fill(x, arrays) for x in obj]
+        return type(obj)(*vals) if hasattr(obj, "_fields") \
+            else tuple(vals)
     if isinstance(obj, list):
         return [_fill(x, arrays) for x in obj]
     if isinstance(obj, dict):
@@ -137,6 +142,9 @@ def _recv_msg(sock: socket.socket) -> Any:
 
 
 class _Handler(socketserver.BaseRequestHandler):
+    def setup(self):
+        self.request.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
     def handle(self):
         while True:
             try:
@@ -192,6 +200,7 @@ class RpcClient:
         self._retries = max(int(retries), 0)
         self._retry_wait = retry_wait
         self._sock = socket.create_connection(self._addr, timeout=timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._lock = threading.Lock()
 
     def _reconnect(self):
@@ -201,12 +210,19 @@ class RpcClient:
             pass
         self._sock = socket.create_connection(self._addr,
                                               timeout=self._timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
-    def call(self, method: str, *args, timeout: float = None, **kwargs):
+    def call(self, method: str, *args, timeout: float = None,
+             retries: int = None, **kwargs):
+        """``retries`` overrides the client default per call — pass 0 for
+        non-idempotent methods (writes), where a lost reply after the
+        server applied the request must not be resent."""
         deadline = timeout if timeout is not None else self._timeout
+        n_retries = self._retries if retries is None else max(int(retries),
+                                                              0)
         last_err = None
         with self._lock:
-            for attempt in range(self._retries + 1):
+            for attempt in range(n_retries + 1):
                 try:
                     self._sock.settimeout(deadline)
                     _send_msg(self._sock, (method, args, kwargs))
@@ -214,7 +230,7 @@ class RpcClient:
                     break
                 except (ConnectionError, socket.timeout, OSError) as err:
                     last_err = err
-                    if attempt == self._retries:
+                    if attempt == n_retries:
                         raise TimeoutError(
                             f"rpc {method} to {self._addr} failed after "
                             f"{attempt + 1} attempts: {err!r}") from err
