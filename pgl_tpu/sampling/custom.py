@@ -27,8 +27,10 @@ def subgraph(graph, nodes, eid=None, edges=None, with_node_feat: bool = True,
     if eid is None and edges is None:
         raise ValueError("Eid and edges can't be None at the same time.")
     nodes = np.asarray(nodes, dtype=np.int64)
+    if eid is not None:
+        eid = np.asarray(eid, dtype=np.int64)   # [] defaults to float64
     if edges is None:
-        edges = np.asarray(graph.edges)[np.asarray(eid)]
+        edges = np.asarray(graph.edges)[eid]
     else:
         edges = np.asarray(edges, dtype=np.int64)
 
@@ -37,7 +39,7 @@ def subgraph(graph, nodes, eid=None, edges=None, with_node_feat: bool = True,
         if eid is None:
             raise ValueError("Eid can not be None with edge features.")
         for key, value in graph.edge_feat.items():
-            sub_edge_feat[key] = np.asarray(value)[np.asarray(eid)]
+            sub_edge_feat[key] = np.asarray(value)[eid]
 
     if edges.size:
         flat = native.map_nodes(nodes, edges.reshape(-1))
@@ -56,11 +58,13 @@ def subgraph(graph, nodes, eid=None, edges=None, with_node_feat: bool = True,
                  edge_feat=sub_edge_feat)
 
 
-def graph_saint_node_sample(graph, batch_nodes, seed: int = 0):
+def graph_saint_node_sample(graph, batch_nodes):
     """GraphSAINT-style node-induced subgraph: keep all edges whose endpoints
     both fall in ``batch_nodes`` (reference ``extract_edges_from_nodes``
     usage, ``pgl/graph_kernel.pyx:396-432`` + Graph4Rec's graphsaint
-    sampler). Returns a reindexed subgraph plus the kept nodes."""
+    sampler). Deterministic given ``batch_nodes`` — the randomness lives
+    in how the caller draws the batch. Returns a reindexed subgraph plus
+    the kept nodes."""
     if graph.is_tensor:
         raise ValueError("You must call Graph.numpy() first.")
     nodes = np.unique(np.asarray(batch_nodes, dtype=np.int64))
@@ -183,4 +187,4 @@ def graph_saint_random_walk_sample(graph, nodes, max_depth: int,
                         seed=seed)
     sample_nodes = np.unique(np.asarray(walks).reshape(-1))
     sample_nodes = sample_nodes[sample_nodes >= 0]
-    return graph_saint_node_sample(g, sample_nodes, seed=seed)
+    return graph_saint_node_sample(g, sample_nodes)

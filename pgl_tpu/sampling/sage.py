@@ -22,7 +22,8 @@ from ..graph import Graph
 from ..native import graph_kernel as native
 from .custom import subgraph
 
-__all__ = ["graphsage_sample", "NeighborSampler", "sample_neighbors_padded"]
+__all__ = ["graphsage_sample", "NeighborSampler",
+           "HeteroNeighborSampler", "sample_neighbors_padded"]
 
 
 def _ordered_union(base: np.ndarray, new: np.ndarray):
@@ -66,8 +67,11 @@ def graphsage_sample(graph, nodes, samples: Sequence[int],
 
     ignore = None
     if len(ignore_edges):
+        # exact key: s * num_nodes + d (Python ints don't overflow) — a
+        # fixed multiplier would collide once ids exceed it
+        base = int(graph.num_nodes)
         ig = np.asarray(list(ignore_edges), dtype=np.int64)
-        ignore = set((int(s) * 100000007 + int(d)) for s, d in ig)
+        ignore = set(int(s) * base + int(d) for s, d in ig)
 
     all_nodes = seeds.copy()
     all_eids = np.zeros((0,), dtype=np.int64)
@@ -86,7 +90,7 @@ def graphsage_sample(graph, nodes, samples: Sequence[int],
             eids = out_eid
             if ignore is not None and src.size:
                 keep = np.fromiter(
-                    ((int(s) * 100000007 + int(d)) not in ignore
+                    ((int(s) * base + int(d)) not in ignore
                      for s, d in zip(src, dst)), dtype=bool, count=len(src))
                 src, dst, eids = src[keep], dst[keep], eids[keep]
             # dedupe eids against everything collected so far
@@ -109,10 +113,28 @@ def graphsage_sample(graph, nodes, samples: Sequence[int],
     sample_index = all_nodes
     node_index = native.map_nodes(all_nodes, seeds)
 
+    # every layer's edge list is a prefix of the full accumulated set
+    # (all_eids/all_edges only ever append), so reindex and feature-slice
+    # ONCE and hand each layer its prefix — the per-layer subgraph()
+    # calls redid the map_nodes pass and the [num_sampled, D] feature
+    # gathers num_layers times
+    from ..graph import Graph
+    full_eids, full_edges = snapshots[0]
+    if full_edges.size:
+        sub_edges_full = native.map_nodes(
+            all_nodes, full_edges.reshape(-1)).reshape(-1, 2)
+    else:
+        sub_edges_full = np.zeros((0, 2), dtype=np.int64)
+    node_feat = {k: np.asarray(v)[all_nodes]
+                 for k, v in graph.node_feat.items()}
     graph_list = []
     for i in range(num_layers):
-        eids_i, edges_i = snapshots[i]
-        sg = subgraph(graph, nodes=all_nodes, eid=eids_i, edges=edges_i)
+        eids_i, _ = snapshots[i]
+        k = len(eids_i)
+        edge_feat = {key: np.asarray(v)[eids_i]
+                     for key, v in graph.edge_feat.items()}
+        sg = Graph(sub_edges_full[:k], num_nodes=len(all_nodes),
+                   node_feat=node_feat, edge_feat=edge_feat)
         graph_list.append((sg, sample_index, node_index))
     return graph_list
 
@@ -145,6 +167,10 @@ class NeighborSampler:
 
     def __init__(self, graph, samples: Sequence[int]):
         import jax.numpy as jnp
+        if graph.num_edges >= 2 ** 31:
+            raise ValueError(
+                f"NeighborSampler stores indptr as int32; {graph.num_edges}"
+                " edges would wrap — shard the graph first")
         idx = graph.adj_dst_index
         self.indptr = jnp.asarray(np.asarray(idx.indptr), dtype=jnp.int32)
         self.sorted_v = jnp.asarray(np.asarray(idx.sorted_v),
@@ -177,6 +203,11 @@ class HeteroNeighborSampler:
         self.samples = list(samples)
         self._csc = {}
         for etype in self.etypes:
+            if hetergraph[etype].num_edges >= 2 ** 31:
+                raise ValueError(
+                    f"HeteroNeighborSampler stores indptr as int32; "
+                    f"{etype} has {hetergraph[etype].num_edges} edges — "
+                    "shard the graph first")
             idx = hetergraph[etype].adj_dst_index
             self._csc[etype] = (
                 jnp.asarray(np.asarray(idx.indptr), dtype=jnp.int32),

@@ -15,7 +15,8 @@ import numpy as np
 from ..native import graph_kernel as native
 
 __all__ = ["random_walk", "node2vec_walk", "node2vec_walk_plus",
-           "walks_to_lists"]
+           "walks_to_lists", "metapath_randomwalk",
+           "metapath_randomwalk_dist"]
 
 
 def _csr(graph):
@@ -75,7 +76,7 @@ def walks_to_lists(walks: np.ndarray) -> List[List[int]]:
 
 
 def metapath_randomwalk(graph, start_nodes, metapath, walk_length: int,
-                        seed: int = 0, alias=None):
+                        seed: int = 0):
     """Metapath-guided random walk over a HeterGraph (reference:
     ``examples/metapath2vec`` sampling at
     ``examples/metapath2vec/datasets/sampling.py:285-400``).
@@ -97,15 +98,20 @@ def metapath_randomwalk(graph, start_nodes, metapath, walk_length: int,
         idx = graph[etype].adj_src_index
         indptr = np.asarray(idx.indptr)
         sorted_v = np.asarray(idx.sorted_v)
-        for w in np.nonzero(alive)[0]:
-            lo, hi = indptr[cur[w]], indptr[cur[w] + 1]
-            if lo == hi:
-                alive[w] = False
-                continue
-            cur[w] = sorted_v[rng.integers(lo, hi)]
-            walks[w, step] = cur[w]
-        if not alive.any():
+        # vectorized uniform-neighbor step over the live walkers (same
+        # deg/offset form as random_walk_with_restart in custom.py)
+        live = np.nonzero(alive)[0]
+        if live.size == 0:
             break
+        lo = indptr[cur[live]]
+        deg = indptr[cur[live] + 1] - lo
+        has = deg > 0
+        alive[live[~has]] = False
+        sel = live[has]
+        if sel.size:
+            offs = rng.integers(0, deg[has])
+            cur[sel] = sorted_v[lo[has] + offs]
+            walks[sel, step] = cur[sel]
     return walks
 
 
