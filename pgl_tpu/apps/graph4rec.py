@@ -116,6 +116,9 @@ class Graph4RecTrainer:
                      (graph.edge_types[0]
                       if getattr(graph, "edge_types", None) else None))
             base = graph[etype] if etype is not None else graph
+            if base.num_edges >= 2 ** 31:
+                raise ValueError("ego encoders store indptr as int32; "
+                                 f"{base.num_edges} edges would wrap")
             idx = base.adj_dst_index
             self._indptr = jnp.asarray(np.asarray(idx.indptr), jnp.int32)
             self._sorted_v = jnp.asarray(np.asarray(idx.sorted_v), jnp.int32)
@@ -146,6 +149,10 @@ class Graph4RecTrainer:
                 raise ValueError("gatne needs a local HeterGraph")
             self._etype_csc = []
             for etype in graph.edge_types:
+                if graph[etype].num_edges >= 2 ** 31:
+                    raise ValueError(
+                        f"gatne stores indptr as int32; {etype} has "
+                        f"{graph[etype].num_edges} edges")
                 idx = graph[etype].adj_dst_index
                 self._etype_csc.append(
                     (jnp.asarray(np.asarray(idx.indptr), jnp.int32),
@@ -257,19 +264,14 @@ class Graph4RecTrainer:
 
     def _make_step(self):
         neg_num = int(self.cfg.neg_num or 5)
+        from .common import inbatch_skipgram_loss
 
-        def step(params, opt_state, src, dst, key):
+        def step(params, opt_state, src, dst, valid, key):
             def loss_fn(p):
                 k1, k2 = jax.random.split(key)
                 h = self._encode(p, src, k1)
-                pos_ctx = p["ctx"][dst]
-                pos = jnp.sum(h * pos_ctx, -1)
-                perm = jax.random.permutation(
-                    k2, src.shape[0] * neg_num) % src.shape[0]
-                neg_ctx = pos_ctx[perm].reshape(src.shape[0], neg_num, -1)
-                negs = jnp.einsum("bd,bkd->bk", h, neg_ctx)
-                return (-jax.nn.log_sigmoid(pos).mean()
-                        - jax.nn.log_sigmoid(-negs).mean())
+                return inbatch_skipgram_loss(h, p["ctx"][dst], k2,
+                                             neg_num, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.opt.update(grads, opt_state)
@@ -284,6 +286,12 @@ class Graph4RecTrainer:
         walk_len = int(self.cfg.walk_len or 12)
         seed = self._seed + epoch
         if self.client is not None:
+            if mode != "metapath" or not self.cfg.metapath:
+                raise ValueError(
+                    "walks over a DistGraphClient are metapath-driven "
+                    f"(walk_mode={mode!r}, metapath="
+                    f"{self.cfg.metapath!r}); set walk_mode: metapath "
+                    "and a metapath in the config")
             return metapath_randomwalk_dist(self.client, starts,
                                             self.cfg.metapath, walk_len,
                                             seed=seed)
@@ -305,12 +313,20 @@ class Graph4RecTrainer:
                                    seed=seed)
 
     def _start_nodes(self):
-        if (self.cfg.walk_mode or "metapath") != "metapath" \
-                and self.graph is not None \
-                and not getattr(self.graph, "edge_types", None):
-            return np.arange(self.num_nodes)
-        first = (self.cfg.first_node_type
-                 or str(self.cfg.metapath).split("-")[0].split("2")[0])
+        mode = self.cfg.walk_mode or "metapath"
+        if mode != "metapath" and self.graph is not None:
+            # deepwalk/node2vec start from every node — a typed graph
+            # without a metapath previously derived first_node_type
+            # 'None' and silently trained zero steps
+            if not self.cfg.first_node_type:
+                return np.arange(self.num_nodes)
+        first = self.cfg.first_node_type
+        if first is None:
+            if not self.cfg.metapath:
+                raise ValueError(
+                    "need first_node_type or a metapath to pick walk "
+                    "start nodes on a typed graph")
+            first = str(self.cfg.metapath).split("-")[0].split("2")[0]
         if self.graph is not None and \
                 getattr(self.graph, "node_types", None) is not None:
             return self.graph.nodes_by_type(first)
@@ -334,12 +350,20 @@ class Graph4RecTrainer:
             src, dst = skip_gram_gen_pair(walks, win,
                                           seed=self._seed + epoch)
             total, steps = 0.0, 0
-            for lo in range(0, len(src) - bp + 1, bp):
+            for lo in range(0, max(len(src), 1), bp):
+                bs, bd = src[lo:lo + bp], dst[lo:lo + bp]
+                if len(bs) == 0:
+                    break
+                valid = np.ones(len(bs), np.float32)
+                if len(bs) < bp:   # zero-pad the tail (static shapes);
+                    pad = bp - len(bs)   # the mask keeps it out of the loss
+                    bs = np.pad(bs, (0, pad))
+                    bd = np.pad(bd, (0, pad))
+                    valid = np.pad(valid, (0, pad))
                 key, sub = jax.random.split(key)
                 self.params, self.opt_state, loss = self._jit_step(
-                    self.params, self.opt_state,
-                    jnp.asarray(src[lo:lo + bp]),
-                    jnp.asarray(dst[lo:lo + bp]), sub)
+                    self.params, self.opt_state, jnp.asarray(bs),
+                    jnp.asarray(bd), jnp.asarray(valid), sub)
                 total += float(loss)
                 steps += 1
             last = total / max(steps, 1)

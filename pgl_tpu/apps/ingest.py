@@ -122,6 +122,10 @@ def build_graph_external(files: Union[str, Sequence[str]], work_dir: str,
             deg_in[:n] += np.bincount(src, minlength=n)[:n] if n else 0
         E += len(chunk) * (2 if symmetry else 1)
 
+    if E >= 2 ** 31 or n >= 2 ** 31:
+        raise ValueError(
+            f"int32 id layout: {E} edges / {n} nodes would wrap — shard "
+            "the input (graph_sharding) before ingesting")
     deg_out, deg_in = deg_out[:n], deg_in[:n]
     indptr_src = np.zeros(n + 1, np.int64)
     np.cumsum(deg_out, out=indptr_src[1:])

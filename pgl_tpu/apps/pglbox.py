@@ -197,18 +197,14 @@ class PGLBoxTrainer:
     def _make_step(self):
         neg_num = self.cfg["neg_num"]
 
+        from .common import inbatch_skipgram_loss
+
         def step(table, opt_state, src, dst, valid, key):
             def loss_fn(t):
-                h = t[src]
-                ctx = t[dst]
-                pos = jnp.sum(h * ctx, -1)
-                perm = jax.random.permutation(
-                    key, src.shape[0] * neg_num) % src.shape[0]
-                neg_ctx = ctx[perm].reshape(src.shape[0], neg_num, -1)
-                negs = jnp.einsum("bd,bkd->bk", h, neg_ctx)
-                per = (-jax.nn.log_sigmoid(pos)
-                       - jax.nn.log_sigmoid(-negs).sum(-1))
-                return (per * valid).sum() / jnp.maximum(valid.sum(), 1)
+                # negatives drawn only from the VALID prefix — padded tail
+                # rows previously leaked row 0 into everyone's negatives
+                return inbatch_skipgram_loss(t[src], t[dst], key, neg_num,
+                                             valid, neg_reduce="sum")
 
             loss, grads = jax.value_and_grad(loss_fn)(table)
             updates, opt_state = self.opt.update(grads, opt_state)

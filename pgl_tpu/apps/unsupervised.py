@@ -46,16 +46,26 @@ class _PassGenerator:
         self._thread: Optional[threading.Thread] = None
 
     def _produce(self, epochs: int, seed: int):
-        for epoch in range(epochs):
-            for i, nodes in enumerate(self.graph.node_batch_iter(
-                    self.batch_nodes, seed=seed + epoch)):
-                if self._stop.is_set():
-                    return
-                s = seed * 9973 + epoch * 131 + i
-                walks = random_walk(self.graph, nodes, self.walk_len, seed=s)
-                src, dst = skip_gram_gen_pair(walks, self.win_size, seed=s)
-                self._q.put((src, dst))
-        self._q.put(None)
+        # finally-sentinel: if walk/pair generation raises, the consumer
+        # must see the end marker instead of blocking on get() forever
+        try:
+            for epoch in range(epochs):
+                for i, nodes in enumerate(self.graph.node_batch_iter(
+                        self.batch_nodes, seed=seed + epoch)):
+                    if self._stop.is_set():
+                        return
+                    s = seed * 9973 + epoch * 131 + i
+                    walks = random_walk(self.graph, nodes, self.walk_len,
+                                        seed=s)
+                    src, dst = skip_gram_gen_pair(walks, self.win_size,
+                                                  seed=s)
+                    self._q.put((src, dst))
+        except BaseException:
+            import traceback
+            traceback.print_exc()
+            raise
+        finally:
+            self._q.put(None)
 
     def start(self, epochs: int, seed: int = 0):
         self._thread = threading.Thread(
@@ -126,20 +136,14 @@ class UnsupervisedGraphTrainer:
         return jax.nn.relu(h @ params["w_self"] + agg @ params["w_neigh"])
 
     def _make_step(self):
-        def step(params, opt_state, src, dst, key):
+        from .common import inbatch_skipgram_loss
+
+        def step(params, opt_state, src, dst, valid, key):
             def loss_fn(p):
                 k1, k2 = jax.random.split(key)
                 h = self._encode(p, src, k1)
-                pos_ctx = p["ctx"][dst]
-                pos = jnp.sum(h * pos_ctx, -1)
-                # in-batch shuffled negatives (PGLBox shuffle_batch analog)
-                perm = jax.random.permutation(
-                    k2, src.shape[0] * self.neg_num) % src.shape[0]
-                neg_ctx = pos_ctx[perm].reshape(
-                    src.shape[0], self.neg_num, -1)
-                negs = jnp.einsum("bd,bkd->bk", h, neg_ctx)
-                return (-jax.nn.log_sigmoid(pos).mean()
-                        - jax.nn.log_sigmoid(-negs).mean())
+                return inbatch_skipgram_loss(h, p["ctx"][dst], k2,
+                                             self.neg_num, valid)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.opt.update(grads, opt_state)
@@ -157,13 +161,21 @@ class UnsupervisedGraphTrainer:
         last = 0.0
         for pass_id, (src, dst) in enumerate(gen):
             total, steps = 0.0, 0
-            for lo in range(0, len(src) - self.pair_batch + 1,
-                            self.pair_batch):
+            bp = self.pair_batch
+            for lo in range(0, max(len(src), 1), bp):
+                bs, bd = src[lo:lo + bp], dst[lo:lo + bp]
+                if len(bs) == 0:
+                    break
+                valid = np.ones(len(bs), np.float32)
+                if len(bs) < bp:   # masked tail — small passes previously
+                    pad = bp - len(bs)   # trained zero steps
+                    bs = np.pad(bs, (0, pad))
+                    bd = np.pad(bd, (0, pad))
+                    valid = np.pad(valid, (0, pad))
                 key, sub = jax.random.split(key)
                 self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state,
-                    jnp.asarray(src[lo:lo + self.pair_batch]),
-                    jnp.asarray(dst[lo:lo + self.pair_batch]), sub)
+                    self.params, self.opt_state, jnp.asarray(bs),
+                    jnp.asarray(bd), jnp.asarray(valid), sub)
                 total += float(loss)
                 steps += 1
             last = total / max(steps, 1)

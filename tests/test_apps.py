@@ -231,3 +231,20 @@ def test_graph4rec_with_features_presets():
     bare = _bipartite_hetergraph()
     with pytest.raises(ValueError, match="node_feat"):
         Graph4RecTrainer.from_preset("graphsage_with_features", graph=bare)
+
+
+def test_graph4rec_deepwalk_on_typed_graph():
+    """deepwalk preset on a typed HeterGraph must actually train (it
+    previously derived first_node_type 'None' from the absent metapath
+    and silently ran zero steps), and tail batches below batch_pairs
+    must still step (masked padding)."""
+    from pgl_tpu import HeterGraph
+    from pgl_tpu.apps.graph4rec import Graph4RecTrainer
+
+    rng = np.random.default_rng(0)
+    hg = HeterGraph({"u2u": rng.integers(0, 40, (200, 2))}, num_nodes=40,
+                    node_types=np.array(["u"] * 40, dtype=object))
+    tr = Graph4RecTrainer.from_preset("deepwalk", graph=hg)
+    l1 = tr.train(epochs=1)
+    l2 = tr.train(epochs=3)
+    assert l1 > 0 and l2 < l1     # steps ran, loss decreases
