@@ -20,7 +20,8 @@ from .sampler import Sampler, StreamSampler
 
 __all__ = ["Dataloader"]
 
-_SENTINEL = "__PGL_TPU_WORKER_DONE__"
+from ..mp_reader import (_Sentinel, _WorkerError, _mp_context,
+                         merge_worker_queue)
 
 
 def _default_collate(batch):
@@ -32,11 +33,11 @@ def _map_worker_loop(dataset, indices_chunks, collate_fn, out_q, fid):
         for chunk in indices_chunks:
             items = [dataset[i] for i in chunk]
             out_q.put(collate_fn(items))
-    except Exception:
-        out_q.put(RuntimeError(
+    except BaseException:
+        out_q.put(_WorkerError(
             f"Dataloader worker {fid} failed:\n{traceback.format_exc()}"))
     finally:
-        out_q.put(_SENTINEL)
+        out_q.put(_Sentinel())
 
 
 def _stream_worker_loop(dataset, batch_size, drop_last, collate_fn, out_q,
@@ -46,11 +47,11 @@ def _stream_worker_loop(dataset, batch_size, drop_last, collate_fn, out_q,
         sampler = StreamSampler(batch_size, drop_last)
         for batch in sampler.batch_stream(iter(dataset)):
             out_q.put(collate_fn(batch))
-    except Exception:
-        out_q.put(RuntimeError(
+    except BaseException:
+        out_q.put(_WorkerError(
             f"Dataloader worker {fid} failed:\n{traceback.format_exc()}"))
     finally:
-        out_q.put(_SENTINEL)
+        out_q.put(_Sentinel())
 
 
 class Dataloader:
@@ -62,7 +63,11 @@ class Dataloader:
         processes.
       shuffle / drop_last: map-style batching options.
       collate_fn: maps a list of items to a batch object.
-      buf_size: bound on in-flight batches per worker queue.
+      buf_size: bound on TOTAL in-flight batches (one queue shared by
+        all workers, not per worker).
+      drop_last: stream datasets shard per worker, so with workers each
+        worker drops its own partial tail — up to ``num_workers`` partial
+        batches vs one in sync mode.
     """
 
     def __init__(self, dataset, batch_size: int = 1, drop_last: bool = False,
@@ -98,7 +103,7 @@ class Dataloader:
     # -- multiprocess path --------------------------------------------------
 
     def _iter_workers(self):
-        ctx = mp.get_context("fork")
+        ctx = _mp_context()
         out_q = ctx.Queue(maxsize=max(self.buf_size, 1))
         procs = []
         if self.is_stream:
@@ -122,21 +127,7 @@ class Dataloader:
                     daemon=True)
                 p.start()
                 procs.append(p)
-        done = 0
-        try:
-            while done < len(procs):
-                item = out_q.get()
-                if isinstance(item, str) and item == _SENTINEL:
-                    done += 1
-                    continue
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            for p in procs:
-                p.join(timeout=5)
-                if p.is_alive():
-                    p.terminate()
+        yield from merge_worker_queue(out_q, procs)
 
     def __iter__(self) -> Iterator:
         if self.num_workers == 0:

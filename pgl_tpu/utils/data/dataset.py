@@ -75,9 +75,22 @@ class HadoopDataset(StreamDataset):
                 f"hadoop client {self.hadoop_bin!r} not found; "
                 "HadoopDataset requires an hdfs client on PATH") from e
         assert proc.stdout is not None
-        for line in proc.stdout:
-            yield line
-        proc.wait()
+        try:
+            for line in proc.stdout:
+                yield line
+            rc = proc.wait()
+            if rc != 0:
+                # an empty stream with a nonzero exit would otherwise
+                # look like an empty dataset
+                raise RuntimeError(
+                    f"{self.hadoop_bin} fs -cat {self.path} exited "
+                    f"with code {rc}")
+        finally:
+            # abandoned generator (early break): kill the client so it
+            # doesn't linger blocked on a full pipe
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
 
     def __iter__(self):
         yield from self._shard_iter(self._line_stream())
