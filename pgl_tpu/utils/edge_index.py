@@ -60,6 +60,20 @@ class EdgeIndex:
         """Build on host with the O(E) native counting sort (numpy fallback)."""
         u = np.asarray(u)
         v = np.asarray(v)
+        # validate BEFORE the native kernel: its counting sort writes
+        # degree[u[e]] with no bounds check, so an out-of-range id would
+        # corrupt heap memory instead of raising (the numpy path errors)
+        if u.size:
+            lo = min(int(u.min()), int(v.min()))
+            hi = max(int(u.max()), int(v.max()))
+            if lo < 0 or hi >= num_nodes:
+                raise ValueError(
+                    f"edge endpoint ids in [{lo}, {hi}] out of range for "
+                    f"num_nodes={num_nodes}")
+        if u.shape[0] >= 2 ** 31 or num_nodes >= 2 ** 31:
+            raise ValueError(
+                f"int32 id layout: {u.shape[0]} edges / {num_nodes} nodes "
+                "would wrap — shard the graph first")
         if _native.available():
             degree, sorted_v, sorted_eid, indptr = _native.build_index(
                 u.astype(np.int64), v.astype(np.int64), num_nodes)

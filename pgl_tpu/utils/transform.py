@@ -50,8 +50,9 @@ def add_self_loops(graph, copy_node_feat: bool = True,
     if replace:
         edges = edges[edges[:, 0] != edges[:, 1]]
     loops = np.stack([np.arange(graph.num_nodes)] * 2, axis=1)
-    all_edges = np.vstack([loops, edges]) if replace \
-        else np.vstack([edges, loops])
+    # both modes append loops AFTER the (possibly stripped) edges so
+    # positional per-edge data lines up identically
+    all_edges = np.vstack([edges, loops])
     if copy_edge_feat:
         raise NotImplementedError(
             "self-loop edges have no feature values to copy")
@@ -97,7 +98,10 @@ def filter_adj(edge_index, perm, edge_attr=None,
     edge_index = np.asarray(edge_index)
     perm = np.asarray(perm)
     if num_nodes is None:
-        num_nodes = int(edge_index.max()) + 1 if edge_index.size else 0
+        hi = int(edge_index.max()) + 1 if edge_index.size else 0
+        if perm.size:
+            hi = max(hi, int(perm.max()) + 1)   # isolated kept nodes
+        num_nodes = hi
     lut = np.full(num_nodes, -1, dtype=np.int64)
     lut[perm] = np.arange(len(perm))
     row, col = lut[edge_index[:, 0]], lut[edge_index[:, 1]]
@@ -108,12 +112,15 @@ def filter_adj(edge_index, perm, edge_attr=None,
     return out, None
 
 
-def drop_edge(graph, rate: float = 0.5, seed: int = 0,
+def drop_edge(graph, rate: float = 0.5, seed=None,
               copy_node_feat: bool = True):
     """Randomly drop edges (DropEdge regularization; idea from the
     reference's legacy ``DropEdgeWrapper``, ``legacy/pgl/graph_wrapper.py:
     737``). Host-side: returns a new Graph with ~``(1-rate)·E`` edges;
-    re-tensor per epoch (or every k epochs) during training."""
+    re-tensor per epoch (or every k epochs) during training.
+    ``seed=None`` (default) draws fresh entropy per call — a fixed
+    default would drop the identical subset every epoch, silently
+    disabling the regularization; pass a seed for reproducibility."""
     from ..graph import Graph
     _require_numpy(graph)
     rng = np.random.default_rng(seed)
