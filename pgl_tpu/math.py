@@ -22,5 +22,6 @@ __all__ = [
     "segment_softmax",
     "segment_padding",
     "segment_topk",
+    "segment_topk_mask",
     "segment_count",
 ]

@@ -30,6 +30,7 @@ class Message:
         self._num_segments = num_segments
         self._eid = eid
         self._sorted = indices_are_sorted
+        self._permuted = {}
 
     @property
     def segment_ids(self):
@@ -38,7 +39,13 @@ class Message:
     def __getitem__(self, name):
         value = self._msg[name]
         if self._eid is not None:
+            cached = self._permuted.get(name)
+            if cached is not None:
+                return cached
             value = jnp.take(value, self._eid, axis=0)
+            # memoize: a recv UDF reading the same key several times
+            # would otherwise re-issue the [E]-row gather each access
+            self._permuted[name] = value
         return value
 
     def reduce(self, msg, pool_type: str = "sum"):

@@ -45,8 +45,11 @@ class MAB(nn.Module):
             K, _ = to_dense_batch(k, g, max_num_nodes=self.max_num_nodes)
             V, _ = to_dense_batch(v, g, max_num_nodes=self.max_num_nodes)
         else:
-            K = nn.Dense(self.dim_V, name="layer_k")(K)
-            V = nn.Dense(self.dim_V, name="layer_v")(K)
+            # both projections act on the RAW input (reference
+            # gmt_pool.py:84 evaluates the tuple before assignment) — a
+            # sequential reassignment silently rank-limits V through W_k
+            K, V = (nn.Dense(self.dim_V, name="layer_k")(K),
+                    nn.Dense(self.dim_V, name="layer_v")(K))
 
         B, Lq, _ = Q.shape
         Lk = K.shape[1]
@@ -134,6 +137,11 @@ class GraphMultisetTransformer(nn.Module):
                 raise ValueError(
                     "Elements in 'pool_sequences' should be one of "
                     "'GMPool_G', 'GMPool_I', or 'SelfAtt'")
+        if seqs[-1] == "SelfAtt":
+            raise ValueError(
+                "'pool_sequences' must end in a GMPool stage — SelfAtt "
+                "keeps one row per remaining seed, so the final "
+                "single-vector squeeze would fail at apply time")
         x = nn.Dense(self.hidden_dim, name="lin1")(x)
         # num_nodes is the static per-graph node cap: keeps the dense batch
         # shape jit-stable (graphs larger than the cap are truncated)
@@ -162,5 +170,9 @@ class GraphMultisetTransformer(nn.Module):
                            name=f"pool_{i}")
                 g = None
             batch_x = pool(batch_x, g, mask)
-            mask = None
+            # the padding mask stays valid through SelfAtt (rows still map
+            # to original nodes); only a pooling stage replaces rows with
+            # seed outputs, which are all valid
+            if name != "SelfAtt":
+                mask = None
         return nn.Dense(self.output_dim, name="lin2")(batch_x.squeeze(1))

@@ -148,13 +148,22 @@ class SAGPool(nn.Module):
                                        min_score=self.min_score)
         x = out * score[rank].reshape(-1, 1)
         new_batch = np.asarray(batch)[np.asarray(rank)]
-        edges, _ = filter_adj(np.asarray(graph.edges), np.asarray(rank),
-                              num_nodes=score.shape[0])
+        host_edges = np.asarray(graph.edges)
+        edges, kept_edge_graph = filter_adj(
+            host_edges, np.asarray(rank), num_nodes=score.shape[0],
+            edge_attr=np.asarray(graph.graph_edge_id))
         counts = np.bincount(new_batch, minlength=graph.num_graph)
         gni = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        # per-graph edge offsets of the pooled graph, so graph_edge_id
+        # stays correct after pooling (edges keep their original
+        # per-graph grouping/order)
+        ecounts = np.bincount(np.asarray(kept_edge_graph),
+                              minlength=graph.num_graph)
+        gei = np.concatenate([[0], np.cumsum(ecounts)]).astype(np.int32)
         g = Graph(np.asarray(edges), num_nodes=int(x.shape[0]),
                   node_feat={"attr": np.asarray(x)},
                   _graph_node_index=gni,
+                  _graph_edge_index=gei,
                   _num_graph=graph.num_graph)
         if graph.is_tensor:  # keep the caller's device/host mode
             g = g.tensor()

@@ -173,7 +173,17 @@ def segment_topk_mask(score, segment_ids, num_segments: Optional[int] = None,
     """
     score = score.reshape(-1)
     if min_score is not None:
-        return score > min_score
+        # reference semantics (pgl/math.py:338-341): threshold at
+        # min(segment_max, min_score) so the top-scored element of every
+        # segment always survives — a plain score > min_score could drop
+        # every node of a graph (softmaxed scores shrink with its size)
+        num_segments = _infer_num_segments(segment_ids, num_segments)
+        smax = segment_max(score, segment_ids, num_segments=num_segments)
+        thresh = jnp.minimum(smax, min_score)
+        # >= : the docstring contract removes nodes with value LOWER than
+        # the threshold, and the segment max (== thresh when every score
+        # falls below min_score) must survive
+        return score >= thresh[segment_ids]
     num_segments = _infer_num_segments(segment_ids, num_segments)
     n = score.shape[0]
     count = segment_count(segment_ids, num_segments)
@@ -206,7 +216,10 @@ def segment_topk(data, score, segment_ids, num_segments: Optional[int] = None,
     num_segments = _infer_num_segments(segment_ids_np, num_segments)
     keep = []
     if min_score is not None:
-        keep = np.nonzero(score > float(min_score))[0]
+        smax = np.full(num_segments, -np.inf)
+        np.maximum.at(smax, segment_ids_np, score)
+        thresh = np.minimum(smax, float(min_score))
+        keep = np.nonzero(score >= thresh[segment_ids_np])[0]
     else:
         order = np.argsort(segment_ids_np, kind="stable")
         bounds = np.searchsorted(segment_ids_np[order],
