@@ -62,13 +62,14 @@ class EdgeIndex:
         v = np.asarray(v)
         # validate BEFORE the native kernel: its counting sort writes
         # degree[u[e]] with no bounds check, so an out-of-range id would
-        # corrupt heap memory instead of raising (the numpy path errors)
+        # corrupt heap memory instead of raising (the numpy path errors).
+        # Only u indexes the degree buffer — v is payload and may live in
+        # a different node space (BiGraph src/dst sides).
         if u.size:
-            lo = min(int(u.min()), int(v.min()))
-            hi = max(int(u.max()), int(v.max()))
+            lo, hi = int(u.min()), int(u.max())
             if lo < 0 or hi >= num_nodes:
                 raise ValueError(
-                    f"edge endpoint ids in [{lo}, {hi}] out of range for "
+                    f"edge source ids in [{lo}, {hi}] out of range for "
                     f"num_nodes={num_nodes}")
         if u.shape[0] >= 2 ** 31 or num_nodes >= 2 ** 31:
             raise ValueError(
