@@ -143,15 +143,19 @@ void node2vec_walk(const i64* indptr, const i64* sorted_v, const i64* starts,
         std::uniform_int_distribution<i64> dist(begin, end - 1);
         next = sorted_v[dist(rng)];
       } else {
-        const i64* pbegin = sorted_v + indptr[prev];
-        const i64* pend = sorted_v + indptr[prev + 1];
+        // CSR rows keep original edge order (counting sort by u only),
+        // so membership must use a hash set — binary_search over an
+        // unsorted range is undefined and misclassifies the shared-
+        // neighbor (weight 1.0) case
+        std::unordered_set<i64> prev_nbrs(sorted_v + indptr[prev],
+                                          sorted_v + indptr[prev + 1]);
         for (int attempt = 0; attempt < 128; ++attempt) {
           std::uniform_int_distribution<i64> dist(begin, end - 1);
           i64 cand = sorted_v[dist(rng)];
           double w_cand;
           if (cand == prev) {
             w_cand = inv_p;
-          } else if (std::binary_search(pbegin, pend, cand)) {
+          } else if (prev_nbrs.count(cand)) {
             w_cand = 1.0;
           } else {
             w_cand = inv_q;
@@ -262,6 +266,12 @@ void alias_sample_build_table(const double* weights, i64 n, double* events,
   std::vector<double> scaled(n);
   double total = 0.0;
   for (i64 i = 0; i < n; ++i) total += weights[i];
+  if (!(total > 0.0)) {
+    // all-zero (or negative/NaN) weights: fall back to uniform instead
+    // of dividing by zero and emitting a NaN-poisoned table
+    for (i64 i = 0; i < n; ++i) { events[i] = 1.0; alias[i] = i; }
+    return;
+  }
   for (i64 i = 0; i < n; ++i) scaled[i] = weights[i] * n / total;
   std::vector<i64> small, large;
   small.reserve(n); large.reserve(n);

@@ -29,13 +29,22 @@ _d = ctypes.c_double
 
 
 def _compile() -> bool:
+    # compile to a temp name and rename atomically: concurrent importers
+    # (dataloader workers, multi-host jobs on shared FS) must never dlopen
+    # a half-written library
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-             _SRC, "-o", _SO],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -47,7 +56,11 @@ def _load():
         if not os.path.exists(_SO) or (
                 os.path.exists(_SRC)
                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
-            if not _compile():
+            if not _compile() and not os.path.exists(_SO):
+                # rebuild failed AND no prior library — a stale-but-
+                # loadable .so (e.g. prebuilt, shipped to a g++-less
+                # host whose checkout re-stamped the source mtime) is
+                # still far better than losing the native path
                 _build_failed = True
                 return None
         try:
@@ -111,7 +124,12 @@ def map_nodes(nodes, query):
     if lib is not None:
         lib.map_nodes(nodes, len(nodes), query, len(query), out)
         return out
-    lut = {int(n): i for i, n in enumerate(nodes)}
+    # first occurrence wins on duplicate ids — matching the C++
+    # unordered_map::emplace semantics, so results don't change with
+    # the backend
+    lut = {}
+    for i, n in enumerate(nodes):
+        lut.setdefault(int(n), i)
     for i, q in enumerate(query):
         out[i] = lut.get(int(q), -1)
     return out
@@ -155,8 +173,14 @@ def sample_subset_with_eid(indptr, sorted_v, sorted_eid, query, max_degree,
     return out_indptr, out_v[:cursor], out_eid[:cursor]
 
 
+def _check_walk_len(walk_len):
+    if int(walk_len) < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+
+
 def random_walk(indptr, sorted_v, starts, walk_len, seed=0):
     """First-order walks [num_starts, walk_len]; -1 pads dead ends."""
+    _check_walk_len(walk_len)
     lib = _load()
     indptr, sorted_v, starts = map(_c, (indptr, sorted_v, starts))
     W = len(starts)
@@ -182,22 +206,49 @@ def random_walk(indptr, sorted_v, starts, walk_len, seed=0):
 
 def node2vec_walk(indptr, sorted_v, starts, walk_len, p=1.0, q=1.0, seed=0):
     """Second-order p/q biased walks via rejection sampling."""
+    _check_walk_len(walk_len)
     lib = _load()
-    if lib is None:
-        raise NotImplementedError(
-            "node2vec_walk requires the compiled native kernel")
     indptr, sorted_v, starts = map(_c, (indptr, sorted_v, starts))
     W = len(starts)
     walks = np.empty(W * walk_len, dtype=np.int64)
-    lib.node2vec_walk(indptr, sorted_v, starts, W, int(walk_len), float(p),
-                      float(q), int(seed), walks)
-    return walks.reshape(W, walk_len)
+    if lib is not None:
+        lib.node2vec_walk(indptr, sorted_v, starts, W, int(walk_len),
+                          float(p), float(q), int(seed), walks)
+        return walks.reshape(W, walk_len)
+    # numpy fallback: exact second-order probabilities per step (slow but
+    # correct — the module contract is degrade, never hard-fail)
+    rng = np.random.default_rng(seed)
+    walks = walks.reshape(W, walk_len)
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    for w, start in enumerate(starts):
+        prev, cur = -1, int(start)
+        walks[w, 0] = cur
+        for step in range(1, walk_len):
+            lo, hi = int(indptr[cur]), int(indptr[cur + 1])
+            if lo == hi:
+                walks[w, step:] = -1
+                break
+            nbrs = sorted_v[lo:hi]
+            if prev < 0:
+                nxt = int(nbrs[rng.integers(len(nbrs))])
+            else:
+                pset = set(sorted_v[int(indptr[prev]):
+                                    int(indptr[prev + 1])].tolist())
+                wts = np.where(
+                    nbrs == prev, inv_p,
+                    np.where(np.fromiter((int(x) in pset for x in nbrs),
+                                         bool, len(nbrs)), 1.0, inv_q))
+                nxt = int(nbrs[rng.choice(len(nbrs), p=wts / wts.sum())])
+            walks[w, step] = nxt
+            prev, cur = cur, nxt
+    return walks
 
 
 def node2vec_walk_plus(indptr, sorted_v, starts, walk_len, p=1.0, q=1.0,
                        seed=0):
     """node2vec+ walks: the distance-1 bias class is the union of all
     neighborhoods seen so far in the walk (not just the previous node's)."""
+    _check_walk_len(walk_len)
     lib = _load()
     indptr, sorted_v, starts = map(_c, (indptr, sorted_v, starts))
     W = len(starts)
@@ -272,7 +323,12 @@ def alias_sample_build_table(weights):
     if lib is not None:
         lib.alias_sample_build_table(weights, n, events, alias)
         return events, alias
-    scaled = weights * n / weights.sum()
+    total = float(weights.sum())
+    if not total > 0.0:
+        events[:] = 1.0
+        alias[:] = np.arange(n)
+        return events, alias
+    scaled = weights * n / total
     small = [i for i in range(n) if scaled[i] < 1.0]
     large = [i for i in range(n) if scaled[i] >= 1.0]
     while small and large:
@@ -327,8 +383,35 @@ def metis_partition(indptr, adj, nparts, seed=0):
     indptr, adj = _c(indptr), _c(adj)
     n = len(indptr) - 1
     parts = np.empty(n, dtype=np.int64)
-    if lib is None:
-        raise NotImplementedError(
-            "metis_partition requires the compiled native kernel")
-    lib.metis_style_partition(indptr, adj, n, int(nparts), int(seed), parts)
+    if lib is not None:
+        lib.metis_style_partition(indptr, adj, n, int(nparts), int(seed),
+                                  parts)
+        return parts
+    # numpy fallback: BFS-grown balanced blocks — far weaker cuts than
+    # the multilevel C++ path but a valid partition on g++-less hosts
+    # (the module contract is degrade, never hard-fail)
+    from collections import deque
+    target = -(-n // int(nparts))
+    parts[:] = -1
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    part, size = 0, 0
+    for root in order:
+        if parts[root] >= 0:
+            continue
+        dq = deque([int(root)])
+        while dq and part < int(nparts):
+            v = dq.popleft()
+            if parts[v] >= 0:
+                continue
+            parts[v] = part
+            size += 1
+            if size >= target and part < int(nparts) - 1:
+                part += 1
+                size = 0
+                dq.clear()
+                break
+            dq.extend(int(x) for x in adj[indptr[v]:indptr[v + 1]]
+                      if parts[x] < 0)
+    parts[parts < 0] = int(nparts) - 1
     return parts
