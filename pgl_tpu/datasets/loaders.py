@@ -219,10 +219,49 @@ class ArXivDataset:
         self._load_data()
 
     def _load_data(self):
+        """Reference contract (``pgl/dataset.py:338-383``): raw ids are
+        remapped to a dense 0..N-1 space in first-seen order, undirected
+        edges are deduped, half become held-out ``pos_edges``, an equal
+        count of non-edges become ``neg_edges``, and the remaining half
+        (symmetrized) form ``graph`` — the link-prediction split."""
         _require(self.path, ["arxiv.txt"], "SNAP ca-AstroPh style edge list")
-        edges = np.loadtxt(os.path.join(self.path, "arxiv.txt"),
-                           dtype=np.int64)
-        self.graph = Graph(edges)
+        rng = np.random.default_rng(self.np_random_seed)
+        raw = np.loadtxt(os.path.join(self.path, "arxiv.txt"),
+                         dtype=np.int64, comments="#", ndmin=2)
+        # dense remap in first-seen order (SNAP ids are sparse: ~133k max
+        # id for ~18k real nodes — unmapped they inflate every
+        # node-indexed array)
+        uniq, inv = np.unique(raw.reshape(-1), return_inverse=True)
+        order = np.argsort(np.unique(raw.reshape(-1),
+                                     return_index=True)[1])
+        rank = np.empty(len(uniq), np.int64)
+        rank[order] = np.arange(len(uniq))
+        edges = rank[inv].reshape(-1, 2)
+        num_nodes = len(uniq)
+        self.node2id = {int(u): int(r) for u, r in zip(uniq, rank)}
+
+        lo = np.minimum(edges[:, 0], edges[:, 1])
+        hi = np.maximum(edges[:, 0], edges[:, 1])
+        keep = lo != hi
+        bi = np.unique(np.stack([lo[keep], hi[keep]], 1), axis=0)
+        bi = bi[rng.permutation(len(bi))]
+        bi_set = set(map(tuple, bi.tolist()))
+        half = len(bi) // 2
+        self.pos_edges = [tuple(e) for e in bi[:half].tolist()]
+        neg = []
+        while len(neg) < half:
+            cand = rng.integers(0, num_nodes, (len(bi), 2))
+            for u, v in cand:
+                u, v = int(u), int(v)
+                if u != v and (u, v) not in bi_set \
+                        and (v, u) not in bi_set:
+                    neg.append((u, v))
+                    if len(neg) == half:
+                        break
+        self.neg_edges = neg
+        rest = bi[half:]
+        all_edges = np.concatenate([rest, rest[:, ::-1]])
+        self.graph = Graph(all_edges, num_nodes=num_nodes)
 
 
 class RedditDataset:

@@ -72,9 +72,11 @@ class HeterGraph:
         if isinstance(node_types, np.ndarray) and node_types.ndim == 1 \
                 and not isinstance(node_types[0], (tuple, list)):
             return node_types
-        arr = np.empty(max(num_nodes, len(node_types)), dtype=object)
-        for nid, ntype in node_types:
-            arr[nid] = ntype
+        pairs = list(node_types)
+        hi = max((int(nid) for nid, _ in pairs), default=-1) + 1
+        arr = np.empty(max(num_nodes, hi), dtype=object)
+        for nid, ntype in pairs:
+            arr[int(nid)] = ntype
         return arr
 
     # -- structure ----------------------------------------------------------
@@ -188,7 +190,19 @@ class HeterGraph:
                   for k, v in self._node_feat.items()}
         subgraphs = {}
         for k, g in self._subgraphs.items():
-            gt = g.tensor(sharding) if not g.is_tensor else g
+            if not g.is_tensor:
+                # strip the per-subgraph feature dict before conversion so
+                # the (possibly huge) shared table is device_put exactly
+                # once, not once per edge type
+                saved = g._node_feat
+                g._node_feat = {}
+                try:
+                    gt = g.tensor(sharding)
+                finally:
+                    g._node_feat = saved
+            else:
+                import copy as _copy
+                gt = _copy.copy(g)   # don't mutate the caller's subgraph
             gt._node_feat = shared
             subgraphs[k] = gt
         obj = object.__new__(HeterGraph)
@@ -220,8 +234,11 @@ class HeterGraph:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         if self._node_types is not None:
-            np.save(os.path.join(path, "node_types.npy"),
-                    np.asarray(self._node_types, dtype=str))
+            # keep untyped (None) entries distinguishable from a literal
+            # "None" type after the str cast
+            nt = np.asarray([t if t is not None else "" 
+                             for t in self._node_types], dtype=str)
+            np.save(os.path.join(path, "node_types.npy"), nt)
         for etype, g in self._subgraphs.items():
             g.dump(os.path.join(path, f"etype_{etype}"))
 
@@ -232,7 +249,10 @@ class HeterGraph:
         node_types = None
         ntp = os.path.join(path, "node_types.npy")
         if os.path.exists(ntp):
-            node_types = np.load(ntp, allow_pickle=False)
+            raw = np.load(ntp, allow_pickle=False)
+            node_types = np.empty(len(raw), dtype=object)
+            for i, t in enumerate(raw):
+                node_types[i] = str(t) if str(t) else None
         subgraphs = {etype: Graph.load(os.path.join(path, f"etype_{etype}"),
                                        mmap_mode)
                      for etype in meta["edge_types"]}
@@ -265,7 +285,8 @@ class HeterGraph:
                            for k, g in obj._subgraphs.items()}
         obj._num_nodes = num_nodes
         obj._node_types = node_types
-        obj._node_feat = {}
+        first = next(iter(obj._subgraphs.values()), None)
+        obj._node_feat = dict(getattr(first, "node_feat", {}) or {})
         return obj
 
     def __repr__(self):

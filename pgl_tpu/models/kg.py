@@ -63,6 +63,12 @@ class DistMultScore(ScoreFunc):
     def __call__(self, head, rel, tail):
         return (head * rel * tail).sum(-1)
 
+    def neg_score(self, head, rel, tail, candidates, neg_head: bool = False):
+        # bilinear: one [B, d] x [d, K] matmul on the MXU instead of a
+        # vmapped [B, K, d] elementwise reduce
+        lhs = rel * (tail if neg_head else head)
+        return lhs @ candidates.T
+
 
 class ComplExScore(ScoreFunc):
     """Re(<h, r, conj(t)>) with interleaved complex halves
@@ -74,6 +80,21 @@ class ComplExScore(ScoreFunc):
         tr, ti = jnp.split(tail, 2, -1)
         return (hr * rr * tr + hi * rr * ti
                 + hr * ri * ti - hi * ri * tr).sum(-1)
+
+    def neg_score(self, head, rel, tail, candidates, neg_head: bool = False):
+        # score is linear in the candidate side: fold (fixed, rel) into
+        # per-half coefficients and run one MXU matmul against the raw
+        # candidate matrix
+        rr, ri = jnp.split(rel, 2, -1)
+        if neg_head:
+            tr, ti = jnp.split(tail, 2, -1)
+            a = rr * tr + ri * ti          # coeff of candidate real half
+            b = rr * ti - ri * tr          # coeff of candidate imag half
+        else:
+            hr, hi = jnp.split(head, 2, -1)
+            a = hr * rr - hi * ri
+            b = hi * rr + hr * ri
+        return jnp.concatenate([a, b], -1) @ candidates.T
 
 
 class RotatEScore(ScoreFunc):
@@ -181,14 +202,23 @@ class KGEModel:
             self._score_name = score.lower()
         else:
             self.score = score
-            self._score_name = type(score).__name__
+            # 'RotatEScore' -> 'rotate', so rel_dim/init logic applies to
+            # instances the same as to string names
+            name = type(score).__name__.lower()
+            self._score_name = name[:-5] if name.endswith("score") else name
         self.num_ents = num_ents
         self.num_rels = num_rels
         self.embed_dim = embed_dim
         rel_dim = rel_dim or {
             "rotate": embed_dim // 2}.get(self._score_name, embed_dim)
         rng = np.random.default_rng(seed)
-        scale = (gamma + 2.0) / embed_dim
+        # RotatE's embedding range is (γ+ε)/complex_dim — the score maps
+        # phases by the SAME constant, so a /embed_dim init would confine
+        # rotations to half the phase space
+        if self._score_name == "rotate":
+            scale = (gamma + 2.0) / (embed_dim // 2)
+        else:
+            scale = (gamma + 2.0) / embed_dim
         self.params = {
             "ent": jnp.asarray(rng.uniform(
                 -scale, scale, (num_ents, embed_dim)).astype(np.float32)),
@@ -238,10 +268,11 @@ class KGEModel:
         return (pos_loss + neg_loss) / 2
 
     def predict_all_tails(self, params, h, r):
-        """[B, num_ents] scores for ranking evaluation."""
+        """[B, num_ents] scores for ranking evaluation (sharding pad rows
+        from :func:`sharded_kg_params` are excluded)."""
         ent, rel = params["ent"], params["rel"]
-        return self.score.neg_score(ent[h], rel[r], None, ent,
-                                    neg_head=False)
+        return self.score.neg_score(ent[h], rel[r], None,
+                                    ent[:self.num_ents], neg_head=False)
 
 
 def sample_negatives(h, t, num_ents: int, mode: str, neg_size: int,

@@ -102,3 +102,37 @@ def test_synthetic_generators():
     assert g.num_edges == 3000
     # heavy tail: top node should absorb many edges
     assert int(g.indegree().max()) > 50
+
+
+def test_arxiv_link_prediction_contract(tmp_path):
+    """ArXivDataset remaps sparse SNAP ids densely and produces the
+    reference's link-prediction split: half the undirected edges held
+    out as pos_edges, an equal count of non-edges as neg_edges, the rest
+    symmetrized into graph (reference pgl/dataset.py:338-383)."""
+    from pgl_tpu.datasets.loaders import ArXivDataset
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    ids = rng.choice(100000, 30, replace=False)      # sparse raw ids
+    pairs = {(int(ids[i]), int(ids[j]))
+             for i in range(30) for j in range(30)
+             if i < j and rng.random() < 0.3}
+    d = tmp_path / "arxiv"
+    d.mkdir()
+    with open(d / "arxiv.txt", "w") as f:
+        f.write("# comment line\n")
+        for u, v in pairs:
+            f.write(f"{u}\t{v}\n")
+    ds = ArXivDataset(data_path=str(d))
+    n_bi = len(pairs)
+    assert ds.graph.num_nodes == 30                  # densely remapped
+    assert len(ds.pos_edges) == n_bi // 2
+    assert len(ds.neg_edges) == n_bi // 2
+    # graph holds the remaining half, symmetrized
+    assert ds.graph.num_edges == 2 * (n_bi - n_bi // 2)
+    # neg edges are true non-edges in the remapped space
+    bi = {(min(a, b), max(a, b))
+          for a, b in np.asarray(ds.graph.edges).tolist()} | {
+          (min(a, b), max(a, b)) for a, b in ds.pos_edges}
+    for u, v in ds.neg_edges:
+        assert (min(u, v), max(u, v)) not in bi
