@@ -194,12 +194,29 @@ class ShardedGraph:
 
     def send_u_recv(self, feature, reduce_op: str = "sum"):
         """Edge-sharded SpMM: local masked partial aggregation + ``psum``
-        over the mesh axis (reference allreduce at ``pgl/graph.py:1528``)."""
-        if reduce_op not in ("sum", "mean"):
-            raise NotImplementedError(
-                "sharded send_u_recv supports sum/mean (max/min need a "
-                "masked pmax path); use a single-device Graph for others")
+        (sum/mean) or ``pmax``/``pmin`` (max/min) over the mesh axis
+        (reference allreduce at ``pgl/graph.py:1528``; op matrix at
+        ``pgl/graph.py:860-887``)."""
+        if reduce_op not in ("sum", "mean", "max", "min"):
+            raise ValueError(reduce_op)
         N, ax = self._num_nodes, self.axis
+
+        if reduce_op in ("max", "min"):
+            seg_fn = (jax.ops.segment_max if reduce_op == "max"
+                      else jax.ops.segment_min)
+            comb = jax.lax.pmax if reduce_op == "max" else jax.lax.pmin
+            fill = -jnp.inf if reduce_op == "max" else jnp.inf
+
+            def local(edges, mask, feat):
+                e, m = edges[0], mask[0]
+                mb = (m > 0).reshape((-1,) + (1,) * (feat.ndim - 1))
+                msg = jnp.where(mb, jnp.take(feat, e[:, 0], axis=0), fill)
+                partial = seg_fn(msg, e[:, 1], num_segments=N)
+                partial = comb(partial, ax)
+                # empty-dst contract: no message -> zeros (pgl/graph.py:806)
+                return jnp.where(jnp.isfinite(partial), partial, 0.0)
+
+            return self._shard_map(local, feature)
 
         from ..ops.dispatch import use_pallas_spmm
         use_pallas = (self._shard_layouts is not None
@@ -254,9 +271,14 @@ class ShardedGraph:
     def send_ue_recv(self, feature, edge_feat, message_op: str = "mul",
                      reduce_op: str = "sum"):
         """Edge-weighted sharded SpMM; ``edge_feat`` is ``[S, E_pad, ...]``
-        (sharded, from :meth:`shard_edge_values`)."""
-        if reduce_op != "sum":
-            raise NotImplementedError("sharded send_ue_recv supports sum")
+        (sharded, from :meth:`shard_edge_values`). Full reference op matrix
+        (``pgl/graph.py:889-937``): message add/sub/mul/div × reduce
+        sum/mean/max/min. sum/mean combine partials with ``psum``; max/min
+        with ``pmax``/``pmin``; mean divides by the psum'd edge count."""
+        if message_op not in ("add", "sub", "mul", "div"):
+            raise ValueError(message_op)
+        if reduce_op not in ("sum", "mean", "max", "min"):
+            raise ValueError(reduce_op)
         N, ax = self._num_nodes, self.axis
 
         def local(edges, mask, feat, ef):
@@ -265,15 +287,28 @@ class ShardedGraph:
             w = ef[0]
             if w.ndim < msg.ndim:
                 w = w.reshape(w.shape + (1,) * (msg.ndim - w.ndim))
-            if message_op == "mul":
-                msg = msg * w
-            elif message_op == "add":
-                msg = msg + w
-            else:
-                raise NotImplementedError(message_op)
-            msg = msg * m.reshape((-1,) + (1,) * (msg.ndim - 1))
-            partial = jax.ops.segment_sum(msg, e[:, 1], num_segments=N)
-            return jax.lax.psum(partial, ax)
+            msg = {"add": msg + w, "sub": msg - w,
+                   "mul": msg * w, "div": msg / w}[message_op]
+            mb = (m > 0).reshape((-1,) + (1,) * (msg.ndim - 1))
+            if reduce_op in ("sum", "mean"):
+                # where (not multiply) masking: div pads produce inf/nan
+                partial = jax.ops.segment_sum(
+                    jnp.where(mb, msg, 0.0), e[:, 1], num_segments=N)
+                out = jax.lax.psum(partial, ax)
+                if reduce_op == "mean":
+                    deg = jax.lax.psum(
+                        jax.ops.segment_sum(m, e[:, 1], num_segments=N), ax)
+                    out = out / jnp.maximum(deg, 1.0).reshape(
+                        (-1,) + (1,) * (out.ndim - 1))
+                return out
+            seg_fn = (jax.ops.segment_max if reduce_op == "max"
+                      else jax.ops.segment_min)
+            comb = jax.lax.pmax if reduce_op == "max" else jax.lax.pmin
+            fill = -jnp.inf if reduce_op == "max" else jnp.inf
+            partial = seg_fn(jnp.where(mb, msg, fill), e[:, 1],
+                             num_segments=N)
+            partial = comb(partial, ax)
+            return jnp.where(jnp.isfinite(partial), partial, 0.0)
 
         ef_spec = P(self.axis, None) if edge_feat.ndim == 2 \
             else P(self.axis, None, None)

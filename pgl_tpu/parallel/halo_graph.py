@@ -606,9 +606,14 @@ class HaloGraph:
                      reduce_op: str = "sum"):
         """Edge-weighted halo aggregation; ``edge_feat`` is the sharded
         ``[S, E_pad(, ...)]`` layout from :meth:`shard_edge_values` (local
-        block then remote block)."""
-        if reduce_op != "sum":
-            raise NotImplementedError("halo send_ue_recv supports sum")
+        block then remote block).  Full reference op matrix
+        (``pgl/graph.py:889-937``): message add/sub/mul/div × reduce
+        sum/mean/max/min — every in-edge of an owned dst lives on its
+        owner's shard, so mean/max/min need no cross-shard combine."""
+        if message_op not in ("add", "sub", "mul", "div"):
+            raise ValueError(message_op)
+        if reduce_op not in ("sum", "mean", "max", "min"):
+            raise ValueError(reduce_op)
         ax = self.axis
         el_pad = self.local_edges.shape[1]
 
@@ -626,21 +631,40 @@ class HaloGraph:
                 if wv.ndim < msg.ndim:
                     wv = wv.reshape(wv.shape
                                     + (1,) * (msg.ndim - wv.ndim))
-                if message_op == "mul":
-                    return msg * wv
-                if message_op == "add":
-                    return msg + wv
-                raise NotImplementedError(message_op)
+                return {"add": msg + wv, "sub": msg - wv,
+                        "mul": msg * wv, "div": msg / wv}[message_op]
 
-            def mask(msg, m):
-                return msg * m.reshape((-1,) + (1,) * (msg.ndim - 1))
+            def masked(msg, m, fill):
+                # where (not multiply): div pads produce inf/nan
+                mb = (m > 0).reshape((-1,) + (1,) * (msg.ndim - 1))
+                return jnp.where(mb, msg, fill)
 
-            lmsg = mask(combine(jnp.take(xs, le[:, 0], axis=0), wl), lm)
-            out = jax.ops.segment_sum(lmsg, le[:, 1], num_segments=n_pad)
-            rmsg = mask(combine(jnp.take(halo_flat, re_[:, 0], axis=0), wr),
-                        rm)
-            out = out + jax.ops.segment_sum(rmsg, re_[:, 1],
-                                            num_segments=n_pad)
+            lmsg = combine(jnp.take(xs, le[:, 0], axis=0), wl)
+            rmsg = combine(jnp.take(halo_flat, re_[:, 0], axis=0), wr)
+            if reduce_op in ("sum", "mean"):
+                out = (jax.ops.segment_sum(masked(lmsg, lm, 0.0), le[:, 1],
+                                           num_segments=n_pad)
+                       + jax.ops.segment_sum(masked(rmsg, rm, 0.0),
+                                             re_[:, 1], num_segments=n_pad))
+                if reduce_op == "mean":
+                    deg = (jax.ops.segment_sum(lm, le[:, 1],
+                                               num_segments=n_pad)
+                           + jax.ops.segment_sum(rm, re_[:, 1],
+                                                 num_segments=n_pad))
+                    out = out / jnp.maximum(deg, 1.0).reshape(
+                        (-1,) + (1,) * (out.ndim - 1))
+            else:
+                seg_fn = (jax.ops.segment_max if reduce_op == "max"
+                          else jax.ops.segment_min)
+                pick = jnp.maximum if reduce_op == "max" else jnp.minimum
+                fill = -jnp.inf if reduce_op == "max" else jnp.inf
+                out = pick(
+                    seg_fn(masked(lmsg, lm, fill), le[:, 1],
+                           num_segments=n_pad),
+                    seg_fn(masked(rmsg, rm, fill), re_[:, 1],
+                           num_segments=n_pad))
+                # empty-dst contract: no message -> zeros (pgl/graph.py:806)
+                out = jnp.where(jnp.isfinite(out), out, 0.0)
             return out[None]
 
         ef_spec = _shard_spec(ax, edge_feat.ndim)

@@ -62,14 +62,31 @@ def test_sharded_degree_matches(graphs):
                                   np.asarray(gt.outdegree()))
 
 
-def test_sharded_send_ue_recv_matches(graphs):
+@pytest.mark.parametrize("message_op", ["add", "sub", "mul", "div"])
+@pytest.mark.parametrize("reduce_op", ["sum", "mean", "max", "min"])
+def test_sharded_send_ue_recv_matches(graphs, message_op, reduce_op):
+    """Full reference op matrix (pgl/graph.py:889-937) on the edge-sharded
+    layout: sum/mean combine via psum, max/min via pmax/pmin."""
     gt, sg = graphs
-    w = rng.normal(size=(E,)).astype(np.float32)
-    ref = gt.send_ue_recv(gt.node_feat["h"], jnp.asarray(w), "mul", "sum")
+    w = (rng.uniform(0.5, 1.5, (E,)) * np.sign(rng.normal(size=E))
+         ).astype(np.float32)
+    ref = gt.send_ue_recv(gt.node_feat["h"], jnp.asarray(w),
+                          message_op, reduce_op)
     out = sg.send_ue_recv(jnp.asarray(FEAT), sg.shard_edge_values(w),
-                          "mul", "sum")
+                          message_op, reduce_op)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_sharded_send_u_recv_minmax(graphs, op):
+    """Cross-shard max/min need a pmax/pmin combine of per-shard partials
+    (a dst's edges span shards under edge partitioning)."""
+    gt, sg = graphs
+    ref = gt.send_recv(gt.node_feat["h"], op)
+    out = sg.send_u_recv(jnp.asarray(FEAT), op)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_sddmm_and_softmax_match(graphs):
