@@ -64,15 +64,17 @@ def main():
 
     t0 = time.time()
     for epoch in range(args.epochs):
-        for b in batches:
+        # double-buffered: batch k+1's history pull and batch k-1's push
+        # overlap batch k's step (reference base_model.py:31-100 overlap)
+        for b, halo in gas.iter_batches(batches):
             x = jnp.asarray(feat[b["nodes"]])
-            halo = gas.pull_halo(b)
             yb = jnp.asarray(y[b["nodes"][:b["batch_size"]]])
             (loss, fresh), grads = jax.value_and_grad(
                 batch_loss, has_aux=True)(params, b, x, halo, yb)
-            gas.push_fresh(b, fresh)
+            gas.push_fresh_async(b, fresh)
             updates, opt_state = opt.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
+        gas.pool.synchronize()
     logits = gas.inference_full(params, g, g.node_feat["h"])
     acc = float((logits.argmax(-1) == jnp.asarray(y)).mean())
     print(f"GAS ({args.method}, {args.num_parts} parts): acc {acc:.4f} "

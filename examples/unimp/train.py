@@ -34,22 +34,40 @@ def main():
     parser.add_argument("--label-rate", type=float, default=0.6,
                         help="fraction of train labels fed during training")
     parser.add_argument("--lr", type=float, default=5e-3)
+    parser.add_argument("--data-path", default=None,
+                        help="extracted ogbn_arxiv dir (raw/ + split/time/)"
+                             "; omit to run the planted-partition synthetic")
     args = parser.parse_args()
 
-    g, y = community_graph(num_nodes=1500, num_classes=5, feat_dim=32,
-                           avg_degree=6, noise=1.4, p_inter=0.1, seed=1)
-    g = add_self_loops(to_undirected(g))
-    gt = g.tensor()
-    x = gt.node_feat["h"]
-    yj = jnp.asarray(y)
-    perm = np.random.default_rng(0).permutation(g.num_nodes)
-    train_idx = jnp.asarray(perm[:600])
-    test_idx = jnp.asarray(perm[900:])
-    train_mask = jnp.zeros(g.num_nodes, bool).at[train_idx].set(True)
+    if args.data_path:
+        # reference config: ogb_examples/nodeproppred/unimp (arxiv
+        # full-batch); the OGB time split replaces the random one
+        from pgl_tpu.datasets import OgbnArxivDataset
+        ds = OgbnArxivDataset(data_path=args.data_path)
+        g = add_self_loops(to_undirected(ds.graph))
+        feat = ds.feature.astype(np.float32)
+        y = ds.y.reshape(-1)
+        num_class = ds.num_classes
+        train_idx_np, test_idx_np = ds.train_index, ds.test_index
+    else:
+        g, y = community_graph(num_nodes=1500, num_classes=5, feat_dim=32,
+                               avg_degree=6, noise=1.4, p_inter=0.1, seed=1)
+        g = add_self_loops(to_undirected(g))
+        feat = np.asarray(g.node_feat["h"])
+        num_class = 5
+        perm = np.random.default_rng(0).permutation(g.num_nodes)
+        train_idx_np, test_idx_np = perm[:600], perm[900:]
 
-    model = UniMP(input_size=32, num_class=5, num_layers=args.layers,
-                  hidden_size=args.hidden, num_heads=args.heads,
-                  dropout=0.1)
+    gt = g.tensor()
+    x = jnp.asarray(feat)
+    yj = jnp.asarray(y)
+    test_idx = jnp.asarray(test_idx_np)
+    train_mask = jnp.zeros(g.num_nodes, bool).at[
+        jnp.asarray(train_idx_np)].set(True)
+
+    model = UniMP(input_size=x.shape[1], num_class=num_class,
+                  num_layers=args.layers, hidden_size=args.hidden,
+                  num_heads=args.heads, dropout=0.1)
     params = model.init(jax.random.key(0), gt, x, yj, train_mask)
     opt = optax.adamw(args.lr, weight_decay=5e-4)
     opt_state = opt.init(params)

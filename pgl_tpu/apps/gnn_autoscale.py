@@ -15,10 +15,18 @@ partition:
   2. run layer k on [batch ∪ halo] with exact in-batch features and
      historical halo features,
   3. push the fresh in-batch activations back into history k.
+
+Pull/push overlap with compute PGLBox-style (reference ``StreamPool``
+rotation, ``pgl/utils/stream_pool.py:27-80``, driven from
+``apps/GNNAutoScale/gnn_models/base_model.py:31-100``): while batch ``k``
+trains, batch ``k+1``'s halo rows are already staging host→HBM and batch
+``k-1``'s fresh activations are scattering HBM→host on pool threads —
+:meth:`ScalableGNN.iter_batches` / :meth:`ScalableGNN.push_fresh_async`.
 """
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -27,26 +35,47 @@ import jax.numpy as jnp
 
 from ..partition import metis_partition, random_partition
 from ..sampling.custom import subgraph as extract_subgraph
+from ..utils.stream_pool import StreamPool
 
 __all__ = ["History", "ScalableGNN", "partition_batches"]
 
 
 class History:
-    """Host-RAM per-layer activation history (reference ``history.py:25``)."""
+    """Host-RAM per-layer activation history (reference ``history.py:25``).
+
+    A per-history lock serializes concurrent async pull/push touching the
+    same buffer (the reference orders these with CUDA stream events) —
+    GAS reads may be one step staler, never torn.
+    """
 
     def __init__(self, num_embs: int, emb_dim: int, dtype=np.float32):
         self.emb = np.zeros((num_embs, emb_dim), dtype=dtype)
+        self._lock = threading.Lock()
 
     def pull(self, index) -> jnp.ndarray:
         """Host → device gather of history rows."""
-        return jnp.asarray(self.emb[np.asarray(index)])
+        with self._lock:
+            rows = np.ascontiguousarray(self.emb[np.asarray(index)])
+        return jnp.asarray(rows)
 
     def push(self, index, values):
         """Device → host scatter of fresh activations."""
-        self.emb[np.asarray(index)] = np.asarray(values)
+        values = np.asarray(values)        # device readback outside the lock
+        with self._lock:
+            self.emb[np.asarray(index)] = values
+
+    def async_pull(self, index, pool: StreamPool):
+        """Queue :meth:`pull` on the pool; returns a future of the device
+        array (reference ``async_pull``, ``stream_pool.py:40``)."""
+        return pool.submit(self.pull, index)
+
+    def async_push(self, index, values, pool: StreamPool):
+        """Queue :meth:`push` on the pool (reference ``async_push``)."""
+        return pool.submit(self.push, index, values)
 
     def reset(self):
-        self.emb[:] = 0
+        with self._lock:
+            self.emb[:] = 0
 
 
 def partition_batches(graph, num_parts: int, method: str = "metis",
@@ -89,16 +118,46 @@ class ScalableGNN:
     """
 
     def __init__(self, num_nodes: int, layer_fns: Sequence[Callable],
-                 hidden_dims: Sequence[int]):
+                 hidden_dims: Sequence[int], pool_size: int = 2):
         assert len(hidden_dims) == len(layer_fns) - 1
         self.layer_fns = list(layer_fns)
         self.histories = [History(num_nodes, d) for d in hidden_dims]
+        self.pool = StreamPool(pool_size)
 
     def pull_halo(self, batch):
         """Fetch each layer's historical rows for the batch's halo nodes
         (host→device, *before* the jitted/grad-traced compute)."""
         halo = batch["nodes"][batch["batch_size"]:]
         return [h.pull(halo) for h in self.histories]
+
+    def prefetch_halo(self, batch):
+        """Async :meth:`pull_halo`: queue every layer's halo-row staging on
+        the stream pool; returns a list of futures."""
+        halo = batch["nodes"][batch["batch_size"]:]
+        return [h.async_pull(halo, self.pool) for h in self.histories]
+
+    def push_fresh_async(self, batch, fresh):
+        """Async :meth:`push_fresh`: the device→host scatter of each
+        layer's fresh rows overlaps the next batch's compute."""
+        in_batch = batch["nodes"][:batch["batch_size"]]
+        for hist, values in zip(self.histories, fresh):
+            hist.async_push(in_batch, values, self.pool)
+
+    def iter_batches(self, batches):
+        """Double-buffered epoch iterator: yields ``(batch, halo_inputs)``
+        with batch ``k+1``'s history pull already in flight while batch
+        ``k`` trains (reference overlap at ``base_model.py:31-100``).
+        Combine with :meth:`push_fresh_async` for write-side overlap; call
+        ``self.pool.synchronize()`` at epoch end before evaluation.
+        """
+        if not batches:
+            return
+        nxt = self.prefetch_halo(batches[0])
+        for i, b in enumerate(batches):
+            cur = [f.result() for f in nxt]
+            if i + 1 < len(batches):
+                nxt = self.prefetch_halo(batches[i + 1])
+            yield b, cur
 
     def forward_batch(self, params_list, batch, x, halo_inputs):
         """One partition's pure forward.

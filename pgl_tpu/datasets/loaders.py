@@ -301,18 +301,62 @@ class RedditDataset:
 
 
 class OgbnArxivDataset:
-    """ogbn-arxiv through the ``ogb`` package (reference
-    ``pgl/dataset.py:476-523``); requires ogb installed and its data
-    downloaded."""
+    """ogbn-arxiv (reference ``pgl/dataset.py:476-523``).
 
-    def __init__(self):
+    Two load paths:
+      * ``data_path`` pointing at the extracted OGB directory
+        (``raw/{edge,node-feat,node-label,num-node-list}.csv[.gz]`` +
+        ``split/time/{train,valid,test}.csv[.gz]``) — parsed directly, no
+        ``ogb`` package needed;
+      * no ``data_path`` — the ``ogb`` package's ``NodePropPredDataset``
+        (requires ogb installed and its data downloaded, like the
+        reference).
+    """
+
+    def __init__(self, data_path: Optional[str] = None):
+        if data_path is not None:
+            self._load_raw(data_path)
+            return
         try:
             from ogb.nodeproppred import NodePropPredDataset
         except ImportError as e:
             raise ImportError(
-                "Please run `pip install ogb` to install ogb library.") from e
+                "Please run `pip install ogb` to install ogb library, or "
+                "pass data_path to the extracted ogbn_arxiv directory."
+            ) from e
         self.dataset = NodePropPredDataset(name="ogbn-arxiv")
         self._load_data()
+
+    @staticmethod
+    def _csv(path, dtype):
+        """Load OGB's headerless csv / csv.gz (np handles .gz natively)."""
+        for p in (path, path + ".gz"):
+            if os.path.exists(p):
+                arr = np.loadtxt(p, delimiter=",", dtype=dtype, ndmin=2)
+                return arr
+        raise FileNotFoundError(
+            f"{path}[.gz] not found — expected the OGB extracted layout "
+            "(ogbn_arxiv/raw + ogbn_arxiv/split/time)")
+
+    def _load_raw(self, path):
+        raw = os.path.join(path, "raw")
+        num_nodes = int(self._csv(
+            os.path.join(raw, "num-node-list.csv"), np.int64)[0, 0])
+        edges = self._csv(os.path.join(raw, "edge.csv"), np.int64)
+        self.feature = self._csv(
+            os.path.join(raw, "node-feat.csv"), np.float32)
+        label = self._csv(
+            os.path.join(raw, "node-label.csv"), np.int64)
+        split_dir = os.path.join(path, "split", "time")
+        self.graph = Graph(edges, num_nodes=num_nodes)
+        self.y = label
+        self.num_classes = int(label.max()) + 1
+        self.train_index = self._csv(
+            os.path.join(split_dir, "train.csv"), np.int64).reshape(-1)
+        self.val_index = self._csv(
+            os.path.join(split_dir, "valid.csv"), np.int64).reshape(-1)
+        self.test_index = self._csv(
+            os.path.join(split_dir, "test.csv"), np.int64).reshape(-1)
 
     def _load_data(self):
         split = self.dataset.get_idx_split()

@@ -298,6 +298,14 @@ class Graph:
                         and use_pallas_spmm(feature, self._num_edges):
                     from .ops.pallas.segment_kernels import spmm
                     csc, csr = self._spmm_layouts[:2]
+                    dedup = self._dedup_layouts()
+
+                    def run(f):
+                        if dedup is not None:
+                            from .ops.pallas.dedup_kernels import spmm_dedup
+                            return spmm_dedup(f, *dedup)
+                        return spmm(f, csc, csr)
+
                     d = feature.shape[1]
                     if d % 128:
                         # zero-pad narrow features to the lane width: the
@@ -308,9 +316,9 @@ class Graph:
                             [feature,
                              jnp.zeros((feature.shape[0], pad),
                                        feature.dtype)], axis=1)
-                        out = spmm(fpad, csc, csr)[:, :d]
+                        out = run(fpad)[:, :d]
                     else:
-                        out = spmm(feature, csc, csr)
+                        out = run(feature)
                 else:
                     out = S.segment_sum(
                         mp.gather_rows(feature, idx.sorted_v),
@@ -344,20 +352,38 @@ class Graph:
                 from .ops.pallas.segment_kernels import spmm_weighted
                 csc, csr = self._spmm_layouts[:2]
                 w = ew.reshape(-1).astype(feature.dtype)
-                w_csc = jnp.zeros(csc.padded_v.shape[0], feature.dtype
-                                  ).at[:self._num_edges].set(
-                    jnp.take(w, self.adj_dst_index.sorted_eid))
-                w_csr = jnp.zeros(csr.padded_v.shape[0], feature.dtype
-                                  ).at[:self._num_edges].set(
-                    jnp.take(w, self.adj_src_index.sorted_eid))
+                w_csc_e = jnp.take(w, self.adj_dst_index.sorted_eid)
+                w_csr_e = jnp.take(w, self.adj_src_index.sorted_eid)
+                dedup = self._dedup_layouts()
+                E = self._num_edges
+
+                def run(f):
+                    if dedup is not None:
+                        from .ops.pallas.dedup_kernels import (
+                            spmm_dedup_weighted)
+                        csc_d, csr_d = dedup
+                        wd_csc = jnp.zeros(
+                            csc_d.padded_v.shape[0], f.dtype
+                        ).at[:E].set(jnp.take(w_csc_e, csc_d.eid))
+                        wd_csr = jnp.zeros(
+                            csr_d.padded_v.shape[0], f.dtype
+                        ).at[:E].set(jnp.take(w_csr_e, csr_d.eid))
+                        return spmm_dedup_weighted(f, wd_csc, wd_csr,
+                                                   csc_d, csr_d)
+                    w_csc = jnp.zeros(csc.padded_v.shape[0], f.dtype
+                                      ).at[:E].set(w_csc_e)
+                    w_csr = jnp.zeros(csr.padded_v.shape[0], f.dtype
+                                      ).at[:E].set(w_csr_e)
+                    return spmm_weighted(f, w_csc, w_csr, csc, csr)
+
                 d = feature.shape[1]
                 if d % 128:
                     pad = (-d) % 128
                     fpad = jnp.concatenate(
                         [feature, jnp.zeros((feature.shape[0], pad),
                                             feature.dtype)], axis=1)
-                    return spmm_weighted(fpad, w_csc, w_csr, csc, csr)[:, :d]
-                return spmm_weighted(feature, w_csc, w_csr, csc, csr)
+                    return run(fpad)[:, :d]
+                return run(feature)
         if self._adj_dst_index is not None:
             idx = self._adj_dst_index
             ef = jnp.take(edge_feat, idx.sorted_eid, axis=0)
@@ -444,7 +470,40 @@ class Graph:
         inv_csc[np.asarray(dst_idx.sorted_eid)] = np.arange(self._num_edges)
         perm = jnp.asarray(
             inv_csc[np.asarray(src_idx.sorted_eid)].astype(np.int32))
-        return (csc, csr, perm)
+
+        # two-phase unique-src layouts: gather each distinct src once per
+        # dst row block instead of once per edge (measured 3.7x SpMM fwd on
+        # the 2M-edge bench graph, experiments/unique_dedup/). Built when
+        # the graph is big enough that the gather floor dominates.
+        csc_d = csr_d = None
+        if os.environ.get("PGL_TPU_DEDUP", "1") != "0":
+            min_e = int(os.environ.get("PGL_TPU_DEDUP_MIN_EDGES", 262144))
+            max_e = int(os.environ.get("PGL_TPU_DEDUP_MAX_EDGES",
+                                       64 * 1024 * 1024))
+            if min_e <= self._num_edges <= max_e:
+                from .ops.pallas.dedup_kernels import build_dedup_layout
+                # skip near-regular graphs where blocks see no src
+                # repetition (the kernel would pay its inner matmul for a
+                # ~1x gather); 0.55 ≈ break-even from the A/B sweep
+                csc_d = build_dedup_layout(np.asarray(dst_idx.indptr),
+                                           np.asarray(dst_idx.sorted_v),
+                                           self._num_nodes, max_ratio=0.55)
+                csr_d = build_dedup_layout(np.asarray(src_idx.indptr),
+                                           np.asarray(src_idx.sorted_v),
+                                           self._num_nodes, max_ratio=0.55
+                                           ) if csc_d is not None else None
+                if csr_d is None:
+                    csc_d = None
+        return (csc, csr, perm, csc_d, csr_d)
+
+    def _dedup_layouts(self):
+        """(csc_d, csr_d) when the two-phase unique-src layouts were built
+        and we're on a TPU backend, else None."""
+        lays = self._spmm_layouts
+        if (lays is None or len(lays) < 5 or lays[3] is None
+                or jax.default_backend() != "tpu"):
+            return None
+        return lays[3], lays[4]
 
     def numpy(self) -> "Graph":
         if not self._is_tensor:

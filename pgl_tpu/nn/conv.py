@@ -190,7 +190,7 @@ class GATConv(nn.Module):
                 v = jnp.concatenate(
                     [v, jnp.zeros((v.shape[0], dv_pad - H * Dh),
                                   v.dtype)], axis=1)
-            csc, csr, perm = graph._spmm_layouts
+            csc, csr, perm = graph._spmm_layouts[:3]
             if drop_in_kernel:
                 # additive-score kernel: exact f32 VPU scores, no matmul
                 from ..ops.pallas.attention_kernels import (
@@ -466,7 +466,7 @@ class TransformerConv(nn.Module):
             # fused SDDMM+softmax+aggregate Pallas kernel (attention-prob
             # dropout applied in-kernel when training)
             from ..ops.pallas.attention_kernels import fused_graph_attention
-            csc, csr, perm = graph._spmm_layouts
+            csc, csr, perm = graph._spmm_layouts[:3]
             rate = float(self.attn_drop) if training else 0.0
             seed = _attn_drop_seed(self, rate)
             output = fused_graph_attention(

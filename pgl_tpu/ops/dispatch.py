@@ -51,7 +51,7 @@ def use_fused_attention(graph, num_edges: int, training_attn_drop: bool
     layouts = getattr(graph, "_spmm_layouts", None)
     # the attention layers unpack (csc, csr, perm); BiGraph carries a
     # 2-tuple (csc, csr) and must take the unfused path
-    if layouts is None or len(layouts) != 3:
+    if layouts is None or len(layouts) < 3:
         return False
     ok = num_edges >= _MIN_EDGES
     if flag in ("1", "true", "on"):

@@ -1,0 +1,408 @@
+"""Two-phase unique-src SpMM: beat the XLA gather floor by gathering each
+distinct source row once per dst row block.
+
+The single-chip SpMM floor is the ``[E, D]`` gather of source rows (~10
+ns/row, insensitive to locality — ``experiments/fused_gather/README.md``).
+But on the graphs that matter (powerlaw / preferential attachment, the
+bench graph, real social/citation graphs) the edges of one ``NB``-row dst
+block reference far fewer than ``E_block`` distinct sources — hubs repeat:
+measured U/E = 0.106 at NB=256 on the 2M-edge bench graph
+(``experiments/unique_dedup/measure_ratio.py``). So:
+
+  phase 1 (XLA)    ``uniq = feature[uv]`` — one hardware gather of
+                   ``U ≈ 0.13·E`` rows instead of ``E``.
+  phase 2 (Pallas) per (dst block, rank window): DMA the window's ``W``
+                   uniq rows (contiguous!) into VMEM and expand+reduce on
+                   the MXU:
+                   ``acc += onehot_dst[NB,ET] @ (onehot_rankᵀ[ET,W] @ win[W,D])``
+
+Within a block, edges are sorted by their source's rank in the block's
+unique table, so each ``W``-rank window owns a contiguous edge span — the
+window DMA is a plain slice, never a gather. Both one-hot compares use the
+aligned-superset trick of the base kernel (`segment_kernels._kernel`):
+edges outside the current block fail the dst compare, edges outside the
+current window fail the rank compare, so ET-aligned tile DMAs need no
+masking. Edge weights fold into the rank one-hot (its nonzero value is the
+edge's weight instead of 1.0) at zero extra cost.
+
+MXU work grows ~1.9× (measured packing: slots 1.28×E at W=128/ET=512, each
+paying (NB+W)·D MACs vs NB·D), but the gather bill — the actual floor —
+drops ~7.6×.
+
+Replaces the same CUDA fused ops as the base kernel (``pgl/graph.py:860``,
+``pgl/math.py:36``); this variant has no reference analog — it exists
+because TPU's gather is the bottleneck where CUDA's scatter was.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["DedupLayout", "build_dedup_layout", "spmm_dedup",
+           "spmm_dedup_weighted", "NBD_DEFAULT", "ETD_DEFAULT", "W_DEFAULT"]
+
+NBD_DEFAULT = 256     # output rows per dst block
+ETD_DEFAULT = 1024    # edges per DMA tile
+W_DEFAULT = 128       # uniq rows per rank window
+
+_ROW_SENTINEL = np.int32(-(1 << 30))
+
+
+@jax.tree_util.register_pytree_node_class
+class DedupLayout:
+    """Device-resident layout for the two-phase SpMM.
+
+    uv:          [Upad] int32 — concatenated per-block unique src ids,
+                 each block's run padded to a multiple of W (pad = 0)
+    padded_v:    [Ep] int32 src id per edge in dedup order (backward dw)
+    padded_ids:  [Ep/128, 128] int32 dst ids, dedup edge order, sentinel
+                 ``n_pad`` at pads
+    padded_rows: [Ep/128, 128] int32 global uniq-row index per edge
+                 (``uv_off[blk] + rank``), sentinel far outside any window
+    pair_ts/te:  [P] int32 ET-aligned start / exclusive end edge offsets
+                 per (block, window) pair
+    pair_blk:    [P] int32 output block index per pair (sorted ascending)
+    pair_wb:     [P] int32 global uniq-row offset of the pair's window
+    eid:         [E] int32 — for dedup position i, the CSC/CSR-order edge
+                 position it came from (permute weights with ``w[eid]``)
+    """
+
+    def __init__(self, uv, padded_v, padded_ids, padded_rows,
+                 pair_ts, pair_te, pair_blk, pair_wb, eid,
+                 num_segments: int, num_edges: int, w: int):
+        self.uv = uv
+        self.padded_v = padded_v
+        self.padded_ids = padded_ids
+        self.padded_rows = padded_rows
+        self.pair_ts = pair_ts
+        self.pair_te = pair_te
+        self.pair_blk = pair_blk
+        self.pair_wb = pair_wb
+        self.eid = eid
+        self.num_segments = num_segments
+        self.num_edges = num_edges
+        self.w = w
+
+    def tree_flatten(self):
+        return ((self.uv, self.padded_v, self.padded_ids, self.padded_rows,
+                 self.pair_ts, self.pair_te, self.pair_blk, self.pair_wb,
+                 self.eid),
+                (self.num_segments, self.num_edges, self.w))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def build_dedup_layout(indptr, sorted_v, num_segments: int,
+                       nb: int = NBD_DEFAULT, et: int = ETD_DEFAULT,
+                       w: int = W_DEFAULT,
+                       max_ratio: float = 0.0) -> Optional[DedupLayout]:
+    """Host-side (numpy) construction from a CSC/CSR index; O(E log E).
+
+    ``max_ratio`` > 0: return None when the padded unique-row count exceeds
+    ``max_ratio * E`` — on such graphs (near-regular, no src repetition
+    within blocks) the two-phase kernel pays its extra inner matmul without
+    a gather saving, so the caller should stay on the base kernel.
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    src = np.asarray(sorted_v, dtype=np.int64)
+    E = len(src)
+    N = num_segments
+    n_pad = (N + nb - 1) // nb * nb
+    G = n_pad // nb
+
+    dst = np.repeat(np.arange(N, dtype=np.int64), np.diff(indptr))
+    blk = dst // nb
+
+    # per-block unique src table + per-edge rank
+    key = blk * N + src
+    uniq, inv = np.unique(key, return_inverse=True)
+    ublk = (uniq // N).astype(np.int64)
+    ub = np.bincount(ublk, minlength=G)              # uniques per block
+    ubp = (ub + w - 1) // w * w                      # padded to W windows
+    if max_ratio and E and float(ubp.sum()) / E > max_ratio:
+        return None
+    uv_off = np.zeros(G + 1, np.int64)
+    np.cumsum(ubp, out=uv_off[1:])
+    Upad = int(uv_off[-1])
+    blk_first = np.zeros(G, np.int64)
+    np.cumsum(ub, out=blk_first)                     # exclusive via shift
+    blk_first = np.concatenate([[0], blk_first[:-1]])
+    rank = np.arange(len(uniq), dtype=np.int64) - blk_first[ublk]
+    # +w tail: an empty block's window DMA reads [uv_off[b], +w) which can
+    # sit at Upad; the rows are never referenced (no edges) but must exist
+    uv = np.zeros(Upad + w, np.int32)
+    uv[uv_off[ublk] + rank] = (uniq % N).astype(np.int32)
+
+    grow = (uv_off[blk] + rank[inv])                 # per-edge global row
+    # dedup edge order: by (block, grow); blocks are already contiguous
+    order = np.lexsort((grow, blk))
+    blk_o, grow_o, dst_o, src_o = (blk[order], grow[order], dst[order],
+                                   src[order])
+
+    # (block, window) pairs: windows per block = max(ceil(ub/w), 1)
+    nw = np.maximum(ubp // w, 1)
+    P = int(nw.sum())
+    pair_blk = np.repeat(np.arange(G, dtype=np.int64), nw)
+    win_in_blk = np.arange(P, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+    pair_wb = uv_off[pair_blk] + win_in_blk * w
+    # edge span per pair: edges sorted by (blk, grow) → searchsorted on the
+    # composite (blk, window) key
+    ekey = blk_o * (int(nw.max()) + 1) + (grow_o - uv_off[blk_o]) // w
+    pkey = pair_blk * (int(nw.max()) + 1) + win_in_blk
+    starts = np.searchsorted(ekey, pkey, side="left")
+    ends = np.searchsorted(ekey, pkey, side="right")
+    pair_ts = (starts // et) * et
+    pair_te = ends
+
+    Ep = max(((E + et - 1) // et) * et + et, et)
+    padded_v = np.zeros(Ep, np.int32)
+    padded_v[:E] = src_o
+    padded_ids = np.full(Ep, n_pad, np.int32)
+    padded_ids[:E] = dst_o
+    padded_rows = np.full(Ep, _ROW_SENTINEL, np.int32)
+    padded_rows[:E] = grow_o
+    return DedupLayout(
+        jnp.asarray(uv), jnp.asarray(padded_v),
+        jnp.asarray(padded_ids.reshape(-1, 128)),
+        jnp.asarray(padded_rows.reshape(-1, 128)),
+        jnp.asarray(pair_ts.astype(np.int32)),
+        jnp.asarray(pair_te.astype(np.int32)),
+        jnp.asarray(pair_blk.astype(np.int32)),
+        jnp.asarray(pair_wb.astype(np.int32)),
+        jnp.asarray(order.astype(np.int32)),
+        int(N), int(E), int(w))
+
+
+def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
+                  uniq_ref,                          # [Upad, D] HBM
+                  ids_ref,                           # [Ep/128, 128] HBM
+                  rows_ref,                          # [Ep/128, 128] HBM
+                  out_ref,                           # [NB, D] VMEM
+                  win_tile, ids_tile, rows_tile, oh_dst, oh_w,
+                  sem_w, sem_i, sem_r,
+                  *, NB: int, ET: int, W: int, D: int, P: int,
+                  weighted: bool, w_ref=None, w_tile=None, sem_e=None):
+    p = pl.program_id(0)
+    e0 = ts_ref[p]
+    e1 = te_ref[p]
+    num_tiles = (e1 - e0 + ET - 1) // ET
+    row_base = blk_ref[p] * NB
+    wb = wb_ref[p]
+    ER = ET // 128
+
+    def win_dma(slot, q):
+        return pltpu.make_async_copy(
+            uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
+            win_tile.at[slot], sem_w.at[slot])
+
+    # window double-buffer across grid steps: step p waits the DMA started
+    # at step p-1 and prefetches pair p+1's window
+    @pl.when(p == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(p + 1 < P)
+    def _():
+        win_dma((p + 1) % 2, p + 1).start()
+
+    def tile_dma(slot, t):
+        start = pl.multiple_of(e0 + t * ET, ET)
+        cps = (
+            pltpu.make_async_copy(
+                ids_ref.at[pl.ds(start // 128, ER), :],
+                ids_tile.at[slot], sem_i.at[slot]),
+            pltpu.make_async_copy(
+                rows_ref.at[pl.ds(start // 128, ER), :],
+                rows_tile.at[slot], sem_r.at[slot]),
+        )
+        if weighted:
+            cps += (pltpu.make_async_copy(
+                w_ref.at[pl.ds(start // 128, ER), :],
+                w_tile.at[slot], sem_e.at[slot]),)
+        return cps
+
+    @pl.when(num_tiles > 0)
+    def _():
+        for c in tile_dma(0, 0):
+            c.start()
+
+    @pl.when((p == 0) | (blk_ref[jnp.maximum(p - 1, 0)] != blk_ref[p]))
+    def _():
+        out_ref[:] = jnp.zeros((NB, D), out_ref.dtype)
+
+    win_dma(p % 2, p).wait()
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            for c in tile_dma(nxt, t + 1):
+                c.start()
+
+        for c in tile_dma(slot, t):
+            c.wait()
+
+        rows_d = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+        for r in range(ER):
+            ids_row = ids_tile[slot, r].reshape(1, 128) - row_base
+            oh_dst[:, r * 128:(r + 1) * 128] = jnp.where(
+                rows_d == ids_row, 1.0, 0.0).astype(oh_dst.dtype)
+            rank_row = rows_tile[slot, r].reshape(1, 128) - wb
+            if weighted:
+                wv = w_tile[slot, r].reshape(1, 128).astype(oh_w.dtype)
+            else:
+                wv = jnp.ones((1, 128), oh_w.dtype)
+            oh_w[:, r * 128:(r + 1) * 128] = jnp.where(
+                rows_w == rank_row, wv, 0.0).astype(oh_w.dtype)
+        # expand: msgs[ET, D] = oh_wᵀ @ win  (contract the W dim)
+        msgs = jax.lax.dot_general(
+            oh_w[:], win_tile[p % 2],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = out_ref[:] + jax.lax.dot(
+            oh_dst[:], msgs.astype(out_ref.dtype),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, num_tiles, body, ())
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "nb", "et", "w",
+                                    "interpret"))
+def _blocked_spmm_dedup(feature, layout: DedupLayout, num_segments: int,
+                        nb: int, et: int, w: int, interpret: bool,
+                        edge_w=None):
+    D = feature.shape[1]
+    n_pad = (num_segments + nb - 1) // nb * nb
+    P = int(layout.pair_ts.shape[0])
+    uniq = jnp.take(feature, layout.uv, axis=0)
+
+    weighted = edge_w is not None
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
+    operands = [uniq, layout.padded_ids, layout.padded_rows]
+    scratch = [
+        pltpu.VMEM((2, w, D), feature.dtype),
+        pltpu.VMEM((2, et // 128, 128), jnp.int32),
+        pltpu.VMEM((2, et // 128, 128), jnp.int32),
+        pltpu.VMEM((nb, et), feature.dtype),
+        pltpu.VMEM((w, et), feature.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if weighted:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
+        operands.append(edge_w.reshape(-1, 128))
+        scratch += [pltpu.VMEM((2, et // 128, 128), feature.dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
+
+        def kernel(ts, te, blk, wb, uniq_r, ids_r, rows_r, w_r, out_r,
+                   win, ids_t, rows_t, ohd, ohw, sw, si, sr, w_t, se):
+            _dedup_kernel(ts, te, blk, wb, uniq_r, ids_r, rows_r, out_r,
+                          win, ids_t, rows_t, ohd, ohw, sw, si, sr,
+                          NB=nb, ET=et, W=w, D=D, P=P, weighted=True,
+                          w_ref=w_r, w_tile=w_t, sem_e=se)
+    else:
+        kernel = functools.partial(_dedup_kernel, NB=nb, ET=et, W=w, D=D,
+                                   P=P, weighted=False)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(P,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (nb, D), lambda p, ts, te, blk, wb: (blk[p], 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), feature.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(layout.padded_v.shape[0]) * (nb + w) * D,
+            bytes_accessed=(int(layout.uv.shape[0]) * D * 4 * 2
+                            + n_pad * D * 4),
+            transcendentals=0),
+    )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
+      *operands)
+    return out[:num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def spmm_dedup(feature, csc_d: DedupLayout, csr_d: DedupLayout,
+               nb: int = NBD_DEFAULT, et: int = ETD_DEFAULT,
+               w: int = W_DEFAULT, interpret: bool = False):
+    """out[d] = Σ_{edges s→d} feature[s] via the two-phase dedup kernel.
+
+    ``csc_d`` drives the forward (dst blocks); ``csr_d`` the transposed
+    backward (src blocks)."""
+    return _blocked_spmm_dedup(feature, csc_d, csc_d.num_segments,
+                               nb, et, w, interpret)
+
+
+def _spmm_dedup_fwd(feature, csc_d, csr_d, nb, et, w, interpret):
+    return spmm_dedup(feature, csc_d, csr_d, nb, et, w, interpret), csr_d
+
+
+def _spmm_dedup_bwd(nb, et, w, interpret, csr_d, g):
+    dx = _blocked_spmm_dedup(g, csr_d, csr_d.num_segments, nb, et, w,
+                             interpret)
+    return dx, None, None
+
+
+spmm_dedup.defvjp(_spmm_dedup_fwd, _spmm_dedup_bwd)
+
+
+def _pad_edge_w(wv, Ep):
+    return jnp.zeros(Ep, wv.dtype).at[:wv.shape[0]].set(wv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def spmm_dedup_weighted(feature, w_csc, w_csr, csc_d: DedupLayout,
+                        csr_d: DedupLayout, nb: int = NBD_DEFAULT,
+                        et: int = ETD_DEFAULT, w: int = W_DEFAULT,
+                        interpret: bool = False):
+    """Edge-weighted dedup SpMM: out[d] = Σ_e w_e · feature[src_e].
+
+    ``w_csc``/``w_csr`` are per-edge scalar weights permuted into the
+    layouts' dedup edge orders and zero-padded to ``padded_v`` length
+    (``w_csr`` is auxiliary, used only by the transposed backward)."""
+    return _blocked_spmm_dedup(feature, csc_d, csc_d.num_segments,
+                               nb, et, w, interpret, edge_w=w_csc)
+
+
+def _spmm_dw_fwd(feature, w_csc, w_csr, csc_d, csr_d, nb, et, w, interpret):
+    out = _blocked_spmm_dedup(feature, csc_d, csc_d.num_segments,
+                              nb, et, w, interpret, edge_w=w_csc)
+    return out, (feature, w_csr, csc_d, csr_d)
+
+
+def _spmm_dw_bwd(nb, et, w, interpret, res, g):
+    feature, w_csr, csc_d, csr_d = res
+    dx = _blocked_spmm_dedup(g, csr_d, csr_d.num_segments, nb, et, w,
+                             interpret, edge_w=w_csr)
+    # dw (dedup-CSC order): <g[dst_e], x[src_e]> per edge
+    g_e = jnp.take(g, csc_d.padded_ids.reshape(-1), axis=0,
+                   mode="fill", fill_value=0)
+    x_e = jnp.take(feature, csc_d.padded_v, axis=0)
+    dw = jnp.sum(g_e * x_e, axis=1)
+    return dx, dw, jnp.zeros_like(w_csr), None, None
+
+
+spmm_dedup_weighted.defvjp(_spmm_dw_fwd, _spmm_dw_bwd)

@@ -63,6 +63,15 @@ class StreamPool:
         self._pending.append(fut)
         return fut
 
+    # -- generic ------------------------------------------------------------
+
+    def submit(self, fn, *args, **kwargs) -> _fut.Future:
+        """Queue an arbitrary transfer callable on the pool (tracked by
+        :meth:`synchronize` like the built-in pull/push)."""
+        fut = self._pool.submit(fn, *args, **kwargs)
+        self._pending.append(fut)
+        return fut
+
     def synchronize(self):
         """Wait for every in-flight transfer (reference ``sync_push``)."""
         for fut in self._pending:

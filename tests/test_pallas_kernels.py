@@ -603,3 +603,128 @@ def test_fused_gat_additive_rectangular_spaces():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# two-phase unique-src dedup SpMM (dedup_kernels.py)
+# ---------------------------------------------------------------------------
+
+def _dedup_case(N, E, seed=0, hub=False):
+    rng = np.random.default_rng(seed)
+    if hub:
+        # half the edges come from 8 hub srcs (high dedup), some empty dsts
+        src = np.concatenate([rng.integers(0, 8, E // 2),
+                              rng.integers(0, N, E - E // 2)])
+        dst = rng.integers(0, N // 2, E)
+    else:
+        src = rng.integers(0, N, E)
+        dst = rng.integers(0, N, E)
+    edges = np.stack([src, dst], axis=1)
+    order = np.argsort(edges[:, 1], kind="stable")
+    deg = np.bincount(edges[:, 1], minlength=N)
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    return edges, indptr, edges[order, 0]
+
+
+@pytest.mark.parametrize("N,E,hub", [
+    (700, 5000, False),
+    (600, 4000, True),          # hub srcs + empty dst blocks
+    (90, 333, False),           # fewer nodes than one block, tiny E
+    (1500, 20000, False),
+])
+def test_dedup_spmm_matches_xla(N, E, hub):
+    from pgl_tpu.ops.pallas.dedup_kernels import (build_dedup_layout,
+                                                  spmm_dedup)
+    D = 128
+    edges, indptr, src_csc = _dedup_case(N, E, seed=N + E, hub=hub)
+    # CSR for the transposed backward
+    deg_r = np.bincount(edges[:, 0], minlength=N)
+    indptr_r = np.concatenate([[0], np.cumsum(deg_r)])
+    dst_csr = edges[np.argsort(edges[:, 0], kind="stable"), 1]
+    csc_d = build_dedup_layout(indptr, src_csc, N)
+    csr_d = build_dedup_layout(indptr_r, dst_csr, N)
+    feat = np.random.default_rng(1).normal(size=(N, D)).astype(np.float32)
+
+    out = spmm_dedup(jnp.asarray(feat), csc_d, csr_d, interpret=True)
+    ref = jax.ops.segment_sum(jnp.asarray(feat)[edges[:, 0]],
+                              jnp.asarray(edges[:, 1]), num_segments=N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    tgt = np.asarray(ref) * 0.5
+    g_pl = jax.grad(lambda x: ((spmm_dedup(x, csc_d, csr_d, interpret=True)
+                                - tgt) ** 2).sum())(jnp.asarray(feat))
+    g_ref = jax.grad(lambda x: ((jax.ops.segment_sum(
+        x[edges[:, 0]], jnp.asarray(edges[:, 1]), num_segments=N)
+        - tgt) ** 2).sum())(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_dedup_weighted_matches_xla():
+    from pgl_tpu.ops.pallas.dedup_kernels import (build_dedup_layout,
+                                                  spmm_dedup_weighted)
+    N, E, D = 500, 6000, 128
+    edges, indptr, src_csc = _dedup_case(N, E, seed=7, hub=True)
+    deg_r = np.bincount(edges[:, 0], minlength=N)
+    indptr_r = np.concatenate([[0], np.cumsum(deg_r)])
+    dst_csr = edges[np.argsort(edges[:, 0], kind="stable"), 1]
+    csc_d = build_dedup_layout(indptr, src_csc, N)
+    csr_d = build_dedup_layout(indptr_r, dst_csr, N)
+
+    rng = np.random.default_rng(2)
+    feat = rng.normal(size=(N, D)).astype(np.float32)
+    wts = rng.normal(size=E).astype(np.float32)
+    w_csc_sorted = wts[np.argsort(edges[:, 1], kind="stable")]
+    w_csr_sorted = wts[np.argsort(edges[:, 0], kind="stable")]
+    w_csc = np.zeros(csc_d.padded_v.shape[0], np.float32)
+    w_csc[:E] = w_csc_sorted[np.asarray(csc_d.eid)]
+    w_csr = np.zeros(csr_d.padded_v.shape[0], np.float32)
+    w_csr[:E] = w_csr_sorted[np.asarray(csr_d.eid)]
+
+    def pallas_fn(x, w1):
+        return spmm_dedup_weighted(x, w1, jnp.asarray(w_csr), csc_d, csr_d,
+                                   interpret=True)
+
+    def ref_fn(x, w_full):
+        return jax.ops.segment_sum(w_full[:, None] * x[edges[:, 0]],
+                                   jnp.asarray(edges[:, 1]), num_segments=N)
+
+    out = pallas_fn(jnp.asarray(feat), jnp.asarray(w_csc))
+    ref = ref_fn(jnp.asarray(feat), jnp.asarray(wts))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # dx and dw parity (dw comes back in dedup-CSC order)
+    tgt = np.asarray(ref) * 0.3
+    gx_p, gw_p = jax.grad(
+        lambda x, w1: ((pallas_fn(x, w1) - tgt) ** 2).sum(),
+        argnums=(0, 1))(jnp.asarray(feat), jnp.asarray(w_csc))
+    gx_r, gw_r = jax.grad(
+        lambda x, w_full: ((ref_fn(x, w_full) - tgt) ** 2).sum(),
+        argnums=(0, 1))(jnp.asarray(feat), jnp.asarray(wts))
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-4)
+    # map reference dw (original edge order) into dedup-CSC order
+    gw_r_d = np.asarray(gw_r)[np.argsort(edges[:, 1], kind="stable")][
+        np.asarray(csc_d.eid)]
+    np.testing.assert_allclose(np.asarray(gw_p)[:E], gw_r_d,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_dedup_layout_covers_every_edge():
+    from pgl_tpu.ops.pallas.dedup_kernels import build_dedup_layout
+    N, E = 400, 3000
+    edges, indptr, src_csc = _dedup_case(N, E, seed=4)
+    lay = build_dedup_layout(indptr, src_csc, N)
+    # eid is a permutation of CSC positions
+    assert sorted(np.asarray(lay.eid).tolist()) == list(range(E))
+    # every edge's (dst, src) pair survives the reorder
+    dst_csc = np.sort(edges[:, 1], kind="stable")
+    got = set(zip(np.asarray(lay.padded_ids).reshape(-1)[:E].tolist(),
+                  np.asarray(lay.padded_v)[:E].tolist()))
+    want = set(zip(dst_csc.tolist(), src_csc.tolist()))
+    assert got == want
+    # pair_blk ascending (revisiting requirement)
+    pb = np.asarray(lay.pair_blk)
+    assert (np.diff(pb) >= 0).all()
