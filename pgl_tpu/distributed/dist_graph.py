@@ -195,28 +195,44 @@ class _GraphShard:
         reproducibility."""
         rng = np.random.default_rng(seed)
         ids, indptr, nbrs, w = self._ensure_csr(etype)
+        nodes = np.asarray(nodes, dtype=np.int64)
+        if len(ids) == 0:
+            return [np.zeros(0, np.int64)] * len(nodes)
+        pos_all = np.minimum(np.searchsorted(ids, nodes), len(ids) - 1)
+        valid = ids[pos_all] == nodes
+
+        if w is None:
+            # one native partial-Fisher-Yates call for the whole batch
+            # (per-node python loops were the server hot path)
+            out = [np.zeros(0, np.int64)] * len(nodes)
+            q = pos_all[valid]
+            if q.size:
+                out_indptr, out_v, _ = native.sample_subset_with_eid(
+                    indptr, nbrs, nbrs, q, max_degree,
+                    seed=int(rng.integers(1 << 31)))
+                pieces = np.split(out_v, out_indptr[1:-1])
+                for i, piece in zip(np.flatnonzero(valid), pieces):
+                    out[i] = piece
+            return out
+
         out = []
-        for n in np.asarray(nodes, dtype=np.int64):
-            pos = np.searchsorted(ids, n)
-            if pos >= len(ids) or ids[pos] != n:
+        for n, pos, ok in zip(nodes, pos_all, valid):
+            if not ok:
                 out.append(np.zeros(0, dtype=np.int64))
                 continue
+            pos = int(pos)
             lo, hi = int(indptr[pos]), int(indptr[pos + 1])
             deg = hi - lo
             if deg <= max_degree:
                 out.append(nbrs[lo:hi].copy())
                 continue
-            if w is not None:
-                tbl = self._alias[etype].get(pos)
-                if tbl is None:
-                    tbl = native.alias_sample_build_table(w[lo:hi])
-                    self._alias[etype][pos] = tbl
-                idx = native.alias_sample(tbl[0], tbl[1], max_degree,
-                                          seed=rng.integers(1 << 31))
-                out.append(nbrs[lo:hi][idx])
-            else:
-                sel = rng.choice(deg, size=max_degree, replace=False)
-                out.append(nbrs[lo + sel])
+            tbl = self._alias[etype].get(pos)
+            if tbl is None:
+                tbl = native.alias_sample_build_table(w[lo:hi])
+                self._alias[etype][pos] = tbl
+            idx = native.alias_sample(tbl[0], tbl[1], max_degree,
+                                      seed=rng.integers(1 << 31))
+            out.append(nbrs[lo:hi][idx])
         return out
 
     def random_sample_nodes(self, node_type: Optional[str], size: int,
@@ -231,14 +247,32 @@ class _GraphShard:
         pool = self._ensure_nodes(node_type)
         return pool[start:start + count]
 
-    def get_node_feat(self, ntype: str, name: str, nodes):
+    def get_node_feat(self, ntype: str, name: str, nodes, packed=False):
+        """Per-node feature lookup. ``packed=True`` (numeric fixed-dim
+        features) returns ``(mask [Q] bool, matrix [Q, dim])`` — one
+        zero-copy frame instead of Q pickled objects (the per-row object
+        path capped feature pulls at ~50k rows/s)."""
         ids, vals = self._ensure_feat(ntype, name)
-        out = []
-        for n in np.asarray(nodes, dtype=np.int64):
-            pos = np.searchsorted(ids, n)
-            out.append(vals[pos] if pos < len(ids) and ids[pos] == n
-                       else None)
-        return out
+        nodes = np.asarray(nodes, dtype=np.int64)
+        if len(ids) == 0:
+            if packed:
+                return np.zeros(len(nodes), bool), np.zeros((len(nodes), 0),
+                                                            np.float32)
+            return [None] * len(nodes)
+        pos = np.minimum(np.searchsorted(ids, nodes), len(ids) - 1)
+        mask = ids[pos] == nodes
+        if packed:
+            try:
+                present = [np.asarray(vals[p], np.float32).reshape(-1)
+                           for p in pos[mask]]
+                dim = len(present[0]) if present else 0
+                mat = np.zeros((len(nodes), dim), np.float32)
+                if present:
+                    mat[mask] = np.stack(present)
+                return mask, mat
+            except (ValueError, TypeError):
+                pass          # ragged/string features: object path below
+        return [vals[p] if ok else None for p, ok in zip(pos, mask)]
 
     def ping(self):
         return "pong"
@@ -357,6 +391,26 @@ class DistGraphClient:
         # the request must not be resent (it would duplicate edges/nodes)
         return [c.call(method, *args, retries=0) for c in self._conns]
 
+    @property
+    def _pool(self):
+        """Per-client fan-out pool: per-server RPCs of one query run
+        concurrently (socket I/O and the servers' numpy both release the
+        GIL, so a query's latency is max over shards, not the sum —
+        measured 3-4x at 8 servers, experiments/engine_bench/)."""
+        pool = getattr(self, "_fanout_pool", None)
+        if pool is None:
+            import concurrent.futures as _fut
+            pool = _fut.ThreadPoolExecutor(max_workers=self.num_servers)
+            self._fanout_pool = pool
+        return pool
+
+    def _fanout(self, calls):
+        """Run ``calls`` (list of 0-arg closures, one per contacted server)
+        concurrently; returns results in order."""
+        if len(calls) <= 1:
+            return [fn() for fn in calls]
+        return list(self._pool.map(lambda fn: fn(), calls))
+
     def _shard_of(self, node: int) -> int:
         return int(node) % self.num_servers
 
@@ -372,13 +426,16 @@ class DistGraphClient:
     def _sample_rpc(self, nodes, max_degree, edge_type, seed):
         owners = nodes % self.num_servers
         results: List = [None] * len(nodes)
+        plan = []
         for s in range(self.num_servers):
             idx = np.nonzero(owners == s)[0]
             if idx.size == 0:
                 continue
-            res = self._conns[s].call(
+            plan.append((idx, lambda s=s, idx=idx: self._conns[s].call(
                 "sample_neighbors", edge_type, nodes[idx], max_degree,
-                None if seed is None else seed + s)
+                None if seed is None else seed + s)))
+        for (idx, _), res in zip(plan,
+                                 self._fanout([fn for _, fn in plan])):
             for i, r in zip(idx, res):
                 results[i] = r
         return results
@@ -456,9 +513,10 @@ class DistGraphClient:
                             seed=None):
         # ceil quota: floor under-delivered (512 over 3 servers -> 510)
         per = -(-size // self.num_servers)
-        parts = [c.call("random_sample_nodes", node_type, per,
-                        None if seed is None else seed + i)
-                 for i, c in enumerate(self._conns)]
+        parts = self._fanout([
+            lambda i=i, c=c: c.call("random_sample_nodes", node_type, per,
+                                    None if seed is None else seed + i)
+            for i, c in enumerate(self._conns)])
         parts = [p for p in parts if len(p)]
         if not parts:
             return np.zeros(0, np.int64)
@@ -509,19 +567,33 @@ class DistGraphClient:
         owners = nodes % self.num_servers
         out = []
         for name in names:
+            info = self._nfeat_info.get((node_type, name))
+            packed = (info is not None
+                      and not np.issubdtype(np.dtype(info[0]), np.str_))
             vals: List = [None] * len(nodes)
+            plan = []
             for s in range(self.num_servers):
                 idx = np.nonzero(owners == s)[0]
                 if idx.size == 0:
                     continue
-                res = self._conns[s].call("get_node_feat", node_type, name,
-                                          nodes[idx])
+                plan.append((idx, lambda s=s, idx=idx: self._conns[s].call(
+                    "get_node_feat", node_type, name, nodes[idx], packed)))
+            for (idx, _), res in zip(plan,
+                                     self._fanout([fn for _, fn in plan])):
+                if packed and isinstance(res, tuple):
+                    mask, mat = res
+                    dtype, dim = info
+                    mat = mat.astype(dtype)
+                    for j, i in enumerate(idx):
+                        if mask[j]:
+                            vals[i] = (mat[j].reshape(dim) if dim > 1
+                                       else mat[j].reshape(()))
+                    continue
                 for i, r in zip(idx, res):
-                    vals[i] = r
-            info = self._nfeat_info.get((node_type, name))
-            if info is not None:
-                dtype, dim = info
-                vals = [self._decode_feat(v, dtype, dim) for v in vals]
+                    # packed servers fall back to the object path for
+                    # ragged/string values — decode those per-row too
+                    vals[i] = (self._decode_feat(r, *info)
+                               if info is not None else r)
             out.append(vals)
         return out[0] if single else out
 
@@ -545,6 +617,10 @@ class DistGraphClient:
         return self.edge_types
 
     def stop_server(self):
+        pool = getattr(self, "_fanout_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._fanout_pool = None
         for c in self._conns:
             try:
                 c.close()

@@ -62,12 +62,23 @@ def _shard_spec(axis: str, ndim: int) -> P:
     return P(axis, *((None,) * (ndim - 1)))
 
 
-def _exchange_halo(axis: str, owned_rows, send_idx_s):
+def _exchange_halo(axis: str, owned_rows, send_idx_s, wire_dtype=None):
     """The boundary exchange every halo op shares: gather this shard's
     send rows, all_to_all them over the mesh axis, flatten the per-peer
-    blocks into one [S*H_pad, ...] table."""
+    blocks into one [S*H_pad, ...] table.
+
+    ``wire_dtype`` (e.g. ``jnp.bfloat16``): cast boundary rows for the
+    wire only — halves ICI bytes; all accumulation stays in the feature
+    dtype. The transpose (backward) exchange rides the same cast, so
+    boundary *gradients* also travel narrow. Reference comm-volume analog:
+    ``pgl/graph.py:1515`` (which allreduces full-width f32)."""
     send = jnp.take(owned_rows, send_idx_s, axis=0)
-    halo = jax.lax.all_to_all(send, axis, 0, 0)
+    if (wire_dtype is not None and jnp.issubdtype(send.dtype, jnp.floating)
+            and send.dtype != wire_dtype):
+        halo = jax.lax.all_to_all(send.astype(wire_dtype), axis, 0, 0)
+        halo = halo.astype(send.dtype)
+    else:
+        halo = jax.lax.all_to_all(send, axis, 0, 0)
     return halo.reshape((-1,) + halo.shape[2:])
 
 
@@ -190,6 +201,9 @@ class HaloGraph:
         self._shard_layouts = None
         self._attn_layouts = None
         self._num_edges = 0
+        # wire dtype for boundary exchanges (None = feature dtype;
+        # jnp.bfloat16 halves ICI bytes, accumulation stays full width)
+        self.halo_dtype = None
 
     # -- construction -------------------------------------------------------
 
@@ -197,7 +211,8 @@ class HaloGraph:
     def from_graph(cls, graph, mesh: Mesh, axis: str = "node",
                    parts: Optional[np.ndarray] = None,
                    partition: str = "range",
-                   attention_layouts: bool = True) -> "HaloGraph":
+                   attention_layouts: bool = True,
+                   halo_dtype=None) -> "HaloGraph":
         """Partition ``graph``'s nodes over ``mesh[axis]``.
 
         ``partition``: "range" (contiguous ids), "metis" (the native
@@ -218,6 +233,8 @@ class HaloGraph:
                                      parts)
         obj = cls._from_built(built, g.num_nodes, mesh, axis,
                               attention_layouts)
+        if halo_dtype is not None:
+            obj.halo_dtype = jnp.dtype(halo_dtype)
         for k, v in g.node_feat.items():
             obj.node_feat[k] = obj.shard_node_values(np.asarray(v))
         for k, v in g.edge_feat.items():
@@ -481,10 +498,13 @@ class HaloGraph:
 
     @property
     def comm_bytes_per_exchange(self) -> int:
-        """Bytes moved by one halo exchange of f32 scalars (× feature dim
-        for vectors) — proportional to the partition cut, the number the
-        full-psum path could never bound."""
-        return self.halo_size * 4
+        """Bytes moved by one halo exchange of scalars (× feature dim for
+        vectors) — proportional to the partition cut, the number the
+        full-psum path could never bound. Honors ``halo_dtype`` (bf16 wire
+        = 2 bytes/scalar)."""
+        itemsize = (jnp.dtype(self.halo_dtype).itemsize
+                    if self.halo_dtype is not None else 4)
+        return self.halo_size * itemsize
 
     # -- message passing ----------------------------------------------------
 
@@ -506,11 +526,12 @@ class HaloGraph:
             if use_pallas_spmm(feature[0], e_tot):
                 return self._pallas_send_u_recv(feature, reduce_op)
         ax = self.axis
+        wd = self.halo_dtype
 
         def local(node_perm, send_idx, ledges, lmask, redges, rmask, x):
             xs = x[0]                                   # [N_pad, D]
             n_pad = xs.shape[0]
-            halo_flat = _exchange_halo(ax, xs, send_idx[0])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0], wd)
 
             le, lm = ledges[0], lmask[0]
             re_, rm = redges[0], rmask[0]
@@ -560,6 +581,7 @@ class HaloGraph:
         of the local-edge kernel, so XLA overlaps them)."""
         from ..ops.pallas.segment_kernels import _blocked_spmm
         ax = self.axis
+        wd = self.halo_dtype
         (pvL, pidL, tsL, teL), (pvR, pidR, tsR, teR) = self._shard_layouts
         d = feature.shape[-1]
         pad = (-d) % 128
@@ -568,7 +590,7 @@ class HaloGraph:
                   send_idx, ledges, lmask, redges, rmask, x):
             xs = x[0]
             n_pad = xs.shape[0]
-            halo_flat = _exchange_halo(ax, xs, send_idx[0])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0], wd)
             if pad:
                 z = jnp.zeros((xs.shape[0], pad), xs.dtype)
                 xs_p = jnp.concatenate([xs, z], axis=1)
@@ -615,12 +637,13 @@ class HaloGraph:
         if reduce_op not in ("sum", "mean", "max", "min"):
             raise ValueError(reduce_op)
         ax = self.axis
+        wd = self.halo_dtype
         el_pad = self.local_edges.shape[1]
 
         def local(send_idx, ledges, lmask, redges, rmask, x, ef):
             xs = x[0]
             n_pad = xs.shape[0]
-            halo_flat = _exchange_halo(ax, xs, send_idx[0])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0], wd)
 
             le, lm = ledges[0], lmask[0]
             re_, rm = redges[0], rmask[0]
@@ -682,10 +705,11 @@ class HaloGraph:
         """Halo SDDMM: per-edge ``op(src_feat[u], dst_feat[v])`` in the
         sharded edge layout. Only boundary rows of ``src_feat`` travel."""
         ax = self.axis
+        wd = self.halo_dtype
 
         def local(send_idx, ledges, lmask, redges, rmask, sf, df):
             sfs, dfs = sf[0], df[0]
-            halo_flat = _exchange_halo(ax, sfs, send_idx[0])
+            halo_flat = _exchange_halo(ax, sfs, send_idx[0], wd)
 
             def part(edges, mask, src_tbl):
                 a = jnp.take(src_tbl, edges[:, 0], axis=0)
@@ -761,6 +785,7 @@ class HaloGraph:
     def _halo_attention(self, mode, dst_s, src_s, v, num_heads,
                         leaky_slope, attn_drop, drop_seed):
         ax = self.axis
+        wd = self.halo_dtype
         H = num_heads
         DS = dst_s.shape[-1]
         DV = v.shape[-1]
@@ -806,7 +831,7 @@ class HaloGraph:
             n_pad = a_d0.shape[0]
             payload = jnp.concatenate([a_s0, v0], axis=1)
             tbl = jnp.concatenate(
-                [payload, _exchange_halo(ax, payload, send_idx[0])],
+                [payload, _exchange_halo(ax, payload, send_idx[0], wd)],
                 axis=0)
             a_src_tbl = tbl[:, :DS]
             v_tbl = tbl[:, DS:]
@@ -897,7 +922,9 @@ class HaloGraph:
         recv_rows = np.array([
             len(np.unique(redges[s, rmask[s] > 0, 0]))
             for s in range(self.num_shards)], dtype=np.float64)
-        t_comm = recv_rows * feat_dim * 4 / (ici_gbps * 1e9)      # seconds
+        wire_bytes = (jnp.dtype(self.halo_dtype).itemsize
+                      if self.halo_dtype is not None else 4)
+        t_comm = recv_rows * feat_dim * wire_bytes / (ici_gbps * 1e9)
         t_comp = e_s * edge_ns * 1e-9
         t_layer = np.maximum(t_comm, t_comp)
         total_edges = float(e_s.sum())
@@ -916,10 +943,11 @@ class HaloGraph:
         ``[S, E_pad, ...]`` edge layout — one all_to_all moves the
         boundary rows, local-src edges read the owned block."""
         ax = self.axis
+        wd = self.halo_dtype
 
         def local(send_idx, ledges, lmask, redges, rmask, x):
             xs = x[0]
-            halo_flat = _exchange_halo(ax, xs, send_idx[0])
+            halo_flat = _exchange_halo(ax, xs, send_idx[0], wd)
 
             def part(edges, mask, tbl):
                 out = jnp.take(tbl, edges[:, 0], axis=0)
@@ -1144,7 +1172,7 @@ class HaloGraph:
             (self.node_feat, self.edge_feat, self._shard_layouts,
              self._attn_layouts)
         aux = (self._num_nodes, self.mesh, self.axis, self.h_pad,
-               self.halo_size, self._num_edges)
+               self.halo_size, self._num_edges, self.halo_dtype)
         return children, aux
 
     @classmethod
@@ -1155,7 +1183,7 @@ class HaloGraph:
         (obj.node_feat, obj.edge_feat, obj._shard_layouts,
          obj._attn_layouts) = children[len(cls._LEAVES):]
         (obj._num_nodes, obj.mesh, obj.axis, obj.h_pad,
-         obj.halo_size, obj._num_edges) = aux
+         obj.halo_size, obj._num_edges, obj.halo_dtype) = aux
         return obj
 
     def __repr__(self):

@@ -51,7 +51,8 @@ class HaloHeterGraph:
     @classmethod
     def from_heter_graph(cls, graph, mesh: Mesh, axis: str = "node",
                          parts: Optional[np.ndarray] = None,
-                         partition: str = "metis") -> "HaloHeterGraph":
+                         partition: str = "metis",
+                         halo_dtype=None) -> "HaloHeterGraph":
         """Partition ``graph`` (a :class:`pgl_tpu.HeterGraph`) over
         ``mesh[axis]`` with one shared node assignment.
 
@@ -77,7 +78,8 @@ class HaloHeterGraph:
             # (not one copy per etype)
             bare = Graph(np.asarray(g[t].edges), num_nodes=num_nodes)
             subs[t] = HaloGraph.from_graph(bare, mesh, axis=axis,
-                                           parts=parts)
+                                           parts=parts,
+                                           halo_dtype=halo_dtype)
         obj = cls(subs)
         any_sub = next(iter(subs.values()))
         obj.node_feat = {k: any_sub.shard_node_values(np.asarray(v))

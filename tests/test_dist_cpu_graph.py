@@ -175,3 +175,77 @@ def test_lru_eviction(service):
         assert cached.cache_hits == 1      # 13 stayed (most recent)
     finally:
         cached._conns = []
+
+
+def test_eight_server_processes(tmp_path):
+    """8 shard servers as SEPARATE PROCESSES (python -m
+    pgl_tpu.distributed.launch), one client: every query type returns
+    correct, complete results across the full shard fan-out (VERDICT r2
+    #6: the engine must be exercised beyond 2 in-process servers)."""
+    import os
+    import subprocess
+    import sys
+    from pgl_tpu.distributed.launch import wait_server_ready
+
+    n_nodes, n_edges = 400, 2000
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    ef = tmp_path / "edges.txt"
+    np.savetxt(ef, np.stack([src, dst], 1), fmt="%d", delimiter="\t")
+    nf = tmp_path / "nodes.txt"
+    nf.write_text("".join(f"u\t{i}\n" for i in range(n_nodes)))
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(f'''etype2files: "u2e2u:{ef}"
+ntype2files: "u:{nf}"
+symmetry: true
+nfeat_info: [["u", "emb", "float32", 4]]
+''')
+
+    ips = [f"127.0.0.1:{_free_port()}" for _ in range(8)]
+    ipstr = ";".join(ips)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=root, JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "pgl_tpu.distributed.launch",
+         "--config", str(cfg), "--ip_config", ipstr,
+         "--server_id", str(i), "--shard_num", "32"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT)
+        for i in range(8)]
+    try:
+        wait_server_ready(ips, timeout=90)
+        client = DistGraphClient(str(cfg), shard_num=32, ip_config=ips,
+                                 client_id=0)
+        client.load_edges()
+        client.load_node_types()
+
+        # ground-truth successor sets
+        succ = {}
+        for s, d in zip(src, dst):
+            succ.setdefault(int(s), set()).add(int(d))
+            succ.setdefault(int(d), set()).add(int(s))  # symmetry
+
+        nodes = rng.choice(n_nodes, 64, replace=False)
+        out = client.sample_successor(nodes, max_degree=10000,
+                                      edge_type="u2e2u")
+        for n, nb in zip(nodes, out):
+            assert set(nb.tolist()) == succ.get(int(n), set()), int(n)
+
+        # node iteration covers every node exactly once
+        seen = np.concatenate(list(
+            client.node_batch_iter(batch_size=64, node_type="u",
+                                   shuffle=False)))
+        assert sorted(seen.tolist()) == list(range(n_nodes))
+
+        # features round-trip through all 8 shards
+        feat = rng.normal(size=(n_nodes, 4)).astype(np.float32)
+        client.set_node_feat("u", "emb", np.arange(n_nodes), list(feat))
+        got = client.get_node_feat(nodes, "u", "emb")
+        np.testing.assert_allclose(np.stack(got), feat[nodes], rtol=1e-6)
+
+        client.stop_server()
+    finally:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait()

@@ -130,6 +130,48 @@ def test_halo_sddmm_and_softmax_match(graphs):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_halo_bf16_wire_tolerance_parity(mesh):
+    """halo_dtype=bfloat16 halves the wire bytes; results stay within bf16
+    rounding of the f32-wire graph, gradients included, and
+    comm_bytes_per_exchange reports the narrower wire."""
+    g = Graph(EDGES, num_nodes=N, node_feat={"h": FEAT})
+    hg32 = HaloGraph.from_graph(g, mesh)
+    hgbf = HaloGraph.from_graph(g, mesh, halo_dtype="bfloat16")
+    assert hgbf.comm_bytes_per_exchange * 2 == hg32.comm_bytes_per_exchange
+    x32 = hg32.shard_node_values(FEAT)
+    xbf = hgbf.shard_node_values(FEAT)
+
+    o32 = hg32.unshard_node_values(hg32.send_u_recv(x32, "sum"))
+    obf = hgbf.unshard_node_values(hgbf.send_u_recv(xbf, "sum"))
+    # bf16 has ~3 decimal digits; per-row deviation bounded by rounding of
+    # only the REMOTE contributions (local edges never touch the wire)
+    np.testing.assert_allclose(np.asarray(obf), np.asarray(o32),
+                               rtol=2e-2, atol=2e-2)
+    assert float(np.abs(np.asarray(obf) - np.asarray(o32)).max()) > 0 \
+        or hgbf.halo_size == 0   # the cast must actually be on the wire
+
+    g32 = jax.grad(lambda x: (hg32.send_u_recv(x, "sum") ** 2).sum())(x32)
+    gbf = jax.grad(lambda x: (hgbf.send_u_recv(x, "sum") ** 2).sum())(xbf)
+    np.testing.assert_allclose(
+        hgbf.unshard_node_values(gbf), hg32.unshard_node_values(g32),
+        rtol=3e-2, atol=3e-2)
+
+    # a GCN layer composes cleanly on the bf16-wire graph
+    import pgl_tpu.nn as gnn
+    layer = gnn.GCNConv(input_size=D, output_size=4)
+    params = layer.init(jax.random.key(0), hgbf, xbf)
+    out_bf = layer.apply(params, hgbf, xbf)
+    out_32 = layer.apply(params, hg32, x32)
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(out_32),
+                               rtol=2e-2, atol=2e-2)
+
+    # scaling_report projects half the comm time under the bf16 wire
+    rep32 = hg32.scaling_report(feat_dim=128)
+    repbf = hgbf.scaling_report(feat_dim=128)
+    np.testing.assert_allclose(np.asarray(repbf["t_comm_s"]) * 2,
+                               np.asarray(rep32["t_comm_s"]), rtol=1e-6)
+
+
 def test_halo_grad_matches(graphs):
     """Boundary-gradient exchange (the all_to_all transpose) must reproduce
     the single-device gradient exactly."""
