@@ -403,6 +403,37 @@ class Graph:
         return mp.send_uv(src_feat, dst_feat, self._edges[:, 0],
                           self._edges[:, 1], message_op=message_op)
 
+    def streamed_send_u_recv(self, feature_host, reduce_op: str = "sum",
+                             chunk_rows: int = 1 << 18,
+                             interpret: bool = False):
+        """UVA analog (``Graph.tensor(uva=True)``, ``pgl/graph.py:227-247``):
+        SpMM with a HOST-resident feature table (numpy or memmap) that
+        never fits — or never needs to fit — in HBM. Runs dst-range by
+        dst-range, staging only each chunk's unique source rows to the
+        device and writing finished rows back to the host; the next
+        chunk's staging overlaps the current kernel. Call on the numpy
+        form; returns a host array.
+        """
+        g = self.numpy() if self._is_tensor else self
+        key = (int(chunk_rows), bool(interpret))
+        cache = getattr(g, "_streamed_spmm_cache", None)
+        if cache is None or cache[0] != key:
+            from .ops.pallas.streaming import StreamedSpMM
+            idx = g.adj_dst_index
+            sp = StreamedSpMM(np.asarray(idx.indptr),
+                              np.asarray(idx.sorted_v), g.num_nodes,
+                              chunk_rows=chunk_rows, interpret=interpret)
+            g._streamed_spmm_cache = cache = (key, sp)
+        out = cache[1](np.asarray(feature_host))
+        if reduce_op == "mean":
+            deg = np.maximum(np.asarray(g.adj_dst_index.degree), 1)
+            out = out / deg[:, None].astype(out.dtype)
+        elif reduce_op != "sum":
+            raise NotImplementedError(
+                "streamed path supports sum/mean (the dedup kernel is a "
+                "sum machine; stage max/min through the device path)")
+        return out
+
     # ------------------------------------------------------------------
     # conversion
     # ------------------------------------------------------------------

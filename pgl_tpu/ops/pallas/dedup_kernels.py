@@ -123,10 +123,13 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
     dst = np.repeat(np.arange(N, dtype=np.int64), np.diff(indptr))
     blk = dst // nb
 
-    # per-block unique src table + per-edge rank
-    key = blk * N + src
+    # per-block unique src table + per-edge rank. src ids may exceed N
+    # (chunked sub-problems gather from a GLOBAL feature table,
+    # ops/pallas/streaming.py), so the composite key uses its own modulus
+    M = max(N, int(src.max()) + 1 if E else 1)
+    key = blk * M + src
     uniq, inv = np.unique(key, return_inverse=True)
-    ublk = (uniq // N).astype(np.int64)
+    ublk = (uniq // M).astype(np.int64)
     ub = np.bincount(ublk, minlength=G)              # uniques per block
     ubp = (ub + w - 1) // w * w                      # padded to W windows
     if max_ratio and E and float(ubp.sum()) / E > max_ratio:
@@ -141,7 +144,7 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
     # +w tail: an empty block's window DMA reads [uv_off[b], +w) which can
     # sit at Upad; the rows are never referenced (no edges) but must exist
     uv = np.zeros(Upad + w, np.int32)
-    uv[uv_off[ublk] + rank] = (uniq % N).astype(np.int32)
+    uv[uv_off[ublk] + rank] = (uniq % M).astype(np.int32)
 
     grow = (uv_off[blk] + rank[inv])                 # per-edge global row
     # dedup edge order: by (block, grow); blocks are already contiguous
@@ -287,20 +290,29 @@ def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
 def _blocked_spmm_dedup(feature, layout: DedupLayout, num_segments: int,
                         nb: int, et: int, w: int, interpret: bool,
                         edge_w=None):
-    D = feature.shape[1]
+    uniq = jnp.take(feature, layout.uv, axis=0)
+    return _dedup_call(uniq, layout, num_segments, nb, et, w, interpret,
+                       edge_w)
+
+
+def _dedup_call(uniq, layout, num_segments: int, nb: int, et: int, w: int,
+                interpret: bool, edge_w=None):
+    """Kernel dispatch given the already-gathered unique-src table
+    (``uniq = feature[layout.uv]``) — the host-streamed path gathers on
+    the host instead (``ops/pallas/streaming.py``)."""
+    D = uniq.shape[1]
     n_pad = (num_segments + nb - 1) // nb * nb
     P = int(layout.pair_ts.shape[0])
-    uniq = jnp.take(feature, layout.uv, axis=0)
 
     weighted = edge_w is not None
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
     operands = [uniq, layout.padded_ids, layout.padded_rows]
     scratch = [
-        pltpu.VMEM((2, w, D), feature.dtype),
+        pltpu.VMEM((2, w, D), uniq.dtype),
         pltpu.VMEM((2, et // 128, 128), jnp.int32),
         pltpu.VMEM((2, et // 128, 128), jnp.int32),
-        pltpu.VMEM((nb, et), feature.dtype),
-        pltpu.VMEM((w, et), feature.dtype),
+        pltpu.VMEM((nb, et), uniq.dtype),
+        pltpu.VMEM((w, et), uniq.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -308,7 +320,7 @@ def _blocked_spmm_dedup(feature, layout: DedupLayout, num_segments: int,
     if weighted:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
         operands.append(edge_w.reshape(-1, 128))
-        scratch += [pltpu.VMEM((2, et // 128, 128), feature.dtype),
+        scratch += [pltpu.VMEM((2, et // 128, 128), uniq.dtype),
                     pltpu.SemaphoreType.DMA((2,))]
 
         def kernel(ts, te, blk, wb, uniq_r, ids_r, rows_r, w_r, out_r,
@@ -332,7 +344,7 @@ def _blocked_spmm_dedup(feature, layout: DedupLayout, num_segments: int,
                 memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, D), feature.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), uniq.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * int(layout.padded_v.shape[0]) * (nb + w) * D,

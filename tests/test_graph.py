@@ -243,3 +243,26 @@ def test_native_fallbacks(monkeypatch):
     g = Graph(np.array([[0, 1], [1, 2], [0, 2]]), num_nodes=3)
     np.testing.assert_array_equal(g.indegree(), [0, 1, 2])
     assert sorted(g.successor()[0].tolist()) == [1, 2]
+
+
+def test_streamed_send_u_recv_host_features():
+    """Graph.streamed_send_u_recv (UVA analog): host features in, host
+    aggregation out, parity with the device path; mean honors the
+    empty-dst zeros contract."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    N, E, D = 1300, 9000, 128
+    edges = rng.integers(0, N, (E, 2))
+    edges[:, 1] = rng.integers(0, N - 300, E)  # leave isolated dst rows
+    feat = rng.normal(size=(N, D)).astype(np.float32)
+    g = Graph(edges, num_nodes=N)
+    out = g.streamed_send_u_recv(feat, "sum", chunk_rows=512,
+                                 interpret=True)
+    gt = g.tensor()
+    ref = np.asarray(gt.send_recv(jnp.asarray(feat), "sum"))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    out_m = g.streamed_send_u_recv(feat, "mean", chunk_rows=512,
+                                   interpret=True)
+    ref_m = np.asarray(gt.send_recv(jnp.asarray(feat), "mean"))
+    np.testing.assert_allclose(out_m, ref_m, rtol=1e-4, atol=1e-4)
+    assert (out_m[N - 100:] == 0).all()   # isolated rows stay zero

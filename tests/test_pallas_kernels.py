@@ -728,3 +728,37 @@ def test_dedup_layout_covers_every_edge():
     # pair_blk ascending (revisiting requirement)
     pb = np.asarray(lay.pair_blk)
     assert (np.diff(pb) >= 0).all()
+
+
+def test_streamed_spmm_host_features():
+    """StreamedSpMM (UVA analog): host-resident feature table, chunked
+    unique-row staging, host output — matches the XLA reference across
+    multiple chunks, including a chunk-straddling hub."""
+    from pgl_tpu.ops.pallas.streaming import StreamedSpMM
+    N, E, D = 2200, 15000, 128
+    rng = np.random.default_rng(3)
+    src = np.concatenate([rng.integers(0, 16, E // 3),      # hub srcs
+                          rng.integers(0, N, E - E // 3)])
+    dst = rng.integers(0, N, E)
+    order = np.argsort(dst, kind="stable")
+    deg = np.bincount(dst, minlength=N)
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    feat = rng.normal(size=(N, D)).astype(np.float32)
+
+    # chunk_rows=512 -> 5 chunks of 2 blocks each
+    sp = StreamedSpMM(indptr, src[order], N, chunk_rows=512,
+                      interpret=True)
+    assert len(sp.chunks) == 5
+    out = sp(feat)
+    ref = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(feat)[src], jnp.asarray(dst), num_segments=N))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # memmap-backed features work identically (the >HBM posture)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "feat.npy")
+        np.save(p, feat)
+        mm = np.load(p, mmap_mode="r")
+        out2 = sp(mm)
+        np.testing.assert_allclose(out2, ref, rtol=1e-4, atol=1e-4)
