@@ -110,7 +110,7 @@ def _build_train_step(model, opt):
     return train_step
 
 
-def _time_steps(train_step, params, opt_state, g, x, y, warmup=3, iters=20,
+def _time_steps(train_step, params, opt_state, g, x, y, warmup=3, iters=50,
                 repeats=1):
     """Chain optimizer state through iterations: each step's inputs depend on
     the previous step's outputs, so no runtime/transport layer can serve a
@@ -192,7 +192,7 @@ def main():
     # model-time at HBM bandwidth / measured time (chained x_{t+1}=f(x_t)
     # inside one jit so nothing overlaps across iterations).
     hbm_gbps = float(os.environ.get("PGL_TPU_HBM_GBPS", 819.0))  # v5e
-    R = 8
+    R = 64
     D = feat_dim
     x0 = g.node_feat["h"]
 
@@ -241,45 +241,80 @@ def main():
                              iters=10)
 
     # --- minibatch GraphSAGE (host sampler + jitted bucket-padded step) ---
+    # The reference pipeline shape (multiprocess Dataloader workers running
+    # graphsage_sample, pgl/utils/data/dataloader.py:107-141) made
+    # TPU-native: workers ALSO build the padded CSC index on host (C++
+    # counting sort — in-jit argsort is the one thing TPUs do badly), and
+    # only indices ride H2D (~0.7 MB/batch); features stay device-resident
+    # and are gathered inside the step.
     from pgl_tpu import Graph
     from pgl_tpu.models import GraphSage
     from pgl_tpu.sampling import graphsage_sample
     from pgl_tpu.datasets import community_graph
+    from pgl_tpu.utils.data import Dataset as PDataset, Dataloader
     n_sage = 4096 if small else 100_000
     gs, y_all = community_graph(num_nodes=n_sage, num_classes=16,
                                 feat_dim=128, avg_degree=12, seed=2)
-    feat_all = np.asarray(gs.node_feat["h"])
+    feat_dev = jnp.asarray(np.asarray(gs.node_feat["h"]))
     sage = GraphSage(input_size=128, num_class=16, num_layers=2,
                      hidden_size=128, dropout=0.0)
     B, samples = (64, (5, 5)) if small else (512, (25, 10))
-    # Buckets sized to the *sampled subgraph* (~3.3k nodes at B=512 on this
-    # graph), not the full graph: over-padding costs real H2D bytes per step.
     n_bucket, e_bucket = (1 << 12, 1 << 14) if small else (1 << 14, 1 << 15)
 
-    def make_batch(nodes):
+    class _NodeDS(PDataset):
+        def __init__(self, nodes, labels):
+            self.nodes = np.asarray(nodes)
+            self.labels = np.asarray(labels)
+
+        def __getitem__(self, idx):
+            return self.nodes[idx], self.labels[idx]
+
+        def __len__(self):
+            return len(self.nodes)
+
+    def batch_fn(items):
+        nodes = np.asarray([n for n, _ in items])
+        labels = np.asarray([lb for _, lb in items])
         sub, sample_index, node_index = graphsage_sample(
             gs, nodes, samples)[0]
-        if sub.num_nodes > n_bucket or sub.num_edges > e_bucket:
+        ns, ne = sub.num_nodes, sub.num_edges
+        if ns > n_bucket or ne > e_bucket:
             raise RuntimeError(
-                f"bucket overflow: {sub.num_nodes}/{n_bucket} nodes "
-                f"{sub.num_edges}/{e_bucket} edges")
-        edges = np.full((e_bucket, 2), n_bucket - 1, np.int32)
-        edges[:sub.num_edges] = np.asarray(sub.edges)
-        x = np.zeros((n_bucket, 128), np.float32)
-        x[:sub.num_nodes] = feat_all[sample_index]
+                f"bucket overflow: {ns}/{n_bucket} nodes "
+                f"{ne}/{e_bucket} edges")
+        idx = sub.adj_dst_index                     # host C++ CSC build
+        su = np.full(e_bucket, n_bucket - 1, np.int32)
+        su[:ne] = np.asarray(idx.sorted_u)          # stays sorted (pad=max)
+        sv = np.full(e_bucket, n_bucket - 1, np.int32)
+        sv[:ne] = np.asarray(idx.sorted_v)
+        se = np.arange(e_bucket, dtype=np.int32)
+        deg = np.zeros(n_bucket, np.int32)
+        deg[:ns] = np.asarray(idx.degree)
+        deg[n_bucket - 1] += e_bucket - ne          # pad edges -> dummy node
+        indptr = np.full(n_bucket + 1, ne, np.int64)
+        indptr[:ns + 1] = np.asarray(idx.indptr)
+        indptr[n_bucket] = e_bucket
+        sidx = np.zeros(n_bucket, np.int32)
+        sidx[:ns] = sample_index
+        smask = np.zeros((n_bucket, 1), np.float32)
+        smask[:ns] = 1.0
         yb = np.zeros(n_bucket, np.int32)
         mask = np.zeros(n_bucket, np.float32)
-        yb[node_index] = y_all[np.asarray(nodes)]
+        yb[node_index] = labels
         mask[node_index] = 1.0
-        # async H2D: device transfer overlaps the device step consuming the
-        # previous batch (the prefetch thread below drives this pipeline)
-        return (Graph(jax.device_put(edges), num_nodes=n_bucket),
-                jax.device_put(x), jax.device_put(yb), jax.device_put(mask))
+        edges = np.stack([sv, su], axis=1)
+        return edges, deg, su, sv, se, indptr, sidx, smask, yb, mask
 
     sage_opt = optax.adam(1e-3)
 
     @jax.jit
-    def sage_step(params, opt_state, gsub, x, yb, mask):
+    def sage_step(params, opt_state, edges, deg, su, sv, se, indptr, sidx,
+                  smask, yb, mask):
+        from pgl_tpu.utils.edge_index import EdgeIndex
+        gsub = Graph(edges, num_nodes=n_bucket,
+                     adj_dst_index=EdgeIndex(deg, su, sv, se, indptr))
+        x = jnp.take(feat_dev, sidx, axis=0) * smask   # on-device gather
+
         def loss_fn(p):
             logits = sage.apply(p, gsub, x)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
@@ -290,37 +325,31 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     rngb = np.random.default_rng(0)
-    gsub0, x_b, y_b, m_b = make_batch(rngb.choice(n_sage, B,
-                                                  replace=False))
-    sage_params = sage.init(jax.random.key(0), gsub0, x_b)
+    b0 = batch_fn([(n, y_all[n]) for n in rngb.choice(n_sage, B,
+                                                      replace=False)])
+    b0 = [jax.device_put(a) for a in b0]
+    from pgl_tpu.utils.edge_index import EdgeIndex as _EI
+    g0 = Graph(b0[0], num_nodes=n_bucket,
+               adj_dst_index=_EI(b0[1], b0[2], b0[3], b0[4], b0[5]))
+    x0 = jnp.take(feat_dev, b0[6], axis=0) * b0[7]
+    sage_params = sage.init(jax.random.key(0), g0, x0)
     sage_ost = sage_opt.init(sage_params)
-    # warmup/compile
-    sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, gsub0,
-                                          x_b, y_b, m_b)
+    sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, *b0)
     float(sl)
-    # Real pipeline: host sampling + H2D runs in a prefetch thread (depth 2)
-    # overlapped with the device step — the framework's Dataloader pattern.
-    # Host work is still on the critical path if slower than the step; it is
-    # timed end-to-end, just not serialized against device compute.
-    import queue as _queue
-    import threading as _threading
-    n_batches = 16
-    batch_q = _queue.Queue(maxsize=2)
-
-    def _producer():
-        for _ in range(n_batches):
-            batch_q.put(make_batch(rngb.choice(n_sage, B, replace=False)))
-
-    prod = _threading.Thread(target=_producer, daemon=True)
+    # the package Dataloader: num_workers sampling processes + mp_reader
+    n_batches = 32
+    all_nodes = rngb.choice(n_sage, B * n_batches, replace=True)
+    loader = Dataloader(_NodeDS(all_nodes, y_all[all_nodes]),
+                        batch_size=B, num_workers=4, shuffle=False,
+                        collate_fn=batch_fn)
     t0 = time.perf_counter()
-    prod.start()
-    for _ in range(n_batches):
-        gsub, x_b, y_b, m_b = batch_q.get()
-        sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, gsub,
-                                              x_b, y_b, m_b)
+    nb_done = 0
+    for batch in loader:
+        batch = [jax.device_put(a) for a in batch]
+        sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, *batch)
+        nb_done += 1
     float(sl)
-    t_sage = (time.perf_counter() - t0) / n_batches
-    prod.join()
+    t_sage = (time.perf_counter() - t0) / max(nb_done, 1)
     sage_nodes_per_s = B / t_sage
 
     # --- device-sampled SAGE: sampling + training in ONE jit --------------
@@ -332,7 +361,6 @@ def main():
     sampler = NeighborSampler(gs_t, samples=samples)
     dsage = BipartiteSAGE(input_size=128, num_class=16, num_layers=2,
                           hidden_size=128)
-    feat_dev = jnp.asarray(feat_all)
     y_dev = jnp.asarray(y_all.astype(np.int32))
     seeds0 = jnp.arange(B, dtype=jnp.int32)
     sampled0, _ = sampler.sample(seeds0, jax.random.key(0))

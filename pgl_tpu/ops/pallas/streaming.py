@@ -65,8 +65,9 @@ class StreamedSpMM:
             # host copies: nothing edge-sized lives on the device between
             # calls — each pass re-stages exactly one chunk
             host = {k: np.asarray(getattr(lay, k))
-                    for k in ("uv", "padded_ids", "padded_rows", "pair_ts",
-                              "pair_te", "pair_blk", "pair_wb")}
+                    for k in ("uv", "padded_ids", "padded_rows", "rank_ts",
+                              "rank_te", "pair_ts", "pair_te", "pair_blk",
+                              "pair_wb")}
             self.chunks.append((r0, r1, host))
 
         # pad every chunk to shared shapes → ONE compiled program
@@ -89,6 +90,9 @@ class StreamedSpMM:
                                    constant_values=last_blk)
             h["pair_wb"] = np.pad(h["pair_wb"], (0, padn),
                                   constant_values=last_wb)
+            # pad pairs carry empty dst intervals (s = e = 0)
+            h["rank_ts"] = np.pad(h["rank_ts"], ((0, padn), (0, 0), (0, 0)))
+            h["rank_te"] = np.pad(h["rank_te"], ((0, padn), (0, 0), (0, 0)))
             flat_ids = h["padded_ids"].reshape(-1)
             h["padded_ids"] = np.pad(
                 flat_ids, (0, self._EP - flat_ids.size),
@@ -105,10 +109,10 @@ class StreamedSpMM:
         self._jit_run = jax.jit(run)
 
     @staticmethod
-    def _run_chunk(uniq, ids, rows_arr, ts, te, blk, wb, *, rows, nb, et,
-                   w, interpret):
+    def _run_chunk(uniq, ids, rows_arr, dts, dte, ts, te, blk, wb, *, rows,
+                   nb, et, w, interpret):
         lay = DedupLayout(jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
-                          ids, rows_arr, ts, te, blk, wb,
+                          ids, rows_arr, dts, dte, ts, te, blk, wb,
                           jnp.zeros(1, jnp.int32), rows, 0, w)
         return _dedup_call(uniq, lay, rows, nb, et, w, interpret)
 
@@ -128,8 +132,8 @@ class StreamedSpMM:
             uniq = np.ascontiguousarray(feature_host[h["uv"]])
             return (jax.device_put(uniq),
                     tuple(jax.device_put(h[k]) for k in
-                          ("padded_ids", "padded_rows", "pair_ts",
-                           "pair_te", "pair_blk", "pair_wb")))
+                          ("padded_ids", "padded_rows", "rank_ts", "rank_te",
+                           "pair_ts", "pair_te", "pair_blk", "pair_wb")))
 
         nxt = pool.submit(stage, 0)
         for ci, (r0, r1, h) in enumerate(self.chunks):
