@@ -43,26 +43,44 @@ class ShardedNodeDataset(Dataset):
         return len(self.nodes)
 
 
-def make_batch_fn(graph, samples, n_bucket, e_bucket, feat):
-    feat = np.asarray(feat, dtype=np.float32)
+def make_batch_fn(graph, samples, n_bucket, e_bucket):
+    """Worker-side batch builder. TPU-native split of labor: the worker
+    runs ``graphsage_sample`` AND builds the padded CSC index with the C++
+    counting sort (an in-jit argsort is the one thing TPUs do badly), and
+    ships only int32 indices (~0.7 MB/batch). Features never ride H2D —
+    the train step gathers rows from the device-resident table by
+    ``sample_index``. Mirrors the reference worker split at
+    ``examples/graphsage/cpu_sample_version/train.py`` + CUDA gather."""
 
     def batch_fn(items):
         nodes = np.asarray([n for n, _ in items])
         labels = np.asarray([l for _, l in items])
         sub, sample_index, node_index = graphsage_sample(
             graph, nodes, samples)[0]
-        if sub.num_nodes > n_bucket or sub.num_edges > e_bucket:
-            raise RuntimeError(
-                f"bucket too small: {sub.num_nodes}/{sub.num_edges}")
-        edges = np.full((e_bucket, 2), n_bucket - 1, np.int32)
-        edges[:sub.num_edges] = np.asarray(sub.edges)
-        x = np.zeros((n_bucket, feat.shape[1]), np.float32)
-        x[:sub.num_nodes] = feat[sample_index]
+        ns, ne = sub.num_nodes, sub.num_edges
+        if ns > n_bucket or ne > e_bucket:
+            raise RuntimeError(f"bucket too small: {ns}/{ne}")
+        idx = sub.adj_dst_index                  # host C++ CSC build
+        su = np.full(e_bucket, n_bucket - 1, np.int32)
+        su[:ne] = np.asarray(idx.sorted_u)       # stays sorted (pad = max)
+        sv = np.full(e_bucket, n_bucket - 1, np.int32)
+        sv[:ne] = np.asarray(idx.sorted_v)
+        deg = np.zeros(n_bucket, np.int32)
+        deg[:ns] = np.asarray(idx.degree)
+        deg[n_bucket - 1] += e_bucket - ne
+        indptr = np.full(n_bucket + 1, ne, np.int64)
+        indptr[:ns + 1] = np.asarray(idx.indptr)
+        indptr[n_bucket] = e_bucket
+        sidx = np.zeros(n_bucket, np.int32)
+        sidx[:ns] = sample_index
+        smask = np.zeros((n_bucket, 1), np.float32)
+        smask[:ns] = 1.0
         y = np.zeros(n_bucket, np.int32)
         mask = np.zeros(n_bucket, np.float32)
         y[node_index] = labels
         mask[node_index] = 1.0
-        return edges, x, y, mask
+        edges = np.stack([sv, su], axis=1)
+        return edges, deg, su, sv, indptr, sidx, smask, y, mask
 
     return batch_fn
 
@@ -176,14 +194,26 @@ def main():
     model = GraphSage(input_size=np.asarray(feat).shape[1],
                       num_class=num_classes, hidden_size=args.hidden,
                       dropout=0.0)
-    batch_fn = make_batch_fn(graph, args.samples, n_bucket, e_bucket, feat)
+    batch_fn = make_batch_fn(graph, args.samples, n_bucket, e_bucket)
+    feat_dev = jnp.asarray(np.asarray(feat, np.float32))
 
     params = None
     opt = optax.adam(1e-3)
     opt_state = None
 
+    from pgl_tpu.utils.edge_index import EdgeIndex
+
+    def as_graph(edges, deg, su, sv, indptr):
+        se = jnp.arange(e_bucket, dtype=jnp.int32)
+        return Graph(edges, num_nodes=n_bucket,
+                     adj_dst_index=EdgeIndex(deg, su, sv, se, indptr))
+
     @jax.jit
-    def train_step(params, opt_state, g, x, y, mask):
+    def train_step(params, opt_state, edges, deg, su, sv, indptr, sidx,
+                   smask, y, mask):
+        g = as_graph(edges, deg, su, sv, indptr)
+        x = jnp.take(feat_dev, sidx, axis=0) * smask
+
         def loss_fn(p):
             logits = model.apply(p, g, x)
             losses = optax.softmax_cross_entropy_with_integer_labels(
@@ -199,18 +229,17 @@ def main():
                             batch_size=args.batch_size, shuffle=True,
                             num_workers=args.num_workers,
                             collate_fn=batch_fn, seed=epoch)
-        t0, steps, total = time.time(), 0, 0.0
-        for edges, x, y_b, mask in loader:
-            g = Graph(jnp.asarray(edges), num_nodes=n_bucket)
+        t0, steps, loss = time.time(), 0, None
+        for batch in loader:
+            batch = [jax.device_put(a) for a in batch]
             if params is None:
-                params = model.init(jax.random.key(0), g, jnp.asarray(x))
+                g0 = as_graph(*batch[:5])
+                x0 = jnp.take(feat_dev, batch[5], axis=0) * batch[6]
+                params = model.init(jax.random.key(0), g0, x0)
                 opt_state = opt.init(params)
-            params, opt_state, loss = train_step(
-                params, opt_state, g, jnp.asarray(x), jnp.asarray(y_b),
-                jnp.asarray(mask))
+            params, opt_state, loss = train_step(params, opt_state, *batch)
             steps += 1
-            total += float(loss)
-        print(f"epoch {epoch}: loss {total/max(steps,1):.4f} "
+        print(f"epoch {epoch}: loss {float(loss):.4f} "
               f"({steps} steps, {time.time()-t0:.1f}s)")
 
     # evaluation with the same sampler
@@ -218,9 +247,12 @@ def main():
     eval_loader = Dataloader(ShardedNodeDataset(test_nodes, test_y),
                              batch_size=args.batch_size,
                              collate_fn=batch_fn)
-    for edges, x, y_b, mask in eval_loader:
-        g = Graph(jnp.asarray(edges), num_nodes=n_bucket)
-        logits = model.apply(params, g, jnp.asarray(x))
+    for edges, deg, su, sv, indptr, sidx, smask, y_b, mask in eval_loader:
+        g = as_graph(jnp.asarray(edges), jnp.asarray(deg), jnp.asarray(su),
+                     jnp.asarray(sv), jnp.asarray(indptr))
+        x = jnp.take(feat_dev, jnp.asarray(sidx), axis=0) \
+            * jnp.asarray(smask)
+        logits = model.apply(params, g, x)
         pred = np.asarray(logits.argmax(-1))
         m = np.asarray(mask) > 0
         correct += int((pred[m] == np.asarray(y_b)[m]).sum())

@@ -91,8 +91,17 @@ PRESETS = {
 
 
 class Graph4RecTrainer:
+    """Single-process trainer, or one trainer replica of the reference's
+    N-trainer async-PS topology when ``ps_addresses`` is given
+    (``apps/Graph4Rec/env_run/src/dist_cpu_train.py:51-66``): the id/ctx
+    embedding tables live sharded on :class:`~pgl_tpu.distributed.ps`
+    servers, the step pulls the batch's unique rows, differentiates with
+    respect to the pulled rows only, and pushes sparse grads back
+    asynchronously (server-side adagrad)."""
+
     def __init__(self, config, graph=None, client=None,
-                 num_nodes: Optional[int] = None, seed: int = 0):
+                 num_nodes: Optional[int] = None, seed: int = 0,
+                 ps_addresses=None):
         self.cfg = config if isinstance(config, Config) \
             else load_config(config)
         if graph is None and client is None:
@@ -103,11 +112,31 @@ class Graph4RecTrainer:
         if self.num_nodes is None:
             raise ValueError("num_nodes required with a client source")
         dim = int(self.cfg.embed_dim or 64)
-        self.params = {
-            "emb": jax.random.normal(jax.random.key(seed),
-                                     (self.num_nodes, dim)) * 0.1,
-            "ctx": jnp.zeros((self.num_nodes, dim)),
-        }
+        self.ps = None
+        if ps_addresses is not None:
+            mtype0 = self.cfg.model_type or "walk_based"
+            if mtype0 != "walk_based":
+                raise ValueError(
+                    "distributed PS training supports walk_based models "
+                    f"(got model_type={mtype0!r}) — dense encoder weights "
+                    "would need replica synchronization")
+            from ..distributed.ps import PSEmbedding
+            lr = float(self.cfg.lr or 5e-3)
+            self.ps = {
+                "emb": PSEmbedding(ps_addresses, "emb", self.num_nodes,
+                                   dim, lr=lr, init_scale=0.1,
+                                   seed=seed),
+                "ctx": PSEmbedding(ps_addresses, "ctx", self.num_nodes,
+                                   dim, lr=lr, init_scale=1e-4,
+                                   seed=seed + 1),
+            }
+            self.params = {}
+        else:
+            self.params = {
+                "emb": jax.random.normal(jax.random.key(seed),
+                                         (self.num_nodes, dim)) * 0.1,
+                "ctx": jnp.zeros((self.num_nodes, dim)),
+            }
         mtype = self.cfg.model_type or "walk_based"
         if mtype in ("ego_sage", "lightgcn", "gat", "gin"):
             if graph is None:
@@ -178,15 +207,18 @@ class Graph4RecTrainer:
                 (self._feat.shape[1], dim)) * 0.1
         else:
             self._feat = None
-        self.opt = optax.adam(float(self.cfg.lr or 5e-3))
-        self.opt_state = self.opt.init(self.params)
-        self._jit_step = jax.jit(self._make_step())
+        if self.ps is None:
+            self.opt = optax.adam(float(self.cfg.lr or 5e-3))
+            self.opt_state = self.opt.init(self.params)
+            self._jit_step = jax.jit(self._make_step())
+        else:
+            self._jit_step = jax.jit(self._make_ps_step())
         self._seed = seed
 
     @classmethod
     def from_preset(cls, name: str, graph=None, client=None,
                     num_nodes: Optional[int] = None, seed: int = 0,
-                    **overrides) -> "Graph4RecTrainer":
+                    ps_addresses=None, **overrides) -> "Graph4RecTrainer":
         """Instantiate one of the reference's ``user_configs`` recipes by
         name (see :data:`PRESETS`); ``overrides`` patch individual keys."""
         if name not in PRESETS:
@@ -195,7 +227,8 @@ class Graph4RecTrainer:
         cfg = dict(PRESETS[name])
         cfg.update(overrides)
         return cls(Config(cfg), graph=graph, client=client,
-                   num_nodes=num_nodes, seed=seed)
+                   num_nodes=num_nodes, seed=seed,
+                   ps_addresses=ps_addresses)
 
     # -- model --------------------------------------------------------------
 
@@ -276,6 +309,25 @@ class Graph4RecTrainer:
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    def _make_ps_step(self):
+        """Distributed step: differentiate w.r.t. the PULLED unique rows
+        (inputs), return their grads for the async push — no optimizer
+        state here; adagrad lives on the shard servers."""
+        neg_num = int(self.cfg.neg_num or 5)
+        from .common import inbatch_skipgram_loss
+
+        def step(emb_rows, ctx_rows, inv_src, inv_dst, valid, key):
+            def loss_fn(er, cr):
+                h = er[inv_src]
+                c = cr[inv_dst]
+                return inbatch_skipgram_loss(h, c, key, neg_num, valid)
+
+            loss, (g_er, g_cr) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(emb_rows, ctx_rows)
+            return loss, g_er, g_cr
 
         return step
 
@@ -361,9 +413,31 @@ class Graph4RecTrainer:
                     bd = np.pad(bd, (0, pad))
                     valid = np.pad(valid, (0, pad))
                 key, sub = jax.random.split(key)
-                self.params, self.opt_state, loss = self._jit_step(
-                    self.params, self.opt_state, jnp.asarray(bs),
-                    jnp.asarray(bd), jnp.asarray(valid), sub)
+                if self.ps is not None:
+                    u_src, inv_src = np.unique(bs, return_inverse=True)
+                    u_dst, inv_dst = np.unique(bd, return_inverse=True)
+                    # pad unique tables to pow2 buckets: one compile
+                    nsp = max(1 << int(np.ceil(np.log2(max(len(u_src),
+                                                           1)))), 64)
+                    ndp = max(1 << int(np.ceil(np.log2(max(len(u_dst),
+                                                           1)))), 64)
+                    er = np.zeros((nsp, self.ps["emb"].dim), np.float32)
+                    er[:len(u_src)] = self.ps["emb"].pull(u_src)
+                    cr = np.zeros((ndp, self.ps["ctx"].dim), np.float32)
+                    cr[:len(u_dst)] = self.ps["ctx"].pull(u_dst)
+                    loss, g_er, g_cr = self._jit_step(
+                        jnp.asarray(er), jnp.asarray(cr),
+                        jnp.asarray(inv_src.astype(np.int32)),
+                        jnp.asarray(inv_dst.astype(np.int32)),
+                        jnp.asarray(valid), sub)
+                    self.ps["emb"].push(u_src,
+                                        np.asarray(g_er)[:len(u_src)])
+                    self.ps["ctx"].push(u_dst,
+                                        np.asarray(g_cr)[:len(u_dst)])
+                else:
+                    self.params, self.opt_state, loss = self._jit_step(
+                        self.params, self.opt_state, jnp.asarray(bs),
+                        jnp.asarray(bd), jnp.asarray(valid), sub)
                 total += float(loss)
                 steps += 1
             last = total / max(steps, 1)
@@ -372,4 +446,7 @@ class Graph4RecTrainer:
         return last
 
     def embeddings(self) -> np.ndarray:
+        if self.ps is not None:
+            self.ps["emb"].flush()
+            return self.ps["emb"].dump()
         return np.asarray(self.params["emb"])

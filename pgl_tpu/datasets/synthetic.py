@@ -10,6 +10,7 @@ import numpy as np
 from ..graph import Graph
 
 __all__ = ["random_graph", "powerlaw_graph", "community_graph",
+           "blogcatalog_shaped_graph",
            "cora_shaped_graph"]
 
 
@@ -78,3 +79,29 @@ def cora_shaped_graph(seed: int = 0):
                                 p_inter=0.15, seed=seed)
     train_index = rng.choice(2708, size=140, replace=False).astype(np.int32)
     return g, labels, train_index
+
+
+def blogcatalog_shaped_graph(num_nodes: int = 2000, num_groups: int = 12,
+                             avg_degree: int = 16, p_inter: float = 0.05,
+                             seed: int = 0):
+    """Multi-label planted-community graph shaped like BlogCatalog (the
+    reference's distributed-deepwalk benchmark, ``examples/deepwalk/
+    README.md``): each node joins 1-3 overlapping groups; edges prefer
+    group-mates. Returns ``(graph, labels)`` with ``labels`` a
+    [num_nodes, num_groups] 0/1 multi-label matrix (BlogCatalog is
+    evaluated with multi-label MacroF1)."""
+    rng = np.random.default_rng(seed)
+    labels = np.zeros((num_nodes, num_groups), np.int32)
+    primary = rng.integers(0, num_groups, num_nodes)
+    labels[np.arange(num_nodes), primary] = 1
+    extra = rng.random(num_nodes) < 0.4
+    labels[np.arange(num_nodes)[extra],
+           rng.integers(0, num_groups, int(extra.sum()))] = 1
+    src = np.repeat(np.arange(num_nodes), avg_degree)
+    dst = rng.integers(0, num_nodes, num_nodes * avg_degree)
+    share = (labels[src] & labels[dst]).any(axis=1)
+    keep = share | (rng.random(len(src)) < p_inter)
+    e = np.stack([src[keep], dst[keep]], axis=1)
+    e = np.concatenate([e, e[:, ::-1]], axis=0)          # undirected
+    g = Graph(e, num_nodes=num_nodes)
+    return g, labels
