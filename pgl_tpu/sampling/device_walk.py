@@ -1,0 +1,283 @@
+"""Device-side random-walk generation — walks are produced *on the TPU*
+inside one jitted program, no host round trips per hop.
+
+The reference generates metapath walks on-GPU inside its graph engine
+(``apps/PGLBox/src/graph.py:84-106``: ``GraphGpuWrapper`` walk generation
+feeding ``Dataset``); the framework's host path (``sampling/walk.py``,
+C++ ``native.random_walk``) pays a host hop per step and caps PGLBox pass
+generation. This module is the TPU-native equivalent:
+
+  * adjacency lives in HBM as the Graph's CSR arrays (indptr / sorted_v /
+    degree), walks advance with ``lax.scan`` — each hop is two O(B)
+    gathers, so a [B, L] walk block is one fused XLA program;
+  * heterogeneous metapaths concatenate the per-etype CSRs into one
+    offset-addressed table and pick the etype per hop from a static
+    schedule (no ``lax.switch`` over differently-shaped tables);
+  * node2vec's p/q second-order bias uses device rejection sampling
+    (the same scheme as the C++ kernel, ``pgl/graph_kernel.pyx:142-224``)
+    with the is-neighbor test done by vectorized binary search over
+    neighbor-sorted adjacency;
+  * weighted sampling consumes per-neighborhood alias tables built once
+    on host (``native.alias_sample_build_table``) — O(1) per draw on
+    device;
+  * :func:`skipgram_pairs` turns walk blocks into (src, dst, valid)
+    skip-gram pairs in-jit, replacing the host C++ pair kernel on this
+    path.
+
+Dead ends stall (repeat the current node) and are masked out of pair
+generation via ``valid``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DeviceWalker", "skipgram_pairs"]
+
+
+def _to_i32(x):
+    return jnp.asarray(np.asarray(x), jnp.int32)
+
+
+class DeviceWalker:
+    """Build once per graph (host), then call the jitted walk methods.
+
+    Args:
+      graph: numpy-mode homogeneous Graph, or HeterGraph for metapaths.
+      neighbor_sorted: sort each neighborhood by dst id (host, once);
+        required for ``node2vec`` (binary-search membership test).
+      weighted: name of a scalar edge feature to build alias tables from
+        (weighted first-order sampling), or None for uniform.
+    """
+
+    def __init__(self, graph, neighbor_sorted: bool = False,
+                 weighted: Optional[str] = None):
+        self.is_hetero = hasattr(graph, "edge_types") and \
+            getattr(graph, "edge_types", None)
+        if self.is_hetero:
+            self.etypes = list(graph.edge_types)
+            self.num_nodes = graph.num_nodes
+            ip, sv, off = [], [], [0]
+            for et in self.etypes:
+                idx = graph[et].adj_src_index  # successors: u -> out-nbrs
+                ip.append(np.asarray(idx.indptr, np.int64))
+                sv.append(np.asarray(idx.sorted_v, np.int64))
+                off.append(off[-1] + len(sv[-1]))
+            # one concatenated edge array; per-etype indptr stacked [R, N+1]
+            self._indptr = _to_i32(np.stack(
+                [p + o for p, o in zip(ip, off[:-1])]))
+            self._sorted_v = _to_i32(np.concatenate(sv) if sv else
+                                     np.zeros(1))
+        else:
+            idx = graph.adj_src_index
+            self.num_nodes = graph.num_nodes
+            indptr = np.asarray(idx.indptr, np.int64)
+            sv = np.asarray(idx.sorted_v, np.int64)
+            if neighbor_sorted and len(sv):
+                # sort within each neighborhood (host, once): stable sort
+                # of the composite (owner, dst) key
+                owner = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
+                                  np.diff(indptr))
+                sv = sv[np.argsort(owner * (sv.max() + 2) + sv,
+                                   kind="stable")]
+            self.neighbor_sorted = neighbor_sorted
+            self._indptr = _to_i32(indptr)[None]
+            self._sorted_v = _to_i32(sv if len(sv) else np.zeros(1))
+            if weighted is not None:
+                from ..native import graph_kernel as native
+                w = np.asarray(graph.edge_feat[weighted],
+                               np.float64).reshape(-1)
+                # per-neighborhood alias tables in CSR edge order
+                eid = np.asarray(idx.sorted_eid)
+                w = w[eid]
+                probs = np.zeros(len(sv), np.float32)
+                alias = np.zeros(len(sv), np.int32)
+                for u in range(len(indptr) - 1):
+                    lo, hi = int(indptr[u]), int(indptr[u + 1])
+                    if hi > lo:
+                        p_, a_ = native.alias_sample_build_table(
+                            w[lo:hi] / max(w[lo:hi].sum(), 1e-12))
+                        probs[lo:hi] = p_
+                        alias[lo:hi] = a_
+                self._alias = (jnp.asarray(probs), _to_i32(alias))
+            else:
+                self._alias = None
+
+    # -- core hop -----------------------------------------------------------
+
+    def _hop(self, cur, key, et: int = 0):
+        ip = self._indptr[et]
+        lo = ip[cur]
+        deg = ip[cur + 1] - lo
+        k1, k2 = jax.random.split(key)
+        r = jax.random.randint(k1, cur.shape, 0, 1 << 30) \
+            % jnp.maximum(deg, 1)
+        if getattr(self, "_alias", None) is not None:
+            probs, alias = self._alias
+            u = jax.random.uniform(k2, cur.shape)
+            local = jnp.where(u < probs[lo + r], r, alias[lo + r])
+            nxt = self._sorted_v[lo + local]
+        else:
+            nxt = self._sorted_v[lo + r]
+        return jnp.where(deg > 0, nxt, cur), deg > 0
+
+    # -- public walks ---------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "walk_len"))
+    def random_walk(self, starts, walk_len: int, key):
+        """Uniform (or alias-weighted) first-order walks → [B, walk_len]."""
+        starts = jnp.asarray(starts, jnp.int32)
+
+        def step(carry, k):
+            cur, alive = carry
+            nxt, ok = self._hop(cur, k)
+            alive = alive & ok
+            nxt = jnp.where(alive, nxt, cur)
+            return (nxt, alive), nxt
+
+        keys = jax.random.split(key, walk_len - 1)
+        (_, _), tail = jax.lax.scan(
+            step, (starts, jnp.ones_like(starts, dtype=bool)), keys)
+        return jnp.concatenate([starts[None], tail]).T
+
+    def metapath_walk(self, starts, metapath: Sequence[str],
+                      walk_len: int, key):
+        """Typed walks following a cyclic etype schedule (reference
+        ``apps/PGLBox/src/graph.py`` metapath generation)."""
+        if not self.is_hetero:
+            raise ValueError("metapath_walk needs a HeterGraph walker")
+        sched = tuple(self.etypes.index(et) for et in metapath)
+        return self._metapath_impl(starts, sched, walk_len, key)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "sched", "walk_len"))
+    def _metapath_impl(self, starts, sched: tuple, walk_len: int, key):
+        starts = jnp.asarray(starts, jnp.int32)
+        ets = jnp.asarray([sched[i % len(sched)]
+                           for i in range(walk_len - 1)], jnp.int32)
+
+        def step(carry, inp):
+            k, et = inp
+            cur, alive = carry
+            ip = self._indptr[et]
+            lo = ip[cur]
+            deg = ip[cur + 1] - lo
+            r = jax.random.randint(k, cur.shape, 0, 1 << 30) \
+                % jnp.maximum(deg, 1)
+            nxt = self._sorted_v[lo + r]
+            ok = deg > 0
+            alive = alive & ok
+            nxt = jnp.where(alive, nxt, cur)
+            return (nxt, alive), nxt
+
+        keys = jax.random.split(key, walk_len - 1)
+        (_, _), tail = jax.lax.scan(
+            step, (starts, jnp.ones_like(starts, dtype=bool)),
+            (keys, ets))
+        return jnp.concatenate([starts[None], tail]).T
+
+    # -- node2vec -------------------------------------------------------------
+
+    def _is_neighbor(self, u, x):
+        """Vectorized binary search: is x a neighbor of u? Requires
+        ``neighbor_sorted=True`` adjacency."""
+        ip = self._indptr[0]
+        lo = ip[u]
+        hi = ip[u + 1]
+
+        def body(_, lh):
+            lo, hi = lh
+            mid = (lo + hi) // 2
+            v = self._sorted_v[jnp.minimum(mid, len(self._sorted_v) - 1)]
+            go_right = v < x
+            return (jnp.where(go_right, mid + 1, lo),
+                    jnp.where(go_right, hi, mid))
+
+        lo_f, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+        at = self._sorted_v[jnp.minimum(lo_f, len(self._sorted_v) - 1)]
+        return (lo_f < hi) & (at == x)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "walk_len", "tries",
+                                        "p", "q"))
+    def node2vec_walk(self, starts, walk_len: int, key, p: float = 1.0,
+                      q: float = 1.0, tries: int = 8):
+        """Second-order p/q-biased walks via device rejection sampling
+        (same acceptance scheme as the C++ kernel,
+        ``pgl/graph_kernel.pyx:142-224``): draw a uniform neighbor
+        candidate, accept with weight 1/p (back to prev), 1 (distance 1:
+        candidate is prev's neighbor), 1/q (distance 2). ``tries``
+        rejection rounds per hop; falls back to the last candidate."""
+        if not getattr(self, "neighbor_sorted", False):
+            raise ValueError("node2vec needs DeviceWalker("
+                             "neighbor_sorted=True)")
+        starts = jnp.asarray(starts, jnp.int32)
+        inv_p, inv_q = 1.0 / p, 1.0 / q
+        m = max(inv_p, inv_q, 1.0)
+
+        def hop(cur, prev, k):
+            def trial(carry, kk):
+                nxt, accepted = carry
+                k1, k2 = jax.random.split(kk)
+                cand, ok = self._hop(cur, k1)
+                w = jnp.where(cand == prev, inv_p,
+                              jnp.where(self._is_neighbor(prev, cand),
+                                        1.0, inv_q))
+                acc = (jax.random.uniform(k2, cur.shape) * m < w) & ok
+                take = acc & ~accepted
+                return (jnp.where(take, cand, nxt),
+                        accepted | acc), None
+
+            (nxt, accepted), _ = jax.lax.scan(
+                trial, (cur, jnp.zeros_like(cur, dtype=bool)),
+                jax.random.split(k, tries))
+            # unaccepted after all tries: uniform fallback (stall if dead)
+            fb, ok = self._hop(cur, jax.random.fold_in(k, 7))
+            return jnp.where(accepted, nxt, jnp.where(ok, fb, cur))
+
+        k0, key = jax.random.split(key)
+        first, _ = self._hop(starts, k0)
+
+        def step(carry, kk):
+            cur, prev = carry
+            nxt = hop(cur, prev, kk)
+            return (nxt, cur), nxt
+
+        keys = jax.random.split(key, max(walk_len - 2, 0))
+        (_, _), tail = jax.lax.scan(step, (first, starts), keys)
+        return jnp.concatenate([starts[None], first[None], tail]).T
+
+
+@functools.partial(jax.jit, static_argnames=("win",))
+def skipgram_pairs(walks, win: int, key):
+    """In-jit skip-gram pair generation from a [B, L] walk block.
+
+    Mirrors the host C++ kernel (``pgl/graph_kernel.pyx:343-364``): each
+    center position draws a random window size in [1, win] and pairs with
+    positions within it. Returns (src, dst, valid) flattened to
+    [B * L * 2 * win]; ``valid`` masks out-of-range and stalled positions.
+    """
+    B, L = walks.shape
+    r = jax.random.randint(key, (B, L), 1, win + 1)
+    idx = jnp.arange(L)
+    pairs_src, pairs_dst, valid = [], [], []
+    for sign in (1, -1):
+        for o in range(1, win + 1):
+            j = idx + sign * o
+            ok = (j >= 0) & (j < L) & (o <= r)
+            jc = jnp.clip(j, 0, L - 1)
+            pairs_src.append(jnp.broadcast_to(walks, (B, L)))
+            pairs_dst.append(jnp.take(walks, jc, axis=1))
+            valid.append(ok)
+    src = jnp.stack(pairs_src, 2).reshape(B, -1)
+    dst = jnp.stack(pairs_dst, 2).reshape(B, -1)
+    val = jnp.stack(valid, 2).reshape(B, -1)
+    # stalled tails repeat the same node: drop self-pairs
+    val = val & (src != dst)
+    return src.reshape(-1), dst.reshape(-1), val.reshape(-1)
