@@ -345,16 +345,30 @@ class Graph:
         self._require_tensor()
         ew = edge_feat
         scalar_w = (ew.ndim == 1 or (ew.ndim == 2 and ew.shape[1] == 1))
-        if (scalar_w and message_op == "mul" and reduce_op == "sum"
+        d = feature.shape[1]
+        # vector/per-head edge features ride the fused base kernel when
+        # the head width divides the (unpadded) lane-aligned feature dim —
+        # reference parity: fused send_ue_recv for any tensor edge feat
+        # (pgl/graph.py:930)
+        vector_w = (ew.ndim == 2 and ew.shape[1] > 1 and d % 128 == 0
+                    and d % ew.shape[1] == 0)
+        if ((scalar_w or vector_w) and message_op in ("mul", "add")
+                and reduce_op == "sum"
                 and self._spmm_layouts is not None):
             from .ops.dispatch import use_pallas_spmm
             if use_pallas_spmm(feature, self._num_edges):
                 from .ops.pallas.segment_kernels import spmm_weighted
                 csc, csr = self._spmm_layouts[:2]
-                w = ew.reshape(-1).astype(feature.dtype)
-                w_csc_e = jnp.take(w, self.adj_dst_index.sorted_eid)
-                w_csr_e = jnp.take(w, self.adj_src_index.sorted_eid)
-                dedup = self._dedup_layouts()
+                if scalar_w:
+                    w = ew.reshape(-1).astype(feature.dtype)
+                else:
+                    w = ew.astype(feature.dtype)
+                w_csc_e = jnp.take(w, self.adj_dst_index.sorted_eid,
+                                   axis=0)
+                w_csr_e = jnp.take(w, self.adj_src_index.sorted_eid,
+                                   axis=0)
+                dedup = self._dedup_layouts() if (
+                    scalar_w and message_op == "mul") else None
                 E = self._num_edges
 
                 def run(f):
@@ -370,13 +384,17 @@ class Graph:
                         ).at[:E].set(jnp.take(w_csr_e, csr_d.eid))
                         return spmm_dedup_weighted(f, wd_csc, wd_csr,
                                                    csc_d, csr_d)
-                    w_csc = jnp.zeros(csc.padded_v.shape[0], f.dtype
+                    wshape = lambda lay: (lay.padded_v.shape[0],)                         + w.shape[1:]
+                    w_csc = jnp.zeros(wshape(csc), f.dtype
                                       ).at[:E].set(w_csc_e)
-                    w_csr = jnp.zeros(csr.padded_v.shape[0], f.dtype
+                    w_csr = jnp.zeros(wshape(csr), f.dtype
                                       ).at[:E].set(w_csr_e)
-                    return spmm_weighted(f, w_csc, w_csr, csc, csr)
+                    from .ops.pallas.segment_kernels import (
+                        NB_DEFAULT, ET_DEFAULT)
+                    return spmm_weighted(f, w_csc, w_csr, csc, csr,
+                                         NB_DEFAULT, ET_DEFAULT, False,
+                                         message_op)
 
-                d = feature.shape[1]
                 if d % 128:
                     pad = (-d) % 128
                     fpad = jnp.concatenate(

@@ -372,21 +372,33 @@ def _spmm_pallas(msgs, padded_ids, tile_starts, tile_ends, n_rows: int,
     )(tile_starts, tile_ends, msgs, padded_ids)
 
 
-def _weighted_msgs(msgs, edge_w, D):
+def _weighted_msgs(msgs, edge_w, D, op: str = "mul"):
+    """Combine gathered source rows with per-edge features before the
+    reduce — the general ``send_ue_recv`` message op (reference
+    ``pgl/graph.py:930``: fused for ANY tensor edge feature).
+
+    edge_w shapes: [Ep] scalar; [Ep, H] per-head / vector with H | D
+    (H == D is full elementwise; dh = D // H broadcasts within heads).
+    """
     if edge_w.ndim == 2:
-        # per-head weights: [Ep, H] against [Ep, H*dh] head-major rows
         H = edge_w.shape[1]
         dh = D // H
+        if op == "add":
+            return (msgs.reshape(-1, H, dh)
+                    + edge_w[:, :, None]).reshape(-1, D)
         return (msgs.reshape(-1, H, dh) * edge_w[:, :, None]).reshape(-1, D)
+    if op == "add":
+        return msgs + edge_w[:, None]
     return msgs * edge_w[:, None]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "nb", "et", "interpret",
-                                    "chunks", "chunk_cap"))
+                                    "chunks", "chunk_cap", "msg_op"))
 def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
                   num_segments: int, nb: int, et: int, interpret: bool,
-                  edge_w=None, chunks=None, chunk_cap: int = 0):
+                  edge_w=None, chunks=None, chunk_cap: int = 0,
+                  msg_op: str = "mul"):
     D = feature.shape[1]
     n_pad = (num_segments + nb - 1) // nb * nb
     G = n_pad // nb
@@ -399,7 +411,7 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
     if chunks is None or len(chunks) <= 1:
         msgs = jnp.take(feature, padded_v, axis=0)
         if edge_w is not None:
-            msgs = _weighted_msgs(msgs, edge_w, D)
+            msgs = _weighted_msgs(msgs, edge_w, D, msg_op)
         out = _spmm_pallas(msgs, padded_ids, tile_starts, tile_ends, n_pad,
                            nb, et, interpret)
         return out[:num_segments]
@@ -419,7 +431,7 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
             w_c = jax.lax.dynamic_slice(
                 edge_w, (off,) + (0,) * (edge_w.ndim - 1),
                 (size,) + edge_w.shape[1:])
-            msgs = _weighted_msgs(msgs, w_c, D)
+            msgs = _weighted_msgs(msgs, w_c, D, msg_op)
         return msgs, ids_c
 
     outs = []
@@ -518,43 +530,74 @@ def available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def spmm_weighted(feature, w_csc, w_csr, csc: BlockedLayout,
                   csr: BlockedLayout, nb: int = NB_DEFAULT,
-                  et: int = ET_DEFAULT, interpret: bool = False):
-    """Edge-weighted SpMM: out[d] = Σ_e w_e · feature[src_e].
+                  et: int = ET_DEFAULT, interpret: bool = False,
+                  msg_op: str = "mul"):
+    """Edge-featured SpMM: out[d] = Σ_e (feature[src_e] OP w_e).
 
-    ``w_csc``/``w_csr`` are the per-edge weights permuted into CSC/CSR edge
-    order and zero-padded to the layouts' lengths (``w_csr`` is auxiliary —
-    used only to run the transposed weighted SpMM in the backward pass; its
-    cotangent is zero, so route weight gradients through ``w_csc`` only).
+    Covers the reference's fused ``send_ue_recv`` for ANY tensor edge
+    feature (``pgl/graph.py:930``): w may be [Ep] scalar or [Ep, H] with
+    H | D (H == D elementwise vector features; smaller H broadcasts per
+    head). ``msg_op`` is "mul" or "add".
+
+    ``w_csc``/``w_csr`` are the per-edge features permuted into CSC/CSR
+    edge order and zero-padded to the layouts' lengths (``w_csr`` is
+    auxiliary — used only to run the transposed SpMM in the backward
+    pass; its cotangent is zero, so route weight gradients through
+    ``w_csc`` only).
     """
     return _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
                          csc.tile_starts, csc.tile_ends, csc.num_segments,
                          nb, et, interpret, edge_w=w_csc,
-                         chunks=csc.chunks, chunk_cap=csc.chunk_cap)
+                         chunks=csc.chunks, chunk_cap=csc.chunk_cap,
+                         msg_op=msg_op)
 
 
-def _spmm_w_fwd(feature, w_csc, w_csr, csc, csr, nb, et, interpret):
+def _spmm_w_fwd(feature, w_csc, w_csr, csc, csr, nb, et, interpret,
+                msg_op):
     out = _blocked_spmm(feature, csc.padded_v, csc.padded_ids,
                         csc.tile_starts, csc.tile_ends, csc.num_segments,
                         nb, et, interpret, edge_w=w_csc,
-                        chunks=csc.chunks, chunk_cap=csc.chunk_cap)
+                        chunks=csc.chunks, chunk_cap=csc.chunk_cap,
+                        msg_op=msg_op)
     return out, (feature, w_csc, w_csr, csc, csr)
 
 
-def _spmm_w_bwd(nb, et, interpret, res, g):
+def _spmm_w_bwd(nb, et, interpret, msg_op, res, g):
     feature, w_csc, w_csr, csc_l, csr_l = res
-    # dx: transposed weighted SpMM over the CSR layout
+    if msg_op == "add":
+        # out = Σ (x[src] + w): dx is the UNWEIGHTED transposed SpMM,
+        # dw_e = g[dst_e] reduced onto w's head width
+        dx = _blocked_spmm(g, csr_l.padded_v, csr_l.padded_ids,
+                           csr_l.tile_starts, csr_l.tile_ends,
+                           csr_l.num_segments, nb, et, interpret,
+                           chunks=csr_l.chunks, chunk_cap=csr_l.chunk_cap)
+        g_e = jnp.take(g, csc_l.padded_ids.reshape(-1), axis=0,
+                       mode="fill", fill_value=0)
+        if w_csc.ndim == 2:
+            H = w_csc.shape[1]
+            dw_csc = g_e.reshape(g_e.shape[0], H, -1).sum(-1)
+        else:
+            dw_csc = g_e.sum(-1)
+        return dx, dw_csc, jnp.zeros_like(w_csr), None, None
+    # mul: dx via the transposed weighted SpMM over the CSR layout
     dx = _blocked_spmm(g, csr_l.padded_v, csr_l.padded_ids,
                        csr_l.tile_starts, csr_l.tile_ends,
                        csr_l.num_segments, nb, et, interpret, edge_w=w_csr,
-                       chunks=csr_l.chunks, chunk_cap=csr_l.chunk_cap)
-    # dw (CSC order): <g[dst_e], x[src_e]> per edge — two gathers + rowdot
+                       chunks=csr_l.chunks, chunk_cap=csr_l.chunk_cap,
+                       msg_op=msg_op)
+    # dw (CSC order): <g[dst_e], x[src_e]> per edge (per-head reduced)
     g_e = jnp.take(g, csc_l.padded_ids.reshape(-1), axis=0,
                    mode="fill", fill_value=0)
     x_e = jnp.take(feature, csc_l.padded_v, axis=0)
-    dw_csc = jnp.sum(g_e * x_e, axis=1)
+    prod = g_e * x_e
+    if w_csc.ndim == 2:
+        H = w_csc.shape[1]
+        dw_csc = prod.reshape(prod.shape[0], H, -1).sum(-1)
+    else:
+        dw_csc = prod.sum(-1)
     return dx, dw_csc, jnp.zeros_like(w_csr), None, None
 
 

@@ -762,3 +762,106 @@ def test_streamed_spmm_host_features():
         mm = np.load(p, mmap_mode="r")
         out2 = sp(mm)
         np.testing.assert_allclose(out2, ref, rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------------------------
+# vector edge features through the fused weighted kernel
+# (reference pgl/graph.py:930 — fused send_ue_recv for ANY tensor feat)
+# ----------------------------------------------------------------------
+
+def _vec_case(H, op, seed=21):
+    import jax
+    from pgl_tpu.ops.pallas.segment_kernels import (build_blocked_layout,
+                                                    spmm_weighted)
+    rng = np.random.default_rng(seed)
+    N, E, D = 500, 4000, 128
+    dst = np.sort(rng.integers(0, N, E)).astype(np.int64)
+    src = rng.integers(0, N, E).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(dst, minlength=N))])
+    order = np.argsort(src, kind="stable")
+    indptr_s = np.concatenate([[0],
+                               np.cumsum(np.bincount(src, minlength=N))])
+    csc = build_blocked_layout(indptr, src, N, 128, 256)
+    csr = build_blocked_layout(indptr_s, dst[order], N, 128, 256)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    w = rng.normal(size=(E, H)).astype(np.float32)
+    w_csc = jnp.zeros((csc.padded_v.shape[0], H), jnp.float32
+                      ).at[:E].set(jnp.asarray(w))
+    w_csr = jnp.zeros((csr.padded_v.shape[0], H), jnp.float32
+                      ).at[:E].set(jnp.asarray(w[order]))
+
+    def fused(x, wc):
+        return spmm_weighted(x, wc, w_csr, csc, csr, 128, 256, True, op)
+
+    def ref(x, w_full):
+        msgs = x[src].reshape(E, H, -1)
+        we = w_full[:, :, None]
+        msgs = msgs + we if op == "add" else msgs * we
+        return jax.ops.segment_sum(msgs.reshape(E, -1), jnp.asarray(dst),
+                                   num_segments=N)
+
+    return x, w, w_csc, fused, ref
+
+
+@pytest.mark.parametrize("H,op", [(128, "mul"), (128, "add"),
+                                  (8, "mul"), (8, "add")])
+def test_vector_edge_feat_fused(H, op):
+    import jax
+    x, w, w_csc, fused, ref = _vec_case(H, op)
+    np.testing.assert_allclose(np.asarray(fused(x, w_csc)),
+                               np.asarray(ref(x, jnp.asarray(w))),
+                               rtol=1e-4, atol=1e-4)
+    tgt = np.asarray(ref(x, jnp.asarray(w))) * 0.9
+    gx_f, gw_f = jax.grad(
+        lambda x, wc: ((fused(x, wc) - tgt) ** 2).sum(),
+        argnums=(0, 1))(x, w_csc)
+    gx_r, gw_r = jax.grad(
+        lambda x, wf: ((ref(x, wf) - tgt) ** 2).sum(),
+        argnums=(0, 1))(x, jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-3)
+    E = w.shape[0]
+    np.testing.assert_allclose(np.asarray(gw_f)[:E], np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_send_ue_recv_vector_dispatch():
+    """Graph.send_ue_recv routes [E, D] edge features through the fused
+    kernel on pallas-eligible graphs and matches the XLA fallback."""
+    import jax
+    from pgl_tpu import Graph
+    from pgl_tpu.ops import dispatch as disp
+    rng = np.random.default_rng(4)
+    N, E, D = 300, 2500, 128
+    edges = np.stack([rng.integers(0, N, E), rng.integers(0, N, E)], 1)
+    g = Graph(edges, num_nodes=N,
+              node_feat={"h": rng.normal(size=(N, D)).astype(np.float32)})
+    gt = g.tensor()
+    ew = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+    x = gt.node_feat["h"]
+    ref = jax.ops.segment_sum(x[jnp.asarray(edges[:, 0])] * ew,
+                              jnp.asarray(edges[:, 1]), num_segments=N)
+    if gt._spmm_layouts is not None:
+        orig = disp.use_pallas_spmm
+        disp.use_pallas_spmm = lambda *a, **k: True
+        try:
+            import pgl_tpu.ops.pallas.segment_kernels as sk
+            orig_call = sk.spmm_weighted
+            called = {}
+
+            def spy(*a, **k):
+                called["yes"] = True
+                a = list(a)
+                a[7] = True   # force interpret on CPU
+                return orig_call(*a, **k)
+
+            sk.spmm_weighted = spy
+            try:
+                out = gt.send_ue_recv(x, ew, "mul", "sum")
+            finally:
+                sk.spmm_weighted = orig_call
+        finally:
+            disp.use_pallas_spmm = orig
+        assert called.get("yes"), "vector path did not hit fused kernel"
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
