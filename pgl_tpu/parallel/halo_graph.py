@@ -451,7 +451,13 @@ class HaloGraph:
         return jax.device_put(out, NamedSharding(self.mesh, spec))
 
     def unshard_node_values(self, x):
-        """``[S, N_pad, ...]`` sharded → ``[N, ...]`` global order (host)."""
+        """``[S, N_pad, ...]`` sharded → ``[N, ...]`` global order (host).
+
+        Multi-process meshes: shards owned by other processes are
+        allgathered first (every host gets the full [N, ...] result)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
         x = np.asarray(x)
         perm = self._host_node_perm
         mask = self._host_node_mask > 0
