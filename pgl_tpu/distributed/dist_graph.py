@@ -235,6 +235,35 @@ class _GraphShard:
             out.append(nbrs[lo:hi][idx])
         return out
 
+    def sample_neighbors_packed(self, etype: str, nodes,
+                                max_degree: int, seed=None):
+        """Like :meth:`sample_neighbors` but returns ``(values, counts)``
+        — ONE concatenated neighbor array plus per-node counts in request
+        order. Framing B tiny arrays dominated the reply cost at batch
+        sizes that matter (the wire layer is per-array); packing makes a
+        reply two arrays regardless of B."""
+        rng = np.random.default_rng(seed)
+        ids, indptr, nbrs, w = self._ensure_csr(etype)
+        nodes = np.asarray(nodes, dtype=np.int64)
+        counts = np.zeros(len(nodes), np.int32)
+        if len(ids) == 0:
+            return np.zeros(0, np.int64), counts
+        pos_all = np.minimum(np.searchsorted(ids, nodes), len(ids) - 1)
+        valid = ids[pos_all] == nodes
+        if w is None:
+            q = pos_all[valid]
+            if not q.size:
+                return np.zeros(0, np.int64), counts
+            out_indptr, out_v, _ = native.sample_subset_with_eid(
+                indptr, nbrs, nbrs, q, max_degree,
+                seed=int(rng.integers(1 << 31)))
+            counts[valid] = np.diff(out_indptr).astype(np.int32)
+            return out_v, counts
+        pieces = self.sample_neighbors(etype, nodes, max_degree, seed=seed)
+        counts = np.asarray([len(p) for p in pieces], np.int32)
+        vals = np.concatenate(pieces) if counts.sum() else             np.zeros(0, np.int64)
+        return vals, counts
+
     def random_sample_nodes(self, node_type: Optional[str], size: int,
                             seed=None):
         pool = self._ensure_nodes(node_type)
@@ -417,28 +446,57 @@ class DistGraphClient:
     # -- sampling (reference ``:225-316``) -----------------------------------
 
     def sample_successor(self, nodes, max_degree: int, edge_type: str,
-                         seed=None):
+                         seed=None, packed: bool = False):
+        """``packed=False``: list of per-node neighbor arrays (reference
+        API shape, ``pgl/distributed/dist_graph.py:225-316``).
+        ``packed=True``: ``(values, counts)`` — one concatenated array +
+        per-node counts; the high-throughput form (walks, samplers)."""
         nodes = np.asarray(nodes, dtype=np.int64)
         if self.use_cache:
-            return self._sample_cached(nodes, max_degree, edge_type, seed)
-        return self._sample_rpc(nodes, max_degree, edge_type, seed)
+            res = self._sample_cached(nodes, max_degree, edge_type, seed)
+            if not packed:
+                return res
+            counts = np.asarray([len(r) for r in res], np.int32)
+            vals = np.concatenate(res) if counts.sum() else                 np.zeros(0, np.int64)
+            return vals, counts
+        vals, counts = self._sample_rpc(nodes, max_degree, edge_type, seed)
+        if packed:
+            return vals, counts
+        bounds = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        return np.split(vals, bounds[1:-1])
 
     def _sample_rpc(self, nodes, max_degree, edge_type, seed):
+        """Packed fan-out: per contacted server ONE (values, counts)
+        reply, re-interleaved into request order without per-node loops."""
         owners = nodes % self.num_servers
-        results: List = [None] * len(nodes)
+        counts = np.zeros(len(nodes), np.int32)
         plan = []
         for s in range(self.num_servers):
             idx = np.nonzero(owners == s)[0]
             if idx.size == 0:
                 continue
             plan.append((idx, lambda s=s, idx=idx: self._conns[s].call(
-                "sample_neighbors", edge_type, nodes[idx], max_degree,
-                None if seed is None else seed + s)))
-        for (idx, _), res in zip(plan,
-                                 self._fanout([fn for _, fn in plan])):
-            for i, r in zip(idx, res):
-                results[i] = r
-        return results
+                "sample_neighbors_packed", edge_type, nodes[idx],
+                max_degree, None if seed is None else seed + s)))
+        parts = list(zip([idx for idx, _ in plan],
+                         self._fanout([fn for _, fn in plan])))
+        for idx, (vals_s, counts_s) in parts:
+            counts[idx] = counts_s
+        off = np.zeros(len(nodes) + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        values = np.empty(int(off[-1]), np.int64)
+        for idx, (vals_s, counts_s) in parts:
+            if not len(vals_s):
+                continue
+            lens = counts_s.astype(np.int64)
+            starts = off[:-1][idx]
+            # positions = starts repeated + within-run offsets
+            pos = np.repeat(starts, lens) + (
+                np.arange(lens.sum()) - np.repeat(
+                    np.concatenate([[0], np.cumsum(lens)[:-1]]), lens))
+            values[pos] = vals_s
+        return values, counts
 
     def _sample_cached(self, nodes, max_degree, edge_type, seed):
         rng = np.random.default_rng(seed)

@@ -543,7 +543,14 @@ class Graph:
                                            ) if csc_d is not None else None
                 if csr_d is None:
                     csc_d = None
-        return (csc, csr, perm, csc_d, csr_d)
+        red = None
+        if csc_d is not None:
+            # uniq→node sorted reduce for the dedup attention backward
+            # (ops/pallas/dedup_attention.py) — host build needs numpy,
+            # so it happens here, not under a trace
+            from .ops.pallas.dedup_attention import build_uniq_reduce
+            red = build_uniq_reduce(csc_d, self._num_nodes)
+        return (csc, csr, perm, csc_d, csr_d, red)
 
     def _dedup_layouts(self):
         """(csc_d, csr_d) when the two-phase unique-src layouts were built
@@ -553,6 +560,15 @@ class Graph:
                 or jax.default_backend() != "tpu"):
             return None
         return lays[3], lays[4]
+
+    def _dedup_attn_aux(self):
+        """(csc_d, uniq_reduce_layout) for the count-matrix attention
+        kernel, or None."""
+        lays = self._spmm_layouts
+        if (lays is None or len(lays) < 6 or lays[3] is None
+                or lays[5] is None or jax.default_backend() != "tpu"):
+            return None
+        return lays[3], lays[5]
 
     def numpy(self) -> "Graph":
         if not self._is_tensor:

@@ -191,11 +191,22 @@ class GATConv(nn.Module):
                     [v, jnp.zeros((v.shape[0], dv_pad - H * Dh),
                                   v.dtype)], axis=1)
             csc, csr, perm = graph._spmm_layouts[:3]
-            if drop_in_kernel:
+            rate = float(self.attn_drop) if training else 0.0
+            dedup_aux = graph._dedup_attn_aux() if rate == 0.0 else None
+            if dedup_aux is not None:
+                # count-matrix pair attention: scores depend only on the
+                # (dst, src) pair, so the dedup layout computes the whole
+                # softmax over dense [NB, W] pair tiles — ~7x less score
+                # work than the per-edge kernel and unique-src gathers
+                # (ops/pallas/dedup_attention.py)
+                from ..ops.pallas.dedup_attention import dedup_gat_attention
+                csc_d, red = dedup_aux
+                out = dedup_gat_attention(attn_dst, attn_src, v, csc_d,
+                                          red, H, Dh, 0.2)
+            elif drop_in_kernel:
                 # additive-score kernel: exact f32 VPU scores, no matmul
                 from ..ops.pallas.attention_kernels import (
                     fused_gat_attention)
-                rate = float(self.attn_drop) if training else 0.0
                 seed = _attn_drop_seed(self, rate)
                 out = fused_gat_attention(attn_dst, attn_src, v, csc,
                                           (csr, perm), 0.2, dvh=Dh,

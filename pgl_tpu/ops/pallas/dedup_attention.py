@@ -1,0 +1,546 @@
+"""Dedup (count-matrix) fused GAT attention — attention over *(dst, src)
+pairs* instead of edges.
+
+Additive GAT scores depend only on the endpoints:
+``s_e = a_dst[dst_e] + a_src[src_e]``. Within one (dst block, rank window)
+pair of the dedup layout (``dedup_kernels.py``), every distinct source is
+one window rank, so the entire attention tile is a dense ``S[NB, W]``
+outer sum, and the per-edge multiplicity is exactly the count matrix
+``C[NB, W]`` the dedup SpMM already builds on the MXU:
+
+    l_i   = Σ_j C_ij · e^{S_ij}
+    out_i = Σ_j C_ij · e^{S_ij} · v_j  / l_i
+
+(multi-edges contribute C_ij > 1 — identical semantics to the per-edge
+softmax, since duplicates share the score). Work per pair is the dedup
+SpMM's count pass plus O(NB·W·H) VPU — ~(edges-per-pair / W) ≈ 7× less
+score work than the per-edge flash kernel (``attention_kernels.py``), and
+the gathers shrink to the unique-src tables (U ≈ 0.13·E measured).
+
+Backward is flash-style with the same structure: recompute C and
+``p̃ = C·e^{S − lse}`` per pair, then
+``ds = p̃ ⊙ (g·vᵀ − delta)``; ``d a_dst = Σ_j ds``,
+``d a_srcᵀ / dv`` land in the pair's OWN window rows of ``[Upad, ·]``
+outputs (windows are exclusively owned, so no accumulation conflicts),
+and a final uniq→node sorted reduce (host-built ``BlockedLayout`` over
+the uv table) folds window rows back onto nodes — no XLA scatter
+anywhere.
+
+Replaces the SDDMM+edge_softmax+send_ue_recv triple
+(``pgl/nn/conv.py:333-339``, ``pgl/nn/functional/graph_op.py:101``) on
+dedup-eligible graphs. Dropout falls back to the per-edge kernels (the
+reference drops each duplicate edge independently; the count form cannot).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dedup_kernels import DedupLayout
+from .segment_kernels import BlockedLayout, build_blocked_layout, \
+    _blocked_spmm
+
+__all__ = ["dedup_gat_attention", "build_uniq_reduce"]
+
+
+def build_uniq_reduce(layout: DedupLayout, num_nodes: int) -> BlockedLayout:
+    """Host-built sorted reduce from uniq-table rows back to nodes.
+
+    Row ``r`` of a ``[Upad+W, D]`` per-window gradient belongs to node
+    ``uv[r]``; pad rows carry zeros (no edges reference them), so they
+    may harmlessly fold into node ``uv_pad = 0``. One argsort at build
+    time makes the reduce a sorted segment-sum (base SpMM kernel).
+    """
+    uv = np.asarray(layout.uv)[:len(layout.uv) - layout.w]   # drop tail
+    order = np.argsort(uv, kind="stable").astype(np.int64)
+    counts = np.bincount(uv, minlength=num_nodes)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return build_blocked_layout(indptr, order, num_nodes)
+
+
+def _uniq_reduce(rows, red: BlockedLayout, interpret: bool = False):
+    """[Upad+W, D] window-row values → [N, D] per-node sums."""
+    return _blocked_spmm(rows, red.padded_v, red.padded_ids,
+                         red.tile_starts, red.tile_ends, red.num_segments,
+                         256, 1024, interpret)
+
+
+# ----------------------------------------------------------------------
+# forward kernel
+# ----------------------------------------------------------------------
+
+def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
+                 ids_tile, rts_tile, rte_tile, oh_dst, oh_rankT, c_acc,
+                 sem_i, sem_b, *, NB, ET, W, P):
+    """Shared count-matrix pass: leaves ``C[NB, W]`` (f32) in ``c_acc``.
+
+    Identical machinery to ``dedup_kernels._dedup_kernel``'s tile loop:
+    natural dst one-hot (bf16), interval-built transposed rank one-hot,
+    one native bf16 matmul per tile.
+    """
+    p = pl.program_id(0)
+    e0 = ts_ref[p]
+    e1 = te_ref[p]
+    num_tiles = (e1 - e0 + ET - 1) // ET
+    row_base = blk_ref[p] * NB
+    ER = ET // 128
+    HW = W // 128
+
+    b_dmas = (pltpu.make_async_copy(rts_ref.at[p], rts_tile, sem_b.at[0]),
+              pltpu.make_async_copy(rte_ref.at[p], rte_tile, sem_b.at[1]))
+    for c in b_dmas:
+        c.start()
+
+    def tile_dma(slot, t):
+        start = pl.multiple_of(e0 + t * ET, 128)
+        return (pltpu.make_async_copy(
+            ids_ref.at[pl.ds(start // 128, ER), :],
+            ids_tile.at[slot], sem_i.at[slot]),)
+
+    @pl.when(num_tiles > 0)
+    def _():
+        for c in tile_dma(0, 0):
+            c.start()
+
+    c_acc[:] = jnp.zeros((NB, W), c_acc.dtype)
+    for c in b_dmas:
+        c.wait()
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            for c in tile_dma(nxt, t + 1):
+                c.start()
+
+        for c in tile_dma(slot, t):
+            c.wait()
+
+        rows_d = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        for r in range(ER):
+            ids_row = ids_tile[slot, r].reshape(1, 128) - row_base
+            oh_dst[:, r * 128:(r + 1) * 128] = jnp.where(
+                rows_d == ids_row, 1.0, 0.0).astype(oh_dst.dtype)
+            e_glob = e0 + t * ET + r * 128 + sub
+            for h in range(HW):
+                sh = rts_tile[h:h + 1, :]
+                eh = rte_tile[h:h + 1, :]
+                m = (e_glob >= sh) & (e_glob < eh)
+                oh_rankT[r * 128:(r + 1) * 128, h * 128:(h + 1) * 128] = \
+                    jnp.where(m, 1.0, 0.0).astype(oh_rankT.dtype)
+        c = jax.lax.dot_general(
+            oh_dst[:], oh_rankT[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        c_acc[:] = c_acc[:] + c.astype(c_acc.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, num_tiles, body, ())
+
+
+def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
+                     adst_ref,              # [NB, 128] VMEM (block rows)
+                     asrcT_ref,             # [Hp, Upad+W] HBM (transposed)
+                     vu_ref,                # [Upad+W, DV] HBM (uniq v)
+                     ids_ref, rts_ref, rte_ref,
+                     out_ref,               # [NB, DV] VMEM (revisit blk)
+                     lse_ref,               # [NB, 128] VMEM (revisit blk)
+                     win_s, win_v, ids_tile, rts_tile, rte_tile,
+                     oh_dst, oh_rankT, c_acc, m_s, l_s, acc,
+                     sem_ws, sem_wv, sem_i, sem_b,
+                     *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float):
+    p = pl.program_id(0)
+    wb = wb_ref[p]
+
+    # window DMAs (double-buffered across grid steps like the SpMM)
+    def ws_dma(slot, q):
+        return pltpu.make_async_copy(
+            asrcT_ref.at[:, pl.ds(pl.multiple_of(wb_ref[q], W), W)],
+            win_s.at[slot], sem_ws.at[slot])
+
+    def wv_dma(slot, q):
+        return pltpu.make_async_copy(
+            vu_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
+            win_v.at[slot], sem_wv.at[slot])
+
+    @pl.when(p == 0)
+    def _():
+        ws_dma(0, 0).start()
+        wv_dma(0, 0).start()
+
+    @pl.when(p + 1 < P)
+    def _():
+        ws_dma((p + 1) % 2, p + 1).start()
+        wv_dma((p + 1) % 2, p + 1).start()
+
+    new_blk = (p == 0) | (blk_ref[jnp.maximum(p - 1, 0)] != blk_ref[p])
+
+    @pl.when(new_blk)
+    def _():
+        m_s[:] = jnp.full((NB, Hp), -1e30, jnp.float32)
+        l_s[:] = jnp.zeros((NB, Hp), jnp.float32)
+        acc[:] = jnp.zeros((NB, DV), jnp.float32)
+
+    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
+                 ids_tile, rts_tile, rte_tile, oh_dst, oh_rankT, c_acc,
+                 sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
+
+    ws_dma(p % 2, p).wait()
+    wv_dma(p % 2, p).wait()
+
+    C = c_acc[:]
+    has = C > 0.0
+    m_prev = m_s[:]
+    l_prev = l_s[:]
+    acc_prev = acc[:]
+    m_new_h, l_new_h, acc_new_h, out_h = [], [], [], []
+    for h in range(H):
+        s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]  # [NB, W]
+        if leaky:
+            s = jnp.where(s >= 0, s, s * leaky)
+        s = jnp.where(has, s, -1e30)
+        m_new = jnp.maximum(m_prev[:, h], jnp.max(s, axis=1))
+        scale = jnp.exp(m_prev[:, h] - m_new)
+        pmat = C * jnp.exp(s - m_new[:, None])
+        l_new = l_prev[:, h] * scale + jnp.sum(pmat, axis=1)
+        pv = jax.lax.dot(pmat, win_v[p % 2][:, h * DVH:(h + 1) * DVH],
+                         preferred_element_type=jnp.float32)
+        acc_h = acc_prev[:, h * DVH:(h + 1) * DVH] * scale[:, None] + pv
+        m_new_h.append(m_new)
+        l_new_h.append(l_new)
+        acc_new_h.append(acc_h)
+        denom = jnp.maximum(l_new, 1e-30)[:, None]
+        out_h.append(jnp.where((l_new > 0.0)[:, None], acc_h / denom, 0.0))
+    m_s[:] = jnp.stack(m_new_h + [m_new_h[-1]] * (Hp - H), axis=1)
+    l_s[:] = jnp.stack(l_new_h + [l_new_h[-1]] * (Hp - H), axis=1)
+    acc[:, :H * DVH] = jnp.concatenate(acc_new_h, axis=1)
+
+    # finalize every pair; the block's last pair leaves the final value
+    if H * DVH < DV:
+        out_h.append(jnp.zeros((NB, DV - H * DVH), jnp.float32))
+    out_ref[:] = jnp.concatenate(out_h, axis=1).astype(out_ref.dtype)
+    lse_h = [jnp.where(lv > 0.0, mv + jnp.log(jnp.maximum(lv, 1e-30)), 0.0)
+             for mv, lv in zip(m_new_h, l_new_h)]
+    lse_ref[:] = jnp.stack(
+        lse_h + [jnp.zeros((NB,), jnp.float32)] * (128 - H), axis=1)
+
+
+# ----------------------------------------------------------------------
+# backward kernel
+# ----------------------------------------------------------------------
+
+def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
+                     adst_ref,              # [NB, 128] VMEM block
+                     g_ref,                 # [NB, DV] VMEM block
+                     lse_ref,               # [NB, 128] VMEM block
+                     delta_ref,             # [NB, 128] VMEM block
+                     asrcT_ref, vuT_ref,    # HBM transposed uniq tables
+                     ids_ref, rts_ref, rte_ref,
+                     dadst_ref,             # [NB, 128] VMEM out (revisit)
+                     dsrcT_ref,             # [Hp, W] VMEM out (own window)
+                     dv_ref,                # [W, DV] VMEM out (own window)
+                     win_s, win_vT, ids_tile, rts_tile, rte_tile,
+                     oh_dst, oh_rankT, c_acc,
+                     sem_ws, sem_wv, sem_i, sem_b,
+                     *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float):
+    p = pl.program_id(0)
+    wb = wb_ref[p]
+
+    def ws_dma(slot, q):
+        return pltpu.make_async_copy(
+            asrcT_ref.at[:, pl.ds(pl.multiple_of(wb_ref[q], W), W)],
+            win_s.at[slot], sem_ws.at[slot])
+
+    def wv_dma(slot, q):
+        return pltpu.make_async_copy(
+            vuT_ref.at[:, pl.ds(pl.multiple_of(wb_ref[q], W), W)],
+            win_vT.at[slot], sem_wv.at[slot])
+
+    @pl.when(p == 0)
+    def _():
+        ws_dma(0, 0).start()
+        wv_dma(0, 0).start()
+
+    @pl.when(p + 1 < P)
+    def _():
+        ws_dma((p + 1) % 2, p + 1).start()
+        wv_dma((p + 1) % 2, p + 1).start()
+
+    new_blk = (p == 0) | (blk_ref[jnp.maximum(p - 1, 0)] != blk_ref[p])
+
+    @pl.when(new_blk)
+    def _():
+        dadst_ref[:] = jnp.zeros((NB, 128), dadst_ref.dtype)
+
+    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
+                 ids_tile, rts_tile, rte_tile, oh_dst, oh_rankT, c_acc,
+                 sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
+
+    ws_dma(p % 2, p).wait()
+    wv_dma(p % 2, p).wait()
+
+    C = c_acc[:]
+    has = C > 0.0
+    dadst_cols = []
+    dsrc_rows = []
+    dv_parts = []
+    for h in range(H):
+        s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
+        if leaky:
+            ds_dS = jnp.where(s >= 0, 1.0, leaky)
+            s = jnp.where(s >= 0, s, s * leaky)
+        ptil = jnp.where(has, C * jnp.exp(s - lse_ref[:, h][:, None]), 0.0)
+        g_h = g_ref[:, h * DVH:(h + 1) * DVH]              # [NB, DVH]
+        # gv[NB, W] = g_h · v_winᵀ  (native: contract DVH with vuT rows)
+        gv = jax.lax.dot_general(
+            g_h, win_vT[p % 2][h * DVH:(h + 1) * DVH, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dsc = ptil * (gv - delta_ref[:, h][:, None])       # d score
+        if leaky:
+            dsc = dsc * ds_dS
+        dadst_cols.append(jnp.sum(dsc, axis=1))            # [NB]
+        dsrc_rows.append(jnp.sum(dsc, axis=0, keepdims=True))   # [1, W]
+        # dv_h[W, DVH] = p̃ᵀ · g_h  (native AᵀB)
+        dv_parts.append(jax.lax.dot_general(
+            ptil, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+
+    dadst_ref[:] = dadst_ref[:] + jnp.stack(
+        dadst_cols + [jnp.zeros((NB,), jnp.float32)] * (128 - H), axis=1)
+    pad_rows = [jnp.zeros((1, W), jnp.float32)] * (Hp - H)
+    dsrcT_ref[:] = jnp.concatenate(dsrc_rows + pad_rows, axis=0)
+    dv_full = jnp.concatenate(dv_parts, axis=1)
+    if H * DVH < DV:
+        dv_full = jnp.concatenate(
+            [dv_full, jnp.zeros((W, DV - H * DVH), jnp.float32)], axis=1)
+    dv_ref[:] = dv_full
+
+
+# ----------------------------------------------------------------------
+# wrappers
+# ----------------------------------------------------------------------
+
+def _hp(h):
+    return max(8, -(-h // 8) * 8)
+
+
+def _common(layout, nb, et, w):
+    P = int(layout.pair_ts.shape[0])
+    n_pad = (layout.num_segments + nb - 1) // nb * nb
+    return P, n_pad
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "leaky",
+                                             "nb", "et", "w", "interpret"))
+def _dedup_attn_fwd_call(a_dst, a_src, v, layout: DedupLayout,
+                         num_heads: int, dvh: int, leaky: float,
+                         nb: int, et: int, w: int, interpret: bool):
+    H, DV = num_heads, v.shape[1]
+    Hp = _hp(H)
+    P, n_pad = _common(layout, nb, et, w)
+    N = layout.num_segments
+    adst_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(
+        a_dst.astype(jnp.float32))
+    asrcT = jnp.zeros((Hp, layout.uv.shape[0]), jnp.float32).at[:H].set(
+        jnp.take(a_src.astype(jnp.float32), layout.uv, axis=0).T)
+    vu = jnp.take(v, layout.uv, axis=0)
+
+    kern = functools.partial(_attn_fwd_kernel, NB=nb, ET=et, W=w, DV=DV,
+                             H=H, DVH=dvh, Hp=Hp, P=P, leaky=leaky)
+    out, lse = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(P,),
+            in_specs=[
+                pl.BlockSpec((nb, 128),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((nb, DV),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 128),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, Hp, w), jnp.float32),
+                pltpu.VMEM((2, w, DV), v.dtype),
+                pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.VMEM((w // 128, 128), jnp.int32),
+                pltpu.VMEM((w // 128, 128), jnp.int32),
+                pltpu.VMEM((nb, et), jnp.bfloat16),
+                pltpu.VMEM((et, w), jnp.bfloat16),
+                pltpu.VMEM((nb, w), jnp.float32),
+                pltpu.VMEM((nb, Hp), jnp.float32),
+                pltpu.VMEM((nb, Hp), jnp.float32),
+                pltpu.VMEM((nb, DV), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, DV), v.dtype),
+                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
+      adst_pad, asrcT, vu, layout.padded_ids, layout.rank_ts,
+      layout.rank_te)
+    return out[:N], lse[:N]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "leaky",
+                                             "nb", "et", "w", "interpret"))
+def _dedup_attn_bwd_call(a_dst, a_src, v, g, out, lse, layout: DedupLayout,
+                         red: BlockedLayout, num_heads: int, dvh: int,
+                         leaky: float, nb: int, et: int, w: int,
+                         interpret: bool):
+    H, DV = num_heads, v.shape[1]
+    Hp = _hp(H)
+    P, n_pad = _common(layout, nb, et, w)
+    N = layout.num_segments
+    Upw = int(layout.uv.shape[0])
+    adst_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(
+        a_dst.astype(jnp.float32))
+    g_pad = jnp.zeros((n_pad, DV), jnp.float32).at[:N].set(
+        g.astype(jnp.float32))
+    lse_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :128].set(lse)
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+        N, -1, dvh)[:, :H].sum(-1)
+    delta_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(delta)
+    asrcT = jnp.zeros((Hp, Upw), jnp.float32).at[:H].set(
+        jnp.take(a_src.astype(jnp.float32), layout.uv, axis=0).T)
+    vuT = jnp.take(v.astype(jnp.float32), layout.uv, axis=0).T
+
+    kern = functools.partial(_attn_bwd_kernel, NB=nb, ET=et, W=w, DV=DV,
+                             H=H, DVH=dvh, Hp=Hp, P=P, leaky=leaky)
+    n_win = Upw // w
+    dadst, dsrcT, dvu = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(P,),
+            in_specs=[
+                pl.BlockSpec((nb, 128),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, DV),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 128),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 128),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((nb, 128),
+                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hp, w),
+                             lambda p, ts, te, blk, wb: (0, wb[p] // w),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, DV),
+                             lambda p, ts, te, blk, wb: (wb[p] // w, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, Hp, w), jnp.float32),
+                pltpu.VMEM((2, DV, w), jnp.float32),
+                pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.VMEM((w // 128, 128), jnp.int32),
+                pltpu.VMEM((w // 128, 128), jnp.int32),
+                pltpu.VMEM((nb, et), jnp.bfloat16),
+                pltpu.VMEM((et, w), jnp.bfloat16),
+                pltpu.VMEM((nb, w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Hp, n_win * w), jnp.float32),
+            jax.ShapeDtypeStruct((n_win * w, DV), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
+      adst_pad, g_pad, lse_pad, delta_pad, asrcT, vuT,
+      layout.padded_ids, layout.rank_ts, layout.rank_te)
+
+    da_dst = dadst[:N, :H].astype(a_dst.dtype)
+    # fold window rows back onto nodes (sorted reduce, no scatter);
+    # the +W tail window may never be written by any pair — drop it
+    Upad = Upw - w
+    dsrc_rows = dsrcT.T[:Upad]
+    dv_rows = dvu[:Upad]
+    da_src = _uniq_reduce(
+        jnp.concatenate([dsrc_rows,
+                         jnp.zeros((dsrc_rows.shape[0], 128 - Hp),
+                                   jnp.float32)], axis=1), red,
+        interpret)[:, :H]
+    dv = _uniq_reduce(dv_rows, red, interpret)
+    return da_dst, da_src.astype(a_src.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def dedup_gat_attention(a_dst, a_src, v, layout: DedupLayout,
+                        red: BlockedLayout, num_heads: int, dvh: int,
+                        leaky: float = 0.2, nb: int = 256, et: int = 1024,
+                        interpret: bool = False):
+    """out[r] = Σ_{e: dst=r} softmax_r(leaky(a_dst[r] + a_src[src_e]))
+    · v[src_e], via the count-matrix pair form.
+
+    a_dst/a_src: [N, H] per-head additive score halves; v: [N, DV] with
+    heads at DVH strides (DV lane-aligned, tail ignored).
+    """
+    out, _ = _dedup_attn_fwd_call(a_dst, a_src, v, layout, num_heads, dvh,
+                                  leaky, nb, et, layout.w, interpret)
+    return out
+
+
+def _dga_fwd(a_dst, a_src, v, layout, red, num_heads, dvh, leaky, nb, et,
+             interpret):
+    out, lse = _dedup_attn_fwd_call(a_dst, a_src, v, layout, num_heads,
+                                    dvh, leaky, nb, et, layout.w,
+                                    interpret)
+    return out, (a_dst, a_src, v, out, lse, layout, red)
+
+
+def _dga_bwd(num_heads, dvh, leaky, nb, et, interpret, res, g):
+    a_dst, a_src, v, out, lse, layout, red = res
+    da_dst, da_src, dv = _dedup_attn_bwd_call(
+        a_dst, a_src, v, g, out, lse, layout, red, num_heads, dvh, leaky,
+        nb, et, layout.w, interpret)
+    return da_dst, da_src, dv, None, None
+
+
+dedup_gat_attention.defvjp(_dga_fwd, _dga_bwd)

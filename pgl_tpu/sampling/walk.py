@@ -132,12 +132,12 @@ def metapath_randomwalk_dist(client, start_nodes, metapath,
         live_idx = np.nonzero(alive)[0]
         if live_idx.size == 0:
             break
-        nbrs = client.sample_successor(cur[live_idx], max_degree=1,
-                                      edge_type=etype, seed=seed + step)
-        for w, nb in zip(live_idx, nbrs):
-            if nb is None or len(nb) == 0:
-                alive[w] = False
-            else:
-                cur[w] = int(nb[0])
-                walks[w, step] = cur[w]
+        vals, counts = client.sample_successor(
+            cur[live_idx], max_degree=1, edge_type=etype,
+            seed=seed + step, packed=True)
+        got = counts > 0          # max_degree=1: one value per hit node
+        alive[live_idx[~got]] = False
+        hit = live_idx[got]
+        cur[hit] = vals
+        walks[hit, step] = vals
     return walks
