@@ -51,6 +51,7 @@ class DistGraph:
     def __init__(self, path: str):
         self.path = path
         self.graph = Graph.load(path, mmap_mode="r")
+        self._walker = None
 
     @classmethod
     def from_graph(cls, graph: Graph, work_dir: str) -> "DistGraph":
@@ -90,8 +91,37 @@ class DistGraph:
     def num_edges(self) -> int:
         return self.graph.num_edges
 
+    def _device_walker(self):
+        if self._walker is None:
+            from ..sampling import DeviceWalker
+            self._walker = DeviceWalker(self.graph)
+        return self._walker
+
+    def _use_device_walks(self) -> bool:
+        """Device walks when a TPU is attached and the CSR fits the HBM
+        budget (the reference generates walks on-GPU inside its engine,
+        ``apps/PGLBox/src/graph.py:84-106``; our device path is a jitted
+        lax.scan over the HBM-resident CSR, ``sampling/device_walk.py``).
+        Override with PGL_TPU_PGLBOX_DEVICE_WALKS=0/1."""
+        import os
+        flag = os.environ.get("PGL_TPU_PGLBOX_DEVICE_WALKS")
+        if flag is not None:
+            return flag == "1"
+        import jax
+        budget = int(os.environ.get("PGL_TPU_PGLBOX_WALK_HBM_MB", 4096))
+        return (jax.default_backend() == "tpu"
+                and self.num_edges * 4 <= budget * (1 << 20))
+
     def walk_pass(self, nodes, walk_len: int, seed: int = 0) -> np.ndarray:
-        """Generate walks for one pass directly over the mmap'd CSR."""
+        """Generate walks for one pass — on-device (one jitted scan per
+        pass, no host hops) when the CSR fits HBM, else over the mmap'd
+        CSR with the host C++ kernel."""
+        if self._use_device_walks():
+            import jax
+            w = self._device_walker()
+            return np.asarray(w.random_walk(
+                np.asarray(nodes, np.int32), walk_len,
+                jax.random.key(seed)))
         return random_walk(self.graph, nodes, walk_len, seed=seed)
 
     def node_batch_iter(self, batch_size: int, seed: int = 0):

@@ -474,15 +474,29 @@ class TransformerConv(nn.Module):
         elif (use_fused_attention(graph, graph.num_edges, False)
                 and edge_feat is None and self.concat
                 and (H * D) % 128 == 0):
-            # fused SDDMM+softmax+aggregate Pallas kernel (attention-prob
-            # dropout applied in-kernel when training)
-            from ..ops.pallas.attention_kernels import fused_graph_attention
-            csc, csr, perm = graph._spmm_layouts[:3]
             rate = float(self.attn_drop) if training else 0.0
-            seed = _attn_drop_seed(self, rate)
-            output = fused_graph_attention(
-                q, k, v, csc, (csr, perm), H, 0.0,
-                dsh=D, dvh=D, attn_drop=rate, drop_seed=seed)
+            dedup_aux = (graph._dedup_attn_aux()
+                         if rate == 0.0 and hasattr(graph,
+                                                    "_dedup_attn_aux")
+                         else None)
+            if dedup_aux is not None:
+                # count-matrix pair attention (dot scores) — see
+                # ops/pallas/dedup_attention.py
+                from ..ops.pallas.dedup_attention import (
+                    dedup_dot_attention)
+                csc_d, red = dedup_aux
+                output = dedup_dot_attention(q, k, v, csc_d, red, H, D, D,
+                                             0.0)
+            else:
+                # fused SDDMM+softmax+aggregate Pallas kernel
+                # (attention-prob dropout applied in-kernel when training)
+                from ..ops.pallas.attention_kernels import (
+                    fused_graph_attention)
+                csc, csr, perm = graph._spmm_layouts[:3]
+                seed = _attn_drop_seed(self, rate)
+                output = fused_graph_attention(
+                    q, k, v, csc, (csr, perm), H, 0.0,
+                    dsh=D, dvh=D, attn_drop=rate, drop_seed=seed)
         else:
             q = q.reshape(-1, H, D)
             k = k.reshape(-1, H, D)

@@ -47,7 +47,8 @@ from .dedup_kernels import DedupLayout
 from .segment_kernels import BlockedLayout, build_blocked_layout, \
     _blocked_spmm
 
-__all__ = ["dedup_gat_attention", "build_uniq_reduce"]
+__all__ = ["dedup_gat_attention", "dedup_dot_attention",
+           "build_uniq_reduce"]
 
 
 def build_uniq_reduce(layout: DedupLayout, num_nodes: int) -> BlockedLayout:
@@ -148,8 +149,8 @@ def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
 
 
 def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
-                     adst_ref,              # [NB, 128] VMEM (block rows)
-                     asrcT_ref,             # [Hp, Upad+W] HBM (transposed)
+                     adst_ref,              # [NB, SDp] VMEM (block rows)
+                     asrcT_ref,             # [SD, Upad+W] HBM (transposed)
                      vu_ref,                # [Upad+W, DV] HBM (uniq v)
                      ids_ref, rts_ref, rte_ref,
                      out_ref,               # [NB, DV] VMEM (revisit blk)
@@ -157,7 +158,8 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
                      win_s, win_v, ids_tile, rts_tile, rte_tile,
                      oh_dst, oh_rankT, c_acc, m_s, l_s, acc,
                      sem_ws, sem_wv, sem_i, sem_b,
-                     *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float):
+                     *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
+                     additive: bool = True, DSH: int = 0):
     p = pl.program_id(0)
     wb = wb_ref[p]
 
@@ -204,7 +206,18 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
     acc_prev = acc[:]
     m_new_h, l_new_h, acc_new_h, out_h = [], [], [], []
     for h in range(H):
-        s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]  # [NB, W]
+        if additive:
+            s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
+        else:
+            # dot scores: q_h · k_winᵀ — HIGHEST so the backward's
+            # recomputed p = exp(s − lse) matches bit-for-bit (see
+            # attention_kernels.py precision note)
+            s = jax.lax.dot_general(
+                adst_ref[:, h * DSH:(h + 1) * DSH],
+                win_s[p % 2][h * DSH:(h + 1) * DSH, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         if leaky:
             s = jnp.where(s >= 0, s, s * leaky)
         s = jnp.where(has, s, -1e30)
@@ -239,19 +252,20 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
 # ----------------------------------------------------------------------
 
 def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
-                     adst_ref,              # [NB, 128] VMEM block
+                     adst_ref,              # [NB, SDp] VMEM block
                      g_ref,                 # [NB, DV] VMEM block
                      lse_ref,               # [NB, 128] VMEM block
                      delta_ref,             # [NB, 128] VMEM block
                      asrcT_ref, vuT_ref,    # HBM transposed uniq tables
                      ids_ref, rts_ref, rte_ref,
-                     dadst_ref,             # [NB, 128] VMEM out (revisit)
-                     dsrcT_ref,             # [Hp, W] VMEM out (own window)
+                     dadst_ref,             # [NB, SDp] VMEM out (revisit)
+                     dsrcT_ref,             # [SDo, W] VMEM out (own window)
                      dv_ref,                # [W, DV] VMEM out (own window)
                      win_s, win_vT, ids_tile, rts_tile, rte_tile,
                      oh_dst, oh_rankT, c_acc,
                      sem_ws, sem_wv, sem_i, sem_b,
-                     *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float):
+                     *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
+                     additive: bool = True, DSH: int = 0):
     p = pl.program_id(0)
     wb = wb_ref[p]
 
@@ -293,8 +307,17 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
     dadst_cols = []
     dsrc_rows = []
     dv_parts = []
+    SDp = dadst_ref.shape[1]
     for h in range(H):
-        s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
+        if additive:
+            s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
+        else:
+            s = jax.lax.dot_general(
+                adst_ref[:, h * DSH:(h + 1) * DSH],
+                win_s[p % 2][h * DSH:(h + 1) * DSH, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         if leaky:
             ds_dS = jnp.where(s >= 0, 1.0, leaky)
             s = jnp.where(s >= 0, s, s * leaky)
@@ -307,17 +330,50 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
         dsc = ptil * (gv - delta_ref[:, h][:, None])       # d score
         if leaky:
             dsc = dsc * ds_dS
-        dadst_cols.append(jnp.sum(dsc, axis=1))            # [NB]
-        dsrc_rows.append(jnp.sum(dsc, axis=0, keepdims=True))   # [1, W]
+        if additive:
+            dadst_cols.append(jnp.sum(dsc, axis=1))        # [NB]
+            dsrc_rows.append(jnp.sum(dsc, axis=0,
+                                     keepdims=True))       # [1, W]
+        else:
+            # dq_h[NB, DSH] = ds · k_win — k_win rides win_s transposed,
+            # so contract the W lanes against its columns (AᵀB form on
+            # the second operand's transpose = contract (1, 1) avoided:
+            # use win_s rows directly)
+            dadst_cols.append(jax.lax.dot_general(
+                dsc, win_s[p % 2][h * DSH:(h + 1) * DSH, :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))       # [NB, DSH]
+            # dk_h[DSH, W] = q_hᵀ · ds  (native AᵀB, already transposed
+            # to match the dsrcT output layout)
+            dsrc_rows.append(jax.lax.dot_general(
+                adst_ref[:, h * DSH:(h + 1) * DSH], dsc,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))       # [DSH, W]
         # dv_h[W, DVH] = p̃ᵀ · g_h  (native AᵀB)
         dv_parts.append(jax.lax.dot_general(
             ptil, g_h, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
 
-    dadst_ref[:] = dadst_ref[:] + jnp.stack(
-        dadst_cols + [jnp.zeros((NB,), jnp.float32)] * (128 - H), axis=1)
-    pad_rows = [jnp.zeros((1, W), jnp.float32)] * (Hp - H)
-    dsrcT_ref[:] = jnp.concatenate(dsrc_rows + pad_rows, axis=0)
+    if additive:
+        dadst_ref[:] = dadst_ref[:] + jnp.stack(
+            dadst_cols + [jnp.zeros((NB,), jnp.float32)] * (SDp - H),
+            axis=1)
+        pad = dsrcT_ref.shape[0] - H
+        dsrcT_ref[:] = jnp.concatenate(
+            dsrc_rows + [jnp.zeros((1, W), jnp.float32)] * pad, axis=0)
+    else:
+        full = jnp.concatenate(dadst_cols, axis=1)
+        if full.shape[1] < SDp:
+            full = jnp.concatenate(
+                [full, jnp.zeros((NB, SDp - full.shape[1]), jnp.float32)],
+                axis=1)
+        dadst_ref[:] = dadst_ref[:] + full
+        dk_full = jnp.concatenate(dsrc_rows, axis=0)
+        pad = dsrcT_ref.shape[0] - dk_full.shape[0]
+        if pad:
+            dk_full = jnp.concatenate(
+                [dk_full, jnp.zeros((pad, W), jnp.float32)], axis=0)
+        dsrcT_ref[:] = dk_full
     dv_full = jnp.concatenate(dv_parts, axis=1)
     if H * DVH < DV:
         dv_full = jnp.concatenate(
@@ -333,36 +389,50 @@ def _hp(h):
     return max(8, -(-h // 8) * 8)
 
 
-def _common(layout, nb, et, w):
+def _pad_lanes(d):
+    return max(128, -(-d // 128) * 128)
+
+
+def _common(layout, nb):
     P = int(layout.pair_ts.shape[0])
     n_pad = (layout.num_segments + nb - 1) // nb * nb
     return P, n_pad
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "leaky",
-                                             "nb", "et", "w", "interpret"))
-def _dedup_attn_fwd_call(a_dst, a_src, v, layout: DedupLayout,
-                         num_heads: int, dvh: int, leaky: float,
+@functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "dsh",
+                                             "additive", "leaky", "nb",
+                                             "et", "w", "interpret"))
+def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
+                         num_heads: int, dvh: int, dsh: int,
+                         additive: bool, leaky: float,
                          nb: int, et: int, w: int, interpret: bool):
+    """score_dst/score_src: additive → [N, H] halves; dot → [N, DS] q/k."""
     H, DV = num_heads, v.shape[1]
-    Hp = _hp(H)
-    P, n_pad = _common(layout, nb, et, w)
+    P, n_pad = _common(layout, nb)
     N = layout.num_segments
-    adst_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(
-        a_dst.astype(jnp.float32))
-    asrcT = jnp.zeros((Hp, layout.uv.shape[0]), jnp.float32).at[:H].set(
-        jnp.take(a_src.astype(jnp.float32), layout.uv, axis=0).T)
+    Upw = int(layout.uv.shape[0])
+    if additive:
+        SD, SDp = _hp(H), 128
+    else:
+        SD = H * dsh
+        SDp = _pad_lanes(SD)
+    sd_cols = H if additive else SD
+    adst_pad = jnp.zeros((n_pad, SDp), jnp.float32).at[:N, :sd_cols].set(
+        score_dst.astype(jnp.float32))
+    asrcT = jnp.zeros((SD, Upw), jnp.float32).at[:sd_cols].set(
+        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0).T)
     vu = jnp.take(v, layout.uv, axis=0)
 
     kern = functools.partial(_attn_fwd_kernel, NB=nb, ET=et, W=w, DV=DV,
-                             H=H, DVH=dvh, Hp=Hp, P=P, leaky=leaky)
+                             H=H, DVH=dvh, Hp=_hp(H), P=P, leaky=leaky,
+                             additive=additive, DSH=dsh)
     out, lse = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(P,),
             in_specs=[
-                pl.BlockSpec((nb, 128),
+                pl.BlockSpec((nb, SDp),
                              lambda p, ts, te, blk, wb: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -380,7 +450,7 @@ def _dedup_attn_fwd_call(a_dst, a_src, v, layout: DedupLayout,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, Hp, w), jnp.float32),
+                pltpu.VMEM((2, SD, w), jnp.float32),
                 pltpu.VMEM((2, w, DV), v.dtype),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
                 pltpu.VMEM((w // 128, 128), jnp.int32),
@@ -388,8 +458,8 @@ def _dedup_attn_fwd_call(a_dst, a_src, v, layout: DedupLayout,
                 pltpu.VMEM((nb, et), jnp.bfloat16),
                 pltpu.VMEM((et, w), jnp.bfloat16),
                 pltpu.VMEM((nb, w), jnp.float32),
-                pltpu.VMEM((nb, Hp), jnp.float32),
-                pltpu.VMEM((nb, Hp), jnp.float32),
+                pltpu.VMEM((nb, _hp(H)), jnp.float32),
+                pltpu.VMEM((nb, _hp(H)), jnp.float32),
                 pltpu.VMEM((nb, DV), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -408,31 +478,41 @@ def _dedup_attn_fwd_call(a_dst, a_src, v, layout: DedupLayout,
     return out[:N], lse[:N]
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "leaky",
-                                             "nb", "et", "w", "interpret"))
-def _dedup_attn_bwd_call(a_dst, a_src, v, g, out, lse, layout: DedupLayout,
-                         red: BlockedLayout, num_heads: int, dvh: int,
-                         leaky: float, nb: int, et: int, w: int,
-                         interpret: bool):
+@functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "dsh",
+                                             "additive", "leaky", "nb",
+                                             "et", "w", "interpret"))
+def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
+                         layout: DedupLayout, red: BlockedLayout,
+                         num_heads: int, dvh: int, dsh: int,
+                         additive: bool, leaky: float, nb: int, et: int,
+                         w: int, interpret: bool):
     H, DV = num_heads, v.shape[1]
     Hp = _hp(H)
-    P, n_pad = _common(layout, nb, et, w)
+    P, n_pad = _common(layout, nb)
     N = layout.num_segments
     Upw = int(layout.uv.shape[0])
-    adst_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(
-        a_dst.astype(jnp.float32))
+    if additive:
+        SD, SDp, SDo = Hp, 128, Hp
+    else:
+        SD = H * dsh
+        SDp = _pad_lanes(SD)
+        SDo = max(8, SD)
+    sd_cols = H if additive else SD
+    adst_pad = jnp.zeros((n_pad, SDp), jnp.float32).at[:N, :sd_cols].set(
+        score_dst.astype(jnp.float32))
     g_pad = jnp.zeros((n_pad, DV), jnp.float32).at[:N].set(
         g.astype(jnp.float32))
-    lse_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :128].set(lse)
+    lse_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N].set(lse)
     delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
         N, -1, dvh)[:, :H].sum(-1)
     delta_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(delta)
-    asrcT = jnp.zeros((Hp, Upw), jnp.float32).at[:H].set(
-        jnp.take(a_src.astype(jnp.float32), layout.uv, axis=0).T)
+    asrcT = jnp.zeros((SD, Upw), jnp.float32).at[:sd_cols].set(
+        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0).T)
     vuT = jnp.take(v.astype(jnp.float32), layout.uv, axis=0).T
 
     kern = functools.partial(_attn_bwd_kernel, NB=nb, ET=et, W=w, DV=DV,
-                             H=H, DVH=dvh, Hp=Hp, P=P, leaky=leaky)
+                             H=H, DVH=dvh, Hp=Hp, P=P, leaky=leaky,
+                             additive=additive, DSH=dsh)
     n_win = Upw // w
     dadst, dsrcT, dvu = pl.pallas_call(
         kern,
@@ -440,7 +520,7 @@ def _dedup_attn_bwd_call(a_dst, a_src, v, g, out, lse, layout: DedupLayout,
             num_scalar_prefetch=4,
             grid=(P,),
             in_specs=[
-                pl.BlockSpec((nb, 128),
+                pl.BlockSpec((nb, SDp),
                              lambda p, ts, te, blk, wb: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, DV),
@@ -459,10 +539,10 @@ def _dedup_attn_bwd_call(a_dst, a_src, v, g, out, lse, layout: DedupLayout,
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=(
-                pl.BlockSpec((nb, 128),
+                pl.BlockSpec((nb, SDp),
                              lambda p, ts, te, blk, wb: (blk[p], 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Hp, w),
+                pl.BlockSpec((SDo, w),
                              lambda p, ts, te, blk, wb: (0, wb[p] // w),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((w, DV),
@@ -470,7 +550,7 @@ def _dedup_attn_bwd_call(a_dst, a_src, v, g, out, lse, layout: DedupLayout,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, Hp, w), jnp.float32),
+                pltpu.VMEM((2, SD, w), jnp.float32),
                 pltpu.VMEM((2, DV, w), jnp.float32),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
                 pltpu.VMEM((w // 128, 128), jnp.int32),
@@ -485,8 +565,8 @@ def _dedup_attn_bwd_call(a_dst, a_src, v, g, out, lse, layout: DedupLayout,
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, n_win * w), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, SDp), jnp.float32),
+            jax.ShapeDtypeStruct((SDo, n_win * w), jnp.float32),
             jax.ShapeDtypeStruct((n_win * w, DV), jnp.float32),
         ),
         interpret=interpret,
@@ -496,19 +576,19 @@ def _dedup_attn_bwd_call(a_dst, a_src, v, g, out, lse, layout: DedupLayout,
       adst_pad, g_pad, lse_pad, delta_pad, asrcT, vuT,
       layout.padded_ids, layout.rank_ts, layout.rank_te)
 
-    da_dst = dadst[:N, :H].astype(a_dst.dtype)
+    da_dst = dadst[:N, :sd_cols].astype(score_dst.dtype)
     # fold window rows back onto nodes (sorted reduce, no scatter);
     # the +W tail window may never be written by any pair — drop it
     Upad = Upw - w
     dsrc_rows = dsrcT.T[:Upad]
     dv_rows = dvu[:Upad]
+    src_pad = _pad_lanes(SDo)
     da_src = _uniq_reduce(
         jnp.concatenate([dsrc_rows,
-                         jnp.zeros((dsrc_rows.shape[0], 128 - Hp),
-                                   jnp.float32)], axis=1), red,
-        interpret)[:, :H]
+                         jnp.zeros((Upad, src_pad - SDo), jnp.float32)],
+                        axis=1), red, interpret)[:, :sd_cols]
     dv = _uniq_reduce(dv_rows, red, interpret)
-    return da_dst, da_src.astype(a_src.dtype), dv.astype(v.dtype)
+    return da_dst, da_src.astype(score_src.dtype), dv.astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
@@ -523,14 +603,15 @@ def dedup_gat_attention(a_dst, a_src, v, layout: DedupLayout,
     heads at DVH strides (DV lane-aligned, tail ignored).
     """
     out, _ = _dedup_attn_fwd_call(a_dst, a_src, v, layout, num_heads, dvh,
-                                  leaky, nb, et, layout.w, interpret)
+                                  0, True, leaky, nb, et, layout.w,
+                                  interpret)
     return out
 
 
 def _dga_fwd(a_dst, a_src, v, layout, red, num_heads, dvh, leaky, nb, et,
              interpret):
     out, lse = _dedup_attn_fwd_call(a_dst, a_src, v, layout, num_heads,
-                                    dvh, leaky, nb, et, layout.w,
+                                    dvh, 0, True, leaky, nb, et, layout.w,
                                     interpret)
     return out, (a_dst, a_src, v, out, lse, layout, red)
 
@@ -538,9 +619,42 @@ def _dga_fwd(a_dst, a_src, v, layout, red, num_heads, dvh, leaky, nb, et,
 def _dga_bwd(num_heads, dvh, leaky, nb, et, interpret, res, g):
     a_dst, a_src, v, out, lse, layout, red = res
     da_dst, da_src, dv = _dedup_attn_bwd_call(
-        a_dst, a_src, v, g, out, lse, layout, red, num_heads, dvh, leaky,
-        nb, et, layout.w, interpret)
+        a_dst, a_src, v, g, out, lse, layout, red, num_heads, dvh, 0,
+        True, leaky, nb, et, layout.w, interpret)
     return da_dst, da_src, dv, None, None
 
 
 dedup_gat_attention.defvjp(_dga_fwd, _dga_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def dedup_dot_attention(q, k, v, layout: DedupLayout, red: BlockedLayout,
+                        num_heads: int, dsh: int, dvh: int,
+                        leaky: float = 0.0, nb: int = 256, et: int = 1024,
+                        interpret: bool = False):
+    """out[r] = Σ_{e: dst=r} softmax_r(q[r]·k[src_e]) · v[src_e] — the
+    TransformerConv/UniMP triple (``pgl/nn/conv.py:808-846``) in
+    count-matrix pair form. q/k: [N, H·dsh]; v: [N, DV] (lane-aligned)."""
+    out, _ = _dedup_attn_fwd_call(q, k, v, layout, num_heads, dvh, dsh,
+                                  False, leaky, nb, et, layout.w,
+                                  interpret)
+    return out
+
+
+def _dda_fwd(q, k, v, layout, red, num_heads, dsh, dvh, leaky, nb, et,
+             interpret):
+    out, lse = _dedup_attn_fwd_call(q, k, v, layout, num_heads, dvh, dsh,
+                                    False, leaky, nb, et, layout.w,
+                                    interpret)
+    return out, (q, k, v, out, lse, layout, red)
+
+
+def _dda_bwd(num_heads, dsh, dvh, leaky, nb, et, interpret, res, g):
+    q, k, v, out, lse, layout, red = res
+    dq, dk, dv = _dedup_attn_bwd_call(
+        q, k, v, g, out, lse, layout, red, num_heads, dvh, dsh, False,
+        leaky, nb, et, layout.w, interpret)
+    return dq, dk, dv, None, None
+
+
+dedup_dot_attention.defvjp(_dda_fwd, _dda_bwd)

@@ -147,3 +147,52 @@ def test_gatconv_dispatches_dedup(monkeypatch):
     out = conv.apply(params, g, x)
     assert called.get("yes"), "dedup attention path not taken"
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _dot_ref(edges, q, k, v, N, H, DSH, DVH):
+    src_e = jnp.asarray(edges[:, 0])
+    dst_e = jnp.asarray(edges[:, 1])
+    qh = q.reshape(N, H, DSH)
+    kh = k.reshape(N, H, DSH)
+    s = jnp.einsum("ehd,ehd->eh", qh[dst_e], kh[src_e])
+    smax = jax.ops.segment_max(s, dst_e, num_segments=N)
+    p = jnp.exp(s - smax[dst_e])
+    denom = jax.ops.segment_sum(p, dst_e, num_segments=N)
+    p = p / jnp.maximum(denom[dst_e], 1e-30)
+    vv = v[src_e].reshape(len(edges), -1, DVH)[:, :H]
+    o = jax.ops.segment_sum(p[:, :, None] * vv, dst_e, num_segments=N)
+    return o.reshape(N, H * DVH)
+
+
+def test_dedup_dot_forward_and_grads():
+    from pgl_tpu.ops.pallas.dedup_attention import dedup_dot_attention
+    N, E, H, DSH, DVH, DV = 700, 5000, 4, 8, 8, 128
+    edges, lay, red = _case(N, E, seed=3, hub=True)
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, DV)).astype(np.float32))
+    out = dedup_dot_attention(q, k, v, lay, red, H, DSH, DVH, 0.0,
+                              256, 1024, True)
+    ref = _dot_ref(edges, q, k, v, N, H, DSH, DVH)
+    np.testing.assert_allclose(np.asarray(out)[:, :H * DVH],
+                               np.asarray(ref), rtol=1e-4, atol=1e-4)
+    tgt = np.asarray(ref) * 0.9
+
+    def loss_f(qq, kk, vv):
+        o = dedup_dot_attention(qq, kk, vv, lay, red, H, DSH, DVH, 0.0,
+                                256, 1024, True)
+        return ((o[:, :H * DVH] - tgt) ** 2).sum()
+
+    def loss_r(qq, kk, vv):
+        return ((_dot_ref(edges, qq, kk, vv, N, H, DSH, DVH) - tgt)
+                ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g1, g2):
+        aa, bb = np.asarray(a), np.asarray(b)
+        if name == "dv":
+            aa, bb = aa[:, :H * DVH], bb[:, :H * DVH]
+        np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=2e-4,
+                                   err_msg=name)
