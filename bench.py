@@ -210,11 +210,18 @@ def main():
     sol_spmm = ((E * D * 4 + E * 4 + num_nodes * D * 4) / (hbm_gbps * 1e9)
                 ) / t_spmm
 
+    # Honest full-E SDDMM: the dedup kernel computes and WRITES all E
+    # per-edge rows (optimization_barrier pins them — without it XLA
+    # slices a gather-based send_uv down to the consumed rows, which is
+    # what r1-r3 inadvertently measured: ~2 gathers of N rows, not E).
+    sddmm_lay = g.sddmm_layout()
+
     @jax.jit
     def sddmm_loop(g, x):
         def body(i, x):
-            y = g.send_uv(x, x, "mul")            # [E, D]
-            return x + y[:x.shape[0]] * 1e-9
+            y = g.sddmm_csc(x, x, "mul", layout=sddmm_lay)  # [1.13E, D]
+            y = jax.lax.optimization_barrier(y)
+            return x + y[0, 0] * 1e-9
         return jax.lax.fori_loop(0, R, body, x)
 
     o = sddmm_loop(g, x0); float(o[0, 0])
@@ -222,6 +229,19 @@ def main():
     o = sddmm_loop(g, x0); float(o[0, 0])
     t_sddmm = (time.perf_counter() - t0) / R
     sol_sddmm = ((3 * E * D * 4 + 2 * E * 4) / (hbm_gbps * 1e9)) / t_sddmm
+
+    @jax.jit
+    def sddmm_xla_loop(g, x):
+        def body(i, x):
+            y = g.send_uv(x, x, "mul")            # [E, D] edge order
+            y = jax.lax.optimization_barrier(y)
+            return x + y[0, 0] * 1e-9
+        return jax.lax.fori_loop(0, R, body, x)
+
+    o = sddmm_xla_loop(g, x0); float(o[0, 0])
+    t0 = time.perf_counter()
+    o = sddmm_xla_loop(g, x0); float(o[0, 0])
+    t_sddmm_xla = (time.perf_counter() - t0) / R
 
     # --- GAT training step (fused fwd + fused flash-style bwd) ------------
     from pgl_tpu.models import GAT
@@ -412,6 +432,9 @@ def main():
             "sddmm_sol_fraction": round(sol_sddmm, 4),
             "spmm_ms": round(t_spmm * 1000, 2),
             "sddmm_ms": round(t_sddmm * 1000, 2),
+            "sddmm_xla_full_ms": round(t_sddmm_xla * 1000, 2),
+            "sddmm_note": "full-E dedup kernel w/ barrier (r1-r3 "
+                          "numbers were XLA-elided to ~2 N-row gathers)",
             "gat8_train_step_ms_1M_edges": round(t_gat_step * 1000, 1),
             "gat_train_edges_per_s": round(2 * E_gat / t_gat_step, 0),
             "sage_minibatch_nodes_per_s": round(sage_nodes_per_s, 0),

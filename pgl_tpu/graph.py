@@ -421,6 +421,44 @@ class Graph:
         return mp.send_uv(src_feat, dst_feat, self._edges[:, 0],
                           self._edges[:, 1], message_op=message_op)
 
+    def sddmm_csc(self, src_feat, dst_feat, message_op: str = "mul",
+                  interpret: bool = False, layout=None):
+        """Fused dedup SDDMM (``ops/pallas/sddmm_kernels.py``): per-edge
+        endpoint combine at ~4× the XLA ``send_uv`` rate at 2M edges.
+
+        Returns scores in the layout's **slot order** (dedup edge order
+        — dst-block-major like CSC; pads are 0). Downstream per-dst
+        consumers (edge softmax, attention) read this order natively;
+        map individual edges back with ``g.sddmm_layout().eid`` (slot →
+        CSC edge position, host-side). ``send_uv`` keeps the reference's
+        original-edge-order contract (``pgl/graph.py:939``) on the XLA
+        path. The layout build is a host-side O(E log E) pass cached on
+        the graph OBJECT (not the pytree) — under jit, build it outside
+        with ``g.sddmm_layout()`` and pass it via ``layout=``."""
+        lay = layout if layout is not None else self.sddmm_layout()
+        if lay is None:                 # empty graph
+            D = src_feat.shape[1:]
+            return jnp.zeros((0,) + tuple(D), jnp.float32)
+        from .ops.pallas import sddmm_kernels as sk
+        if not interpret and jax.default_backend() != "tpu":
+            # same slot-order contract off-TPU (interpret mode is far
+            # too slow at real sizes; gathers are fine on CPU)
+            return sk.sddmm_xla_slots(src_feat, dst_feat, lay,
+                                      message_op)
+        return sk.sddmm_dedup(src_feat, dst_feat, lay, message_op,
+                              interpret)
+
+    def sddmm_layout(self):
+        """Build (once, host-side) and cache the dedup SDDMM layout."""
+        self._require_tensor()
+        if not hasattr(self, "_sddmm_layout_cache"):
+            from .ops.pallas.sddmm_kernels import build_sddmm_layout
+            idx = self.adj_dst_index
+            self._sddmm_layout_cache = build_sddmm_layout(
+                np.asarray(idx.indptr), np.asarray(idx.sorted_v),
+                self._num_nodes)
+        return self._sddmm_layout_cache
+
     def streamed_send_u_recv(self, feature_host, reduce_op: str = "sum",
                              chunk_rows: int = 1 << 18,
                              interpret: bool = False):
