@@ -109,42 +109,20 @@ class DeviceWalker:
             else:
                 self._alias = None
 
-    # -- core hop -----------------------------------------------------------
-
-    def _hop(self, cur, key, et: int = 0):
-        ip = self._indptr[et]
-        lo = ip[cur]
-        deg = ip[cur + 1] - lo
-        k1, k2 = jax.random.split(key)
-        r = jax.random.randint(k1, cur.shape, 0, 1 << 30) \
-            % jnp.maximum(deg, 1)
-        if getattr(self, "_alias", None) is not None:
-            probs, alias = self._alias
-            u = jax.random.uniform(k2, cur.shape)
-            local = jnp.where(u < probs[lo + r], r, alias[lo + r])
-            nxt = self._sorted_v[lo + local]
-        else:
-            nxt = self._sorted_v[lo + r]
-        return jnp.where(deg > 0, nxt, cur), deg > 0
-
     # -- public walks ---------------------------------------------------------
+    # The adjacency arrays are passed as ARGUMENTS to module-level jitted
+    # functions — never captured via a static self. Capturing would bake
+    # the CSR into the traced program as constants, which at 100M+ edges
+    # overflows the compile payload (observed: HTTP 413 from the TPU
+    # tunnel's remote_compile at an 880 MB baked-in CSR) and defeats the
+    # compile cache.
 
-    @functools.partial(jax.jit, static_argnames=("self", "walk_len"))
     def random_walk(self, starts, walk_len: int, key):
         """Uniform (or alias-weighted) first-order walks → [B, walk_len]."""
-        starts = jnp.asarray(starts, jnp.int32)
-
-        def step(carry, k):
-            cur, alive = carry
-            nxt, ok = self._hop(cur, k)
-            alive = alive & ok
-            nxt = jnp.where(alive, nxt, cur)
-            return (nxt, alive), nxt
-
-        keys = jax.random.split(key, walk_len - 1)
-        (_, _), tail = jax.lax.scan(
-            step, (starts, jnp.ones_like(starts, dtype=bool)), keys)
-        return jnp.concatenate([starts[None], tail]).T
+        return _random_walk(self._indptr, self._sorted_v,
+                            getattr(self, "_alias", None),
+                            jnp.asarray(starts, jnp.int32), key,
+                            walk_len=walk_len)
 
     def metapath_walk(self, starts, metapath: Sequence[str],
                       walk_len: int, key):
@@ -153,59 +131,10 @@ class DeviceWalker:
         if not self.is_hetero:
             raise ValueError("metapath_walk needs a HeterGraph walker")
         sched = tuple(self.etypes.index(et) for et in metapath)
-        return self._metapath_impl(starts, sched, walk_len, key)
+        return _metapath_walk(self._indptr, self._sorted_v,
+                              jnp.asarray(starts, jnp.int32), key,
+                              sched=sched, walk_len=walk_len)
 
-    @functools.partial(jax.jit,
-                       static_argnames=("self", "sched", "walk_len"))
-    def _metapath_impl(self, starts, sched: tuple, walk_len: int, key):
-        starts = jnp.asarray(starts, jnp.int32)
-        ets = jnp.asarray([sched[i % len(sched)]
-                           for i in range(walk_len - 1)], jnp.int32)
-
-        def step(carry, inp):
-            k, et = inp
-            cur, alive = carry
-            ip = self._indptr[et]
-            lo = ip[cur]
-            deg = ip[cur + 1] - lo
-            r = jax.random.randint(k, cur.shape, 0, 1 << 30) \
-                % jnp.maximum(deg, 1)
-            nxt = self._sorted_v[lo + r]
-            ok = deg > 0
-            alive = alive & ok
-            nxt = jnp.where(alive, nxt, cur)
-            return (nxt, alive), nxt
-
-        keys = jax.random.split(key, walk_len - 1)
-        (_, _), tail = jax.lax.scan(
-            step, (starts, jnp.ones_like(starts, dtype=bool)),
-            (keys, ets))
-        return jnp.concatenate([starts[None], tail]).T
-
-    # -- node2vec -------------------------------------------------------------
-
-    def _is_neighbor(self, u, x):
-        """Vectorized binary search: is x a neighbor of u? Requires
-        ``neighbor_sorted=True`` adjacency."""
-        ip = self._indptr[0]
-        lo = ip[u]
-        hi = ip[u + 1]
-
-        def body(_, lh):
-            lo, hi = lh
-            mid = (lo + hi) // 2
-            v = self._sorted_v[jnp.minimum(mid, len(self._sorted_v) - 1)]
-            go_right = v < x
-            return (jnp.where(go_right, mid + 1, lo),
-                    jnp.where(go_right, hi, mid))
-
-        lo_f, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
-        at = self._sorted_v[jnp.minimum(lo_f, len(self._sorted_v) - 1)]
-        return (lo_f < hi) & (at == x)
-
-    @functools.partial(jax.jit,
-                       static_argnames=("self", "walk_len", "tries",
-                                        "p", "q"))
     def node2vec_walk(self, starts, walk_len: int, key, p: float = 1.0,
                       q: float = 1.0, tries: int = 8):
         """Second-order p/q-biased walks via device rejection sampling
@@ -217,41 +146,133 @@ class DeviceWalker:
         if not getattr(self, "neighbor_sorted", False):
             raise ValueError("node2vec needs DeviceWalker("
                              "neighbor_sorted=True)")
-        starts = jnp.asarray(starts, jnp.int32)
-        inv_p, inv_q = 1.0 / p, 1.0 / q
-        m = max(inv_p, inv_q, 1.0)
+        return _node2vec_walk(self._indptr, self._sorted_v,
+                              getattr(self, "_alias", None),
+                              jnp.asarray(starts, jnp.int32), key,
+                              walk_len=walk_len, p=p, q=q, tries=tries)
 
-        def hop(cur, prev, k):
-            def trial(carry, kk):
-                nxt, accepted = carry
-                k1, k2 = jax.random.split(kk)
-                cand, ok = self._hop(cur, k1)
-                w = jnp.where(cand == prev, inv_p,
-                              jnp.where(self._is_neighbor(prev, cand),
-                                        1.0, inv_q))
-                acc = (jax.random.uniform(k2, cur.shape) * m < w) & ok
-                take = acc & ~accepted
-                return (jnp.where(take, cand, nxt),
-                        accepted | acc), None
 
-            (nxt, accepted), _ = jax.lax.scan(
-                trial, (cur, jnp.zeros_like(cur, dtype=bool)),
-                jax.random.split(k, tries))
-            # unaccepted after all tries: uniform fallback (stall if dead)
-            fb, ok = self._hop(cur, jax.random.fold_in(k, 7))
-            return jnp.where(accepted, nxt, jnp.where(ok, fb, cur))
+# -- jitted implementations (adjacency as traced args) ----------------------
 
-        k0, key = jax.random.split(key)
-        first, _ = self._hop(starts, k0)
 
-        def step(carry, kk):
-            cur, prev = carry
-            nxt = hop(cur, prev, kk)
-            return (nxt, cur), nxt
+def _hop(indptr, sorted_v, alias, cur, key, et=0):
+    ip = indptr[et]
+    lo = ip[cur]
+    deg = ip[cur + 1] - lo
+    k1, k2 = jax.random.split(key)
+    r = jax.random.randint(k1, cur.shape, 0, 1 << 30) \
+        % jnp.maximum(deg, 1)
+    if alias is not None:
+        probs, al = alias
+        u = jax.random.uniform(k2, cur.shape)
+        local = jnp.where(u < probs[lo + r], r, al[lo + r])
+        nxt = sorted_v[lo + local]
+    else:
+        nxt = sorted_v[lo + r]
+    return jnp.where(deg > 0, nxt, cur), deg > 0
 
-        keys = jax.random.split(key, max(walk_len - 2, 0))
-        (_, _), tail = jax.lax.scan(step, (first, starts), keys)
-        return jnp.concatenate([starts[None], first[None], tail]).T
+
+@functools.partial(jax.jit, static_argnames=("walk_len",))
+def _random_walk(indptr, sorted_v, alias, starts, key, *, walk_len: int):
+    def step(carry, k):
+        cur, alive = carry
+        nxt, ok = _hop(indptr, sorted_v, alias, cur, k)
+        alive = alive & ok
+        nxt = jnp.where(alive, nxt, cur)
+        return (nxt, alive), nxt
+
+    keys = jax.random.split(key, walk_len - 1)
+    (_, _), tail = jax.lax.scan(
+        step, (starts, jnp.ones_like(starts, dtype=bool)), keys)
+    return jnp.concatenate([starts[None], tail]).T
+
+
+@functools.partial(jax.jit, static_argnames=("sched", "walk_len"))
+def _metapath_walk(indptr, sorted_v, starts, key, *, sched: tuple,
+                   walk_len: int):
+    ets = jnp.asarray([sched[i % len(sched)]
+                       for i in range(walk_len - 1)], jnp.int32)
+
+    def step(carry, inp):
+        k, et = inp
+        cur, alive = carry
+        ip = indptr[et]
+        lo = ip[cur]
+        deg = ip[cur + 1] - lo
+        r = jax.random.randint(k, cur.shape, 0, 1 << 30) \
+            % jnp.maximum(deg, 1)
+        nxt = sorted_v[lo + r]
+        ok = deg > 0
+        alive = alive & ok
+        nxt = jnp.where(alive, nxt, cur)
+        return (nxt, alive), nxt
+
+    keys = jax.random.split(key, walk_len - 1)
+    (_, _), tail = jax.lax.scan(
+        step, (starts, jnp.ones_like(starts, dtype=bool)),
+        (keys, ets))
+    return jnp.concatenate([starts[None], tail]).T
+
+
+def _is_neighbor(indptr, sorted_v, u, x):
+    """Vectorized binary search over neighbor-sorted adjacency."""
+    ip = indptr[0]
+    lo = ip[u]
+    hi = ip[u + 1]
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) // 2
+        v = sorted_v[jnp.minimum(mid, len(sorted_v) - 1)]
+        go_right = v < x
+        return (jnp.where(go_right, mid + 1, lo),
+                jnp.where(go_right, hi, mid))
+
+    lo_f, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    at = sorted_v[jnp.minimum(lo_f, len(sorted_v) - 1)]
+    return (lo_f < hi) & (at == x)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("walk_len", "p", "q", "tries"))
+def _node2vec_walk(indptr, sorted_v, alias, starts, key, *,
+                   walk_len: int, p: float, q: float, tries: int):
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    m = max(inv_p, inv_q, 1.0)
+
+    def hop(cur, prev, k):
+        def trial(carry, kk):
+            nxt, accepted = carry
+            k1, k2 = jax.random.split(kk)
+            cand, ok = _hop(indptr, sorted_v, alias, cur, k1)
+            w = jnp.where(cand == prev, inv_p,
+                          jnp.where(_is_neighbor(indptr, sorted_v,
+                                                 prev, cand),
+                                    1.0, inv_q))
+            acc = (jax.random.uniform(k2, cur.shape) * m < w) & ok
+            take = acc & ~accepted
+            return (jnp.where(take, cand, nxt),
+                    accepted | acc), None
+
+        (nxt, accepted), _ = jax.lax.scan(
+            trial, (cur, jnp.zeros_like(cur, dtype=bool)),
+            jax.random.split(k, tries))
+        # unaccepted after all tries: uniform fallback (stall if dead)
+        fb, ok = _hop(indptr, sorted_v, alias, cur,
+                      jax.random.fold_in(k, 7))
+        return jnp.where(accepted, nxt, jnp.where(ok, fb, cur))
+
+    k0, key = jax.random.split(key)
+    first, _ = _hop(indptr, sorted_v, alias, starts, k0)
+
+    def step(carry, kk):
+        cur, prev = carry
+        nxt = hop(cur, prev, kk)
+        return (nxt, cur), nxt
+
+    keys = jax.random.split(key, max(walk_len - 2, 0))
+    (_, _), tail = jax.lax.scan(step, (first, starts), keys)
+    return jnp.concatenate([starts[None], first[None], tail]).T
 
 
 @functools.partial(jax.jit, static_argnames=("win",))
