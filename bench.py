@@ -169,7 +169,7 @@ def main():
     opt = optax.adam(1e-3)
     step = _build_train_step(model, opt)
     t_step = _time_steps(step, params, opt.init(params), g,
-                         g.node_feat["h"], y)
+                         g.node_feat["h"], y, repeats=3)
     # 3 SpMM in forward + 3 transposed SpMM in backward per step.
     edges_per_s = 6 * E / t_step
 
