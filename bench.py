@@ -292,38 +292,8 @@ def main():
         def __len__(self):
             return len(self.nodes)
 
-    def batch_fn(items):
-        nodes = np.asarray([n for n, _ in items])
-        labels = np.asarray([lb for _, lb in items])
-        sub, sample_index, node_index = graphsage_sample(
-            gs, nodes, samples)[0]
-        ns, ne = sub.num_nodes, sub.num_edges
-        if ns > n_bucket or ne > e_bucket:
-            raise RuntimeError(
-                f"bucket overflow: {ns}/{n_bucket} nodes "
-                f"{ne}/{e_bucket} edges")
-        idx = sub.adj_dst_index                     # host C++ CSC build
-        su = np.full(e_bucket, n_bucket - 1, np.int32)
-        su[:ne] = np.asarray(idx.sorted_u)          # stays sorted (pad=max)
-        sv = np.full(e_bucket, n_bucket - 1, np.int32)
-        sv[:ne] = np.asarray(idx.sorted_v)
-        se = np.arange(e_bucket, dtype=np.int32)
-        deg = np.zeros(n_bucket, np.int32)
-        deg[:ns] = np.asarray(idx.degree)
-        deg[n_bucket - 1] += e_bucket - ne          # pad edges -> dummy node
-        indptr = np.full(n_bucket + 1, ne, np.int64)
-        indptr[:ns + 1] = np.asarray(idx.indptr)
-        indptr[n_bucket] = e_bucket
-        sidx = np.zeros(n_bucket, np.int32)
-        sidx[:ns] = sample_index
-        smask = np.zeros((n_bucket, 1), np.float32)
-        smask[:ns] = 1.0
-        yb = np.zeros(n_bucket, np.int32)
-        mask = np.zeros(n_bucket, np.float32)
-        yb[node_index] = labels
-        mask[node_index] = 1.0
-        edges = np.stack([sv, su], axis=1)
-        return edges, deg, su, sv, se, indptr, sidx, smask, yb, mask
+    from pgl_tpu.sampling import make_padded_batch_fn
+    batch_fn = make_padded_batch_fn(gs, samples, n_bucket, e_bucket)
 
     sage_opt = optax.adam(1e-3)
 

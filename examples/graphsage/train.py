@@ -43,48 +43,6 @@ class ShardedNodeDataset(Dataset):
         return len(self.nodes)
 
 
-def make_batch_fn(graph, samples, n_bucket, e_bucket):
-    """Worker-side batch builder. TPU-native split of labor: the worker
-    runs ``graphsage_sample`` AND builds the padded CSC index with the C++
-    counting sort (an in-jit argsort is the one thing TPUs do badly), and
-    ships only int32 indices (~0.7 MB/batch). Features never ride H2D —
-    the train step gathers rows from the device-resident table by
-    ``sample_index``. Mirrors the reference worker split at
-    ``examples/graphsage/cpu_sample_version/train.py`` + CUDA gather."""
-
-    def batch_fn(items):
-        nodes = np.asarray([n for n, _ in items])
-        labels = np.asarray([l for _, l in items])
-        sub, sample_index, node_index = graphsage_sample(
-            graph, nodes, samples)[0]
-        ns, ne = sub.num_nodes, sub.num_edges
-        if ns > n_bucket or ne > e_bucket:
-            raise RuntimeError(f"bucket too small: {ns}/{ne}")
-        idx = sub.adj_dst_index                  # host C++ CSC build
-        su = np.full(e_bucket, n_bucket - 1, np.int32)
-        su[:ne] = np.asarray(idx.sorted_u)       # stays sorted (pad = max)
-        sv = np.full(e_bucket, n_bucket - 1, np.int32)
-        sv[:ne] = np.asarray(idx.sorted_v)
-        deg = np.zeros(n_bucket, np.int32)
-        deg[:ns] = np.asarray(idx.degree)
-        deg[n_bucket - 1] += e_bucket - ne
-        indptr = np.full(n_bucket + 1, ne, np.int64)
-        indptr[:ns + 1] = np.asarray(idx.indptr)
-        indptr[n_bucket] = e_bucket
-        sidx = np.zeros(n_bucket, np.int32)
-        sidx[:ns] = sample_index
-        smask = np.zeros((n_bucket, 1), np.float32)
-        smask[:ns] = 1.0
-        y = np.zeros(n_bucket, np.int32)
-        mask = np.zeros(n_bucket, np.float32)
-        y[node_index] = labels
-        mask[node_index] = 1.0
-        edges = np.stack([sv, su], axis=1)
-        return edges, deg, su, sv, indptr, sidx, smask, y, mask
-
-    return batch_fn
-
-
 def run_device_sampled(args, graph, feat, train_nodes, train_y, test_nodes,
                        test_y, num_classes):
     """Fully on-device pipeline: NeighborSampler + BipartiteSAGE fuse
@@ -194,7 +152,8 @@ def main():
     model = GraphSage(input_size=np.asarray(feat).shape[1],
                       num_class=num_classes, hidden_size=args.hidden,
                       dropout=0.0)
-    batch_fn = make_batch_fn(graph, args.samples, n_bucket, e_bucket)
+    from pgl_tpu.sampling import make_padded_batch_fn
+    batch_fn = make_padded_batch_fn(graph, args.samples, n_bucket, e_bucket)
     feat_dev = jnp.asarray(np.asarray(feat, np.float32))
 
     params = None
@@ -203,15 +162,14 @@ def main():
 
     from pgl_tpu.utils.edge_index import EdgeIndex
 
-    def as_graph(edges, deg, su, sv, indptr):
-        se = jnp.arange(e_bucket, dtype=jnp.int32)
+    def as_graph(edges, deg, su, sv, se, indptr):
         return Graph(edges, num_nodes=n_bucket,
                      adj_dst_index=EdgeIndex(deg, su, sv, se, indptr))
 
     @jax.jit
-    def train_step(params, opt_state, edges, deg, su, sv, indptr, sidx,
-                   smask, y, mask):
-        g = as_graph(edges, deg, su, sv, indptr)
+    def train_step(params, opt_state, edges, deg, su, sv, se, indptr,
+                   sidx, smask, y, mask):
+        g = as_graph(edges, deg, su, sv, se, indptr)
         x = jnp.take(feat_dev, sidx, axis=0) * smask
 
         def loss_fn(p):
@@ -233,8 +191,8 @@ def main():
         for batch in loader:
             batch = [jax.device_put(a) for a in batch]
             if params is None:
-                g0 = as_graph(*batch[:5])
-                x0 = jnp.take(feat_dev, batch[5], axis=0) * batch[6]
+                g0 = as_graph(*batch[:6])
+                x0 = jnp.take(feat_dev, batch[6], axis=0) * batch[7]
                 params = model.init(jax.random.key(0), g0, x0)
                 opt_state = opt.init(params)
             params, opt_state, loss = train_step(params, opt_state, *batch)
@@ -247,9 +205,11 @@ def main():
     eval_loader = Dataloader(ShardedNodeDataset(test_nodes, test_y),
                              batch_size=args.batch_size,
                              collate_fn=batch_fn)
-    for edges, deg, su, sv, indptr, sidx, smask, y_b, mask in eval_loader:
+    for edges, deg, su, sv, se, indptr, sidx, smask, y_b, mask \
+            in eval_loader:
         g = as_graph(jnp.asarray(edges), jnp.asarray(deg), jnp.asarray(su),
-                     jnp.asarray(sv), jnp.asarray(indptr))
+                     jnp.asarray(sv), jnp.asarray(se),
+                     jnp.asarray(indptr))
         x = jnp.take(feat_dev, jnp.asarray(sidx), axis=0) \
             * jnp.asarray(smask)
         logits = model.apply(params, g, x)

@@ -169,7 +169,10 @@ def run(mode, layout, uniq, N):
             ),
             out_shape=jax.ShapeDtypeStruct((n_pad, D), jnp.float32),
         )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
-          u, layout.padded_ids, layout.padded_rows)
+          u, layout.padded_ids,
+          # padded_rows is host-only aux now (the production kernel
+          # dropped it); this historical variant still needs it on device
+          jnp.asarray(np.asarray(layout.padded_rows).reshape(-1, 128)))
 
     @jax.jit
     def loop(u):

@@ -124,7 +124,7 @@ def main():
     # --- isolated fused attention calls ---------------------------------
     from pgl_tpu.ops.pallas.attention_kernels import (
         fused_graph_attention, gat_score_features)
-    csc, csr, perm = ga._spmm_layouts
+    csc, csr, perm = ga._spmm_layouts[:3]   # tuple grew (dedup layouts)
     rng = np.random.default_rng(0)
 
     for (H, Dh, label) in ((8, 8, "layer0 H=8 Dh=8"),

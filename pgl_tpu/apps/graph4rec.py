@@ -120,6 +120,13 @@ class Graph4RecTrainer:
                     "distributed PS training supports walk_based models "
                     f"(got model_type={mtype0!r}) — dense encoder weights "
                     "would need replica synchronization")
+            if getattr(self.cfg, "use_node_feat", False):
+                raise ValueError(
+                    "distributed PS training does not support "
+                    "use_node_feat yet: the feature projection is a "
+                    "dense weight that would need replica "
+                    "synchronization — run single-process, or drop "
+                    "use_node_feat from the config")
             from ..distributed.ps import PSEmbedding
             lr = float(self.cfg.lr or 5e-3)
             self.ps = {

@@ -197,6 +197,7 @@ class PSEmbedding:
         while True:
             item = self._queues[s].get()
             if item is None:
+                self._queues[s].task_done()
                 return
             local, grads = item
             try:
@@ -205,6 +206,10 @@ class PSEmbedding:
                                            retries=0)
             except BaseException as e:   # surfaced on next push/flush
                 self._errs[s] = e
+            finally:
+                # task_done AFTER the push lands: flush() joins on this,
+                # so a dequeued-but-unsent item can never slip past it
+                self._queues[s].task_done()
 
     def push(self, ids, grads):
         ids = np.asarray(ids).reshape(-1)
@@ -225,17 +230,15 @@ class PSEmbedding:
             self._queues[s].put((local[m], np.ascontiguousarray(grads[m])))
 
     def flush(self):
-        """Wait until every queued push has been applied: drain the queue,
-        then issue a fencing call on the SAME connection the sender uses —
-        the per-client lock serializes it behind any in-flight push."""
+        """Wait until every queued push has been applied: ``Queue.join``
+        blocks until the sender has called ``task_done`` for every item —
+        which it does only after the RPC returns, so there is no window
+        where a dequeued-but-unsent gradient escapes the fence (a bare
+        ``empty()`` poll had exactly that race)."""
         if not self._async:
             return
-        import time
         for s in range(self.S):
-            while not self._queues[s].empty():
-                time.sleep(0.005)
-        for s in range(self.S):
-            self._push_clients[s].call("ping")
+            self._queues[s].join()
             if self._errs[s] is not None:
                 raise RuntimeError(
                     f"async push to shard {s} failed"

@@ -293,7 +293,7 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
 
     @pl.when(new_blk)
     def _():
-        dadst_ref[:] = jnp.zeros((NB, 128), dadst_ref.dtype)
+        dadst_ref[:] = jnp.zeros(dadst_ref.shape, dadst_ref.dtype)
 
     _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
                  ids_tile, rts_tile, rte_tile, oh_dst, oh_rankT, c_acc,
@@ -503,8 +503,11 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     g_pad = jnp.zeros((n_pad, DV), jnp.float32).at[:N].set(
         g.astype(jnp.float32))
     lse_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N].set(lse)
-    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
-        N, -1, dvh)[:, :H].sum(-1)
+    # per-head Σ g⊙out over that head's dvh columns; slice off the lane
+    # padding FIRST (DV is ceil-128-padded and need not divide by dvh)
+    delta = (g[:, :H * dvh].astype(jnp.float32)
+             * out[:, :H * dvh].astype(jnp.float32)).reshape(
+        N, H, dvh).sum(-1)
     delta_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(delta)
     asrcT = jnp.zeros((SD, Upw), jnp.float32).at[:sd_cols].set(
         jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0).T)

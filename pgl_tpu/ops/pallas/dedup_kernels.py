@@ -65,8 +65,12 @@ class DedupLayout:
     padded_v:    [Ep] int32 src id per edge in dedup order (backward dw)
     padded_ids:  [Ep/128, 128] int32 dst ids, dedup edge order, sentinel
                  ``n_pad`` at pads
-    padded_rows: [Ep/128, 128] int32 global uniq-row index per edge
-                 (``uv_off[blk] + rank``), sentinel far outside any window
+    padded_rows: host-only numpy aux ([Ep] int32 global uniq-row index
+                 per edge, ``uv_off[blk] + rank``) — the interval-table
+                 kernel no longer reads it, so it stays OFF the device
+                 and out of the pytree (kept for layout debugging and
+                 the historical kernel variants in
+                 ``experiments/dedup_breakdown``)
     rank_ts/te:  [P, W/128, 128] int32 — per (pair, rank-in-window) the
                  start / exclusive-end *edge position* of that rank's run
                  (edges are rank-sorted within a pair, so each rank owns
@@ -80,14 +84,15 @@ class DedupLayout:
                  position it came from (permute weights with ``w[eid]``)
     """
 
-    def __init__(self, uv, padded_v, padded_ids, padded_rows,
+    def __init__(self, uv, padded_v, padded_ids,
                  rank_ts, rank_te,
                  pair_ts, pair_te, pair_blk, pair_wb, eid,
-                 num_segments: int, num_edges: int, w: int):
+                 num_segments: int, num_edges: int, w: int,
+                 padded_rows=None):
         self.uv = uv
         self.padded_v = padded_v
         self.padded_ids = padded_ids
-        self.padded_rows = padded_rows
+        self.padded_rows = padded_rows      # host-only aux (may be None)
         self.rank_ts = rank_ts
         self.rank_te = rank_te
         self.pair_ts = pair_ts
@@ -100,7 +105,7 @@ class DedupLayout:
         self.w = w
 
     def tree_flatten(self):
-        return ((self.uv, self.padded_v, self.padded_ids, self.padded_rows,
+        return ((self.uv, self.padded_v, self.padded_ids,
                  self.rank_ts, self.rank_te,
                  self.pair_ts, self.pair_te, self.pair_blk, self.pair_wb,
                  self.eid),
@@ -109,6 +114,90 @@ class DedupLayout:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+
+class _LayoutPrefix:
+    """Shared host-side construction both dedup layouts start from: the
+    per-block unique-src table, rank assignment, dedup edge order, and
+    (block, window) pair enumeration with exact edge spans. One
+    implementation so a fix (e.g. the M modulus for global src ids, or
+    the empty-block ``nw = 1`` convention) cannot silently diverge
+    between the SpMM (`build_dedup_layout`) and SDDMM
+    (`sddmm_kernels.build_sddmm_layout`) builders."""
+
+    __slots__ = ("E", "N", "n_pad", "G", "uv", "uv_off", "Upad",
+                 "grow_o", "dst_o", "src_o", "order",
+                 "nw", "P", "pair_blk", "win_in_blk", "pair_wb",
+                 "starts", "ends", "ubp_sum")
+
+    def __init__(self, indptr, sorted_v, num_segments: int, nb: int,
+                 w: int):
+        indptr = np.asarray(indptr, dtype=np.int64)
+        src = np.asarray(sorted_v, dtype=np.int64)
+        E = len(src)
+        N = num_segments
+        n_pad = (N + nb - 1) // nb * nb
+        G = n_pad // nb
+
+        dst = np.repeat(np.arange(N, dtype=np.int64), np.diff(indptr))
+        blk = dst // nb
+
+        # per-block unique src table + per-edge rank. src ids may exceed
+        # N (chunked sub-problems gather from a GLOBAL feature table,
+        # ops/pallas/streaming.py), so the composite key uses its own
+        # modulus
+        M = max(N, int(src.max()) + 1 if E else 1)
+        key = blk * M + src
+        uniq, inv = np.unique(key, return_inverse=True)
+        ublk = (uniq // M).astype(np.int64)
+        ub = np.bincount(ublk, minlength=G)          # uniques per block
+        ubp = (ub + w - 1) // w * w                  # padded to W windows
+        self.ubp_sum = float(ubp.sum())
+        uv_off = np.zeros(G + 1, np.int64)
+        np.cumsum(ubp, out=uv_off[1:])
+        Upad = int(uv_off[-1])
+        blk_first = np.zeros(G, np.int64)
+        np.cumsum(ub, out=blk_first)                 # exclusive via shift
+        blk_first = np.concatenate([[0], blk_first[:-1]])
+        rank = np.arange(len(uniq), dtype=np.int64) - blk_first[ublk]
+        # +w tail: an empty block's window DMA reads [uv_off[b], +w)
+        # which can sit at Upad; the rows are never referenced (no
+        # edges) but must exist
+        uv = np.zeros(Upad + w, np.int32)
+        uv[uv_off[ublk] + rank] = (uniq % M).astype(np.int32)
+
+        grow = uv_off[blk] + rank[inv]               # per-edge global row
+        # dedup edge order: by (block, grow); blocks are already
+        # contiguous. grow is globally non-decreasing in this order, so
+        # each unique row's (= rank's) edges occupy ONE contiguous
+        # position interval — the kernels' transposed rank one-hot is
+        # two position compares against a tiny host-precomputed
+        # interval table (no per-edge rank DMA).
+        order = np.lexsort((grow, blk))
+        blk_o = blk[order]
+        self.grow_o = grow[order]
+        self.dst_o = dst[order]
+        self.src_o = src[order]
+        self.order = order
+
+        # (block, window) pairs: windows per block = max(ceil(ub/w), 1)
+        nw = np.maximum(ubp // w, 1)
+        P = int(nw.sum())
+        pair_blk = np.repeat(np.arange(G, dtype=np.int64), nw)
+        win_in_blk = np.arange(P, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+        self.pair_wb = uv_off[pair_blk] + win_in_blk * w
+        # exact edge span per pair: edges sorted by (blk, grow) →
+        # searchsorted on the composite (blk, window) key
+        ekey = blk_o * (int(nw.max()) + 1) + \
+            (self.grow_o - uv_off[blk_o]) // w
+        pkey = pair_blk * (int(nw.max()) + 1) + win_in_blk
+        self.starts = np.searchsorted(ekey, pkey, side="left")
+        self.ends = np.searchsorted(ekey, pkey, side="right")
+        self.E, self.N, self.n_pad, self.G = E, N, n_pad, G
+        self.uv, self.uv_off, self.Upad = uv, uv_off, Upad
+        self.nw, self.P = nw, P
+        self.pair_blk, self.win_in_blk = pair_blk, win_in_blk
 
 
 def build_dedup_layout(indptr, sorted_v, num_segments: int,
@@ -122,64 +211,18 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
     within blocks) the two-phase kernel pays its extra inner matmul without
     a gather saving, so the caller should stay on the base kernel.
     """
-    indptr = np.asarray(indptr, dtype=np.int64)
-    src = np.asarray(sorted_v, dtype=np.int64)
-    E = len(src)
-    N = num_segments
-    n_pad = (N + nb - 1) // nb * nb
-    G = n_pad // nb
-
-    dst = np.repeat(np.arange(N, dtype=np.int64), np.diff(indptr))
-    blk = dst // nb
-
-    # per-block unique src table + per-edge rank. src ids may exceed N
-    # (chunked sub-problems gather from a GLOBAL feature table,
-    # ops/pallas/streaming.py), so the composite key uses its own modulus
-    M = max(N, int(src.max()) + 1 if E else 1)
-    key = blk * M + src
-    uniq, inv = np.unique(key, return_inverse=True)
-    ublk = (uniq // M).astype(np.int64)
-    ub = np.bincount(ublk, minlength=G)              # uniques per block
-    ubp = (ub + w - 1) // w * w                      # padded to W windows
-    if max_ratio and E and float(ubp.sum()) / E > max_ratio:
+    pre = _LayoutPrefix(indptr, sorted_v, num_segments, nb, w)
+    E, N = pre.E, pre.N
+    if max_ratio and E and pre.ubp_sum / E > max_ratio:
         return None
-    uv_off = np.zeros(G + 1, np.int64)
-    np.cumsum(ubp, out=uv_off[1:])
-    Upad = int(uv_off[-1])
-    blk_first = np.zeros(G, np.int64)
-    np.cumsum(ub, out=blk_first)                     # exclusive via shift
-    blk_first = np.concatenate([[0], blk_first[:-1]])
-    rank = np.arange(len(uniq), dtype=np.int64) - blk_first[ublk]
-    # +w tail: an empty block's window DMA reads [uv_off[b], +w) which can
-    # sit at Upad; the rows are never referenced (no edges) but must exist
-    uv = np.zeros(Upad + w, np.int32)
-    uv[uv_off[ublk] + rank] = (uniq % M).astype(np.int32)
-
-    grow = (uv_off[blk] + rank[inv])                 # per-edge global row
-    # dedup edge order: by (block, grow); blocks are already contiguous.
-    # grow is globally non-decreasing in this order, so each unique row's
-    # (= rank's) edges occupy ONE contiguous position interval — the
-    # kernel's transposed rank one-hot is two position compares against a
-    # tiny host-precomputed [P, W] interval table (no per-edge rank DMA).
-    order = np.lexsort((grow, blk))
-    blk_o, grow_o, dst_o, src_o = (blk[order], grow[order], dst[order],
-                                   src[order])
-
-    # (block, window) pairs: windows per block = max(ceil(ub/w), 1)
-    nw = np.maximum(ubp // w, 1)
-    P = int(nw.sum())
-    pair_blk = np.repeat(np.arange(G, dtype=np.int64), nw)
-    win_in_blk = np.arange(P, dtype=np.int64) - np.repeat(
-        np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
-    pair_wb = uv_off[pair_blk] + win_in_blk * w
-    # edge span per pair: edges sorted by (blk, grow) → searchsorted on the
-    # composite (blk, window) key. Starts are 128-aligned (the DMA tile
-    # granularity), NOT et-aligned: et-aligned supersets cost ~2× the edge
-    # slots when the mean pair span is below et
-    ekey = blk_o * (int(nw.max()) + 1) + (grow_o - uv_off[blk_o]) // w
-    pkey = pair_blk * (int(nw.max()) + 1) + win_in_blk
-    starts = np.searchsorted(ekey, pkey, side="left")
-    ends = np.searchsorted(ekey, pkey, side="right")
+    n_pad = pre.n_pad
+    uv, grow_o, dst_o, src_o, order = (pre.uv, pre.grow_o, pre.dst_o,
+                                       pre.src_o, pre.order)
+    P, pair_blk, pair_wb = pre.P, pre.pair_blk, pre.pair_wb
+    starts, ends = pre.starts, pre.ends
+    # starts are 128-aligned (the DMA tile granularity), NOT et-aligned:
+    # et-aligned supersets cost ~2× the edge slots when the mean pair
+    # span is below et
     pair_ts = (starts // 128) * 128
     pair_te = ends
 
@@ -198,7 +241,6 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
     return DedupLayout(
         jnp.asarray(uv), jnp.asarray(padded_v),
         jnp.asarray(padded_ids.reshape(-1, 128)),
-        jnp.asarray(padded_rows.reshape(-1, 128)),
         jnp.asarray(rank_ts.reshape(P, w // 128, 128)),
         jnp.asarray(rank_te.reshape(P, w // 128, 128)),
         jnp.asarray(pair_ts.astype(np.int32)),
@@ -206,7 +248,8 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
         jnp.asarray(pair_blk.astype(np.int32)),
         jnp.asarray(pair_wb.astype(np.int32)),
         jnp.asarray(order.astype(np.int32)),
-        int(N), int(E), int(w))
+        int(N), int(E), int(w),
+        padded_rows=padded_rows)
 
 
 def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch

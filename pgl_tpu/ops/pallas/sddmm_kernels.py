@@ -141,51 +141,15 @@ def build_sddmm_layout(indptr, sorted_v, num_segments: int,
     the bench graph). Returns None for empty graphs.
     """
     assert quant % 128 == 0 and et % quant == 0
-    indptr = np.asarray(indptr, dtype=np.int64)
-    src = np.asarray(sorted_v, dtype=np.int64)
-    E = len(src)
-    if E == 0:
+    from .dedup_kernels import _LayoutPrefix
+    if len(np.asarray(sorted_v)) == 0:
         return None
-    N = num_segments
-    n_pad = (N + nb - 1) // nb * nb
-    G = n_pad // nb
-
-    dst = np.repeat(np.arange(N, dtype=np.int64), np.diff(indptr))
-    blk = dst // nb
-
-    M = max(N, int(src.max()) + 1)
-    key = blk * M + src
-    uniq, inv = np.unique(key, return_inverse=True)
-    ublk = (uniq // M).astype(np.int64)
-    ub = np.bincount(ublk, minlength=G)
-    ubp = (ub + w - 1) // w * w
-    uv_off = np.zeros(G + 1, np.int64)
-    np.cumsum(ubp, out=uv_off[1:])
-    Upad = int(uv_off[-1])
-    blk_first = np.zeros(G, np.int64)
-    np.cumsum(ub, out=blk_first)
-    blk_first = np.concatenate([[0], blk_first[:-1]])
-    rank = np.arange(len(uniq), dtype=np.int64) - blk_first[ublk]
-    uv = np.zeros(Upad + w, np.int32)
-    uv[uv_off[ublk] + rank] = (uniq % M).astype(np.int32)
-
-    grow = uv_off[blk] + rank[inv]
-    order = np.lexsort((grow, blk))
-    blk_o, grow_o, dst_o, src_o = (blk[order], grow[order], dst[order],
-                                   src[order])
-
-    # (block, window) pairs
-    nw = np.maximum(ubp // w, 1)
-    P = int(nw.sum())
-    pair_blk = np.repeat(np.arange(G, dtype=np.int64), nw)
-    win_in_blk = np.arange(P, dtype=np.int64) - np.repeat(
-        np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
-    pair_wb = uv_off[pair_blk] + win_in_blk * w
-
-    ekey = blk_o * (int(nw.max()) + 1) + (grow_o - uv_off[blk_o]) // w
-    pkey = pair_blk * (int(nw.max()) + 1) + win_in_blk
-    starts = np.searchsorted(ekey, pkey, side="left")
-    ends = np.searchsorted(ekey, pkey, side="right")
+    pre = _LayoutPrefix(indptr, sorted_v, num_segments, nb, w)
+    E, N, n_pad = pre.E, pre.N, pre.n_pad
+    uv, grow_o, dst_o, src_o, order = (pre.uv, pre.grow_o, pre.dst_o,
+                                       pre.src_o, pre.order)
+    P, pair_blk, pair_wb = pre.P, pre.pair_blk, pre.pair_wb
+    starts, ends = pre.starts, pre.ends
     span = ends - starts
     span_pad = (span + quant - 1) // quant * quant  # exclusive pads
     slot_off = np.zeros(P + 1, np.int64)

@@ -65,7 +65,7 @@ class StreamedSpMM:
             # host copies: nothing edge-sized lives on the device between
             # calls — each pass re-stages exactly one chunk
             host = {k: np.asarray(getattr(lay, k))
-                    for k in ("uv", "padded_ids", "padded_rows", "rank_ts",
+                    for k in ("uv", "padded_ids", "rank_ts",
                               "rank_te", "pair_ts", "pair_te", "pair_blk",
                               "pair_wb")}
             self.chunks.append((r0, r1, host))
@@ -97,11 +97,6 @@ class StreamedSpMM:
             h["padded_ids"] = np.pad(
                 flat_ids, (0, self._EP - flat_ids.size),
                 constant_values=g_real * nb).reshape(-1, 128)
-            flat_rows = h["padded_rows"].reshape(-1)
-            h["padded_rows"] = np.pad(
-                flat_rows, (0, self._EP - flat_rows.size),
-                constant_values=flat_rows[-1] if flat_rows.size
-                else 0).reshape(-1, 128)
             h["uv"] = np.pad(h["uv"], (0, self._UV - len(h["uv"])))
 
         run = functools.partial(self._run_chunk, rows=self._ROWS, nb=nb,
@@ -109,10 +104,10 @@ class StreamedSpMM:
         self._jit_run = jax.jit(run)
 
     @staticmethod
-    def _run_chunk(uniq, ids, rows_arr, dts, dte, ts, te, blk, wb, *, rows,
+    def _run_chunk(uniq, ids, dts, dte, ts, te, blk, wb, *, rows,
                    nb, et, w, interpret):
         lay = DedupLayout(jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
-                          ids, rows_arr, dts, dte, ts, te, blk, wb,
+                          ids, dts, dte, ts, te, blk, wb,
                           jnp.zeros(1, jnp.int32), rows, 0, w)
         return _dedup_call(uniq, lay, rows, nb, et, w, interpret)
 
@@ -132,7 +127,7 @@ class StreamedSpMM:
             uniq = np.ascontiguousarray(feature_host[h["uv"]])
             return (jax.device_put(uniq),
                     tuple(jax.device_put(h[k]) for k in
-                          ("padded_ids", "padded_rows", "rank_ts", "rank_te",
+                          ("padded_ids", "rank_ts", "rank_te",
                            "pair_ts", "pair_te", "pair_blk", "pair_wb")))
 
         nxt = pool.submit(stage, 0)

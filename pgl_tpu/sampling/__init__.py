@@ -2,7 +2,8 @@
 (reference: ``pgl/sampling/``)."""
 
 from .sage import (graphsage_sample, NeighborSampler,
-                   HeteroNeighborSampler, sample_neighbors_padded)
+                   HeteroNeighborSampler, sample_neighbors_padded,
+                   make_padded_batch_fn)
 from .walk import (random_walk, node2vec_walk, node2vec_walk_plus,
                    metapath_randomwalk,
                    metapath_randomwalk_dist)
@@ -12,7 +13,8 @@ from .custom import (subgraph, graph_saint_node_sample,
                      pinsage_sample, random_walk_with_restart)
 
 __all__ = ["DeviceWalker", "skipgram_pairs", "graphsage_sample", "NeighborSampler", "HeteroNeighborSampler",
-           "sample_neighbors_padded", "graph_saint_node_sample",
+           "sample_neighbors_padded", "make_padded_batch_fn",
+           "graph_saint_node_sample",
            "graph_saint_random_walk_sample", "pinsage_sample",
            "random_walk_with_restart",
            "random_walk", "node2vec_walk", "node2vec_walk_plus",

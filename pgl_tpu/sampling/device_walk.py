@@ -24,8 +24,11 @@ generation. This module is the TPU-native equivalent:
     skip-gram pairs in-jit, replacing the host C++ pair kernel on this
     path.
 
-Dead ends stall (repeat the current node) and are masked out of pair
-generation via ``valid``.
+Dead ends emit ``-1`` for every later position — the same convention as
+the host C++ walkers (``sampling/walk.py``) — so both pair generators
+(the host ``skip_gram_gen_pair``, which stops at negatives, and the
+in-jit :func:`skipgram_pairs`, which masks them) see identical walks
+from either path.
 """
 
 from __future__ import annotations
@@ -174,12 +177,16 @@ def _hop(indptr, sorted_v, alias, cur, key, et=0):
 
 @functools.partial(jax.jit, static_argnames=("walk_len",))
 def _random_walk(indptr, sorted_v, alias, starts, key, *, walk_len: int):
+    """Walks are -1-padded past a dead end — the same convention as the
+    host C++ path (``sampling/walk.py``), so downstream pair generators
+    (host ``skip_gram_gen_pair`` breaks on negatives) see identical
+    walks from either path."""
     def step(carry, k):
         cur, alive = carry
         nxt, ok = _hop(indptr, sorted_v, alias, cur, k)
         alive = alive & ok
         nxt = jnp.where(alive, nxt, cur)
-        return (nxt, alive), nxt
+        return (nxt, alive), jnp.where(alive, nxt, -1)
 
     keys = jax.random.split(key, walk_len - 1)
     (_, _), tail = jax.lax.scan(
@@ -205,7 +212,7 @@ def _metapath_walk(indptr, sorted_v, starts, key, *, sched: tuple,
         ok = deg > 0
         alive = alive & ok
         nxt = jnp.where(alive, nxt, cur)
-        return (nxt, alive), nxt
+        return (nxt, alive), jnp.where(alive, nxt, -1)
 
     keys = jax.random.split(key, walk_len - 1)
     (_, _), tail = jax.lax.scan(
@@ -257,22 +264,26 @@ def _node2vec_walk(indptr, sorted_v, alias, starts, key, *,
         (nxt, accepted), _ = jax.lax.scan(
             trial, (cur, jnp.zeros_like(cur, dtype=bool)),
             jax.random.split(k, tries))
-        # unaccepted after all tries: uniform fallback (stall if dead)
+        # unaccepted after all tries: uniform fallback (dead if no edges)
         fb, ok = _hop(indptr, sorted_v, alias, cur,
                       jax.random.fold_in(k, 7))
-        return jnp.where(accepted, nxt, jnp.where(ok, fb, cur))
+        return jnp.where(accepted, nxt, jnp.where(ok, fb, cur)), \
+            accepted | ok
 
     k0, key = jax.random.split(key)
-    first, _ = _hop(indptr, sorted_v, alias, starts, k0)
+    first, ok0 = _hop(indptr, sorted_v, alias, starts, k0)
 
     def step(carry, kk):
-        cur, prev = carry
-        nxt = hop(cur, prev, kk)
-        return (nxt, cur), nxt
+        cur, prev, alive = carry
+        nxt, moved = hop(cur, prev, kk)
+        alive = alive & moved
+        nxt = jnp.where(alive, nxt, cur)
+        return (nxt, cur, alive), jnp.where(alive, nxt, -1)
 
     keys = jax.random.split(key, max(walk_len - 2, 0))
-    (_, _), tail = jax.lax.scan(step, (first, starts), keys)
-    return jnp.concatenate([starts[None], first[None], tail]).T
+    (_, _, _), tail = jax.lax.scan(step, (first, starts, ok0), keys)
+    first_out = jnp.where(ok0, first, -1)
+    return jnp.concatenate([starts[None], first_out[None], tail]).T
 
 
 @functools.partial(jax.jit, static_argnames=("win",))
@@ -299,6 +310,6 @@ def skipgram_pairs(walks, win: int, key):
     src = jnp.stack(pairs_src, 2).reshape(B, -1)
     dst = jnp.stack(pairs_dst, 2).reshape(B, -1)
     val = jnp.stack(valid, 2).reshape(B, -1)
-    # stalled tails repeat the same node: drop self-pairs
-    val = val & (src != dst)
+    # dead-end tails are -1 (host-walk convention): mask them out
+    val = val & (src >= 0) & (dst >= 0)
     return src.reshape(-1), dst.reshape(-1), val.reshape(-1)

@@ -23,7 +23,8 @@ from ..native import graph_kernel as native
 from .custom import subgraph
 
 __all__ = ["graphsage_sample", "NeighborSampler",
-           "HeteroNeighborSampler", "sample_neighbors_padded"]
+           "HeteroNeighborSampler", "sample_neighbors_padded",
+           "make_padded_batch_fn"]
 
 
 def _ordered_union(base: np.ndarray, new: np.ndarray):
@@ -231,3 +232,60 @@ class HeteroNeighborSampler:
             import jax.numpy as jnp
             frontier = jnp.concatenate(nexts)
         return layers[::-1], frontier
+
+
+def make_padded_batch_fn(graph, samples, n_bucket: int, e_bucket: int):
+    """Dataloader ``collate_fn`` for host-sampled minibatch training:
+    GraphSAGE-sample the batch's (node, label) items, then pack the
+    subgraph into FIXED-size padded-CSC arrays so the device step
+    compiles once per bucket (the XLA static-shape analog of the
+    reference pipeline at
+    ``examples/graphsage/cpu_sample_version/train.py`` — there the
+    ragged subgraph recompiles nothing because Paddle is eager).
+
+    Row ``n_bucket - 1`` is RESERVED as the pad sentinel: the
+    ``e_bucket - ne`` pad edges aggregate into it and ``smask`` zeroes
+    it, so batches must satisfy ``ns < n_bucket`` (a real node in the
+    sentinel row would receive the pad edges' self-aggregation).
+
+    Returns ``(edges, deg, su, sv, se, indptr, sidx, smask, y, mask)``;
+    rebuild the device graph with
+    ``Graph(edges, num_nodes=n_bucket,
+    adj_dst_index=EdgeIndex(deg, su, sv, se, indptr))`` and gather
+    features by ``sidx`` (masked by ``smask``).
+    """
+    def batch_fn(items):
+        nodes = np.asarray([n for n, _ in items])
+        labels = np.asarray([lb for _, lb in items])
+        sub, sample_index, node_index = graphsage_sample(
+            graph, nodes, samples)[0]
+        ns, ne = sub.num_nodes, sub.num_edges
+        if ns >= n_bucket or ne > e_bucket:
+            raise RuntimeError(
+                f"bucket too small: {ns}/{n_bucket} nodes (last row is "
+                f"the pad sentinel: need ns < n_bucket), "
+                f"{ne}/{e_bucket} edges")
+        idx = sub.adj_dst_index                  # host C++ CSC build
+        su = np.full(e_bucket, n_bucket - 1, np.int32)
+        su[:ne] = np.asarray(idx.sorted_u)       # stays sorted (pad=max)
+        sv = np.full(e_bucket, n_bucket - 1, np.int32)
+        sv[:ne] = np.asarray(idx.sorted_v)
+        se = np.arange(e_bucket, dtype=np.int32)
+        deg = np.zeros(n_bucket, np.int32)
+        deg[:ns] = np.asarray(idx.degree)
+        deg[n_bucket - 1] += e_bucket - ne       # pads -> sentinel row
+        indptr = np.full(n_bucket + 1, ne, np.int64)
+        indptr[:ns + 1] = np.asarray(idx.indptr)
+        indptr[n_bucket] = e_bucket
+        sidx = np.zeros(n_bucket, np.int32)
+        sidx[:ns] = sample_index
+        smask = np.zeros((n_bucket, 1), np.float32)
+        smask[:ns] = 1.0
+        y = np.zeros(n_bucket, np.int32)
+        mask = np.zeros(n_bucket, np.float32)
+        y[node_index] = labels
+        mask[node_index] = 1.0
+        edges = np.stack([sv, su], axis=1)
+        return edges, deg, su, sv, se, indptr, sidx, smask, y, mask
+
+    return batch_fn

@@ -41,7 +41,7 @@ def _ref(edges, a_dst, a_src, v, N, H, DVH, leaky=0.2):
     p = jnp.exp(s - smax[dst_e])
     denom = jax.ops.segment_sum(p, dst_e, num_segments=N)
     p = p / jnp.maximum(denom[dst_e], 1e-30)
-    vv = v[src_e].reshape(len(edges), -1, DVH)[:, :H]
+    vv = v[:, :H * DVH][src_e].reshape(len(edges), H, DVH)
     o = jax.ops.segment_sum(p[:, :, None] * vv, dst_e, num_segments=N)
     return o.reshape(N, H * DVH)
 
@@ -159,7 +159,7 @@ def _dot_ref(edges, q, k, v, N, H, DSH, DVH):
     p = jnp.exp(s - smax[dst_e])
     denom = jax.ops.segment_sum(p, dst_e, num_segments=N)
     p = p / jnp.maximum(denom[dst_e], 1e-30)
-    vv = v[src_e].reshape(len(edges), -1, DVH)[:, :H]
+    vv = v[:, :H * DVH][src_e].reshape(len(edges), H, DVH)
     o = jax.ops.segment_sum(p[:, :, None] * vv, dst_e, num_segments=N)
     return o.reshape(N, H * DVH)
 
@@ -196,3 +196,74 @@ def test_dedup_dot_forward_and_grads():
             aa, bb = aa[:, :H * DVH], bb[:, :H * DVH]
         np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=2e-4,
                                    err_msg=name)
+
+
+def test_dedup_dot_wide_scores_backward():
+    """H*DSH > 128 score width: the backward's dadst block is wider than
+    one lane tile (regression: zeros block was hard-coded to 128 lanes)."""
+    from pgl_tpu.ops.pallas.dedup_attention import dedup_dot_attention
+    N, E, H, DSH, DVH, DV = 500, 4000, 4, 64, 8, 128
+    edges, lay, red = _case(N, E, seed=6, hub=True)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32) * 0.2)
+    v = jnp.asarray(rng.normal(size=(N, DV)).astype(np.float32))
+    ref = _dot_ref(edges, q, k, v, N, H, DSH, DVH)
+    out = dedup_dot_attention(q, k, v, lay, red, H, DSH, DVH, 0.0,
+                              256, 1024, True)
+    np.testing.assert_allclose(np.asarray(out)[:, :H * DVH],
+                               np.asarray(ref), rtol=1e-4, atol=1e-4)
+    tgt = np.asarray(ref) * 0.9
+
+    def loss_f(qq, kk, vv):
+        o = dedup_dot_attention(qq, kk, vv, lay, red, H, DSH, DVH, 0.0,
+                                256, 1024, True)
+        return ((o[:, :H * DVH] - tgt) ** 2).sum()
+
+    def loss_r(qq, kk, vv):
+        return ((_dot_ref(edges, qq, kk, vv, N, H, DSH, DVH) - tgt)
+                ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g1, g2):
+        aa, bb = np.asarray(a), np.asarray(b)
+        if name == "dv":
+            aa, bb = aa[:, :H * DVH], bb[:, :H * DVH]
+        np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=3e-4,
+                                   err_msg=name)
+
+
+def test_dedup_gat_dvh_not_dividing_padded_width():
+    """DVH that does not divide the lane-padded value width (H=2, DVH=24,
+    DV=128): the backward's per-head delta must slice the real H*DVH
+    columns before reshaping (regression: reshape(N, -1, dvh) crashed)."""
+    N, E, H, DVH, DV = 400, 3000, 2, 24, 128
+    edges, lay, red = _case(N, E, seed=8)
+    rng = np.random.default_rng(9)
+    a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, DV)).astype(np.float32))
+    out = dedup_gat_attention(a_dst, a_src, v, lay, red, H, DVH, 0.2,
+                              256, 1024, True)
+    ref = _ref(edges, a_dst, a_src, v, N, H, DVH)
+    np.testing.assert_allclose(np.asarray(out)[:, :H * DVH],
+                               np.asarray(ref), rtol=1e-4, atol=1e-5)
+    tgt = np.asarray(ref) * 0.9
+
+    def loss_f(ad, as_, vv):
+        o = dedup_gat_attention(ad, as_, vv, lay, red, H, DVH, 0.2,
+                                256, 1024, True)
+        return ((o[:, :H * DVH] - tgt) ** 2).sum()
+
+    def loss_r(ad, as_, vv):
+        return ((_ref(edges, ad, as_, vv, N, H, DVH) - tgt) ** 2).sum()
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(a_dst, a_src, v)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(a_dst, a_src, v)
+    for a, b in zip(g1[:2], g2[:2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1[2])[:, :H * DVH],
+                               np.asarray(g2[2])[:, :H * DVH],
+                               rtol=2e-3, atol=2e-4)

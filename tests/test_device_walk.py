@@ -34,13 +34,21 @@ def test_random_walk_follows_edges():
             assert a == b or (a, b) in es
 
 
-def test_random_walk_stalls_on_dead_end():
-    # node 2 has no out-edges: walks starting there stay put
+def test_random_walk_dead_end_pads_minus_one():
+    # node 2 has no out-edges: positions past the dead end are -1, the
+    # same convention as the host C++ walker (sampling/walk.py)
     g = Graph(np.array([[0, 1], [1, 2]]), num_nodes=4)
     w = DeviceWalker(g)
-    walks = np.asarray(w.random_walk(np.array([2, 3]), 5,
+    walks = np.asarray(w.random_walk(np.array([2, 3, 0]), 5,
                                      jax.random.key(0)))
-    assert (walks == walks[:, :1]).all()
+    assert walks[0, 0] == 2 and (walks[0, 1:] == -1).all()
+    assert walks[1, 0] == 3 and (walks[1, 1:] == -1).all()
+    # 0 -> 1 -> 2 -> dead
+    assert list(walks[2, :3]) == [0, 1, 2] and (walks[2, 3:] == -1).all()
+    # parity with the host path on the same graph
+    host = random_walk(g, np.array([2, 3, 0]), 5, seed=0)
+    assert (np.asarray(host) < 0).sum() > 0
+    assert ((walks < 0) == (np.asarray(host) < 0)).all()
 
 
 def test_random_walk_uniform_distribution():
