@@ -192,17 +192,26 @@ class GATConv(nn.Module):
                                   v.dtype)], axis=1)
             csc, csr, perm = graph._spmm_layouts[:3]
             rate = float(self.attn_drop) if training else 0.0
-            dedup_aux = graph._dedup_attn_aux() if rate == 0.0 else None
+            dedup_aux = graph._dedup_attn_aux()
+            if dedup_aux is not None and rate > 0.0 \
+                    and not dedup_aux[0].simple:
+                # multigraph: a count-matrix cell covers several edges,
+                # so per-cell dropout is not per-edge dropout — use the
+                # per-edge kernels instead
+                dedup_aux = None
             if dedup_aux is not None:
                 # count-matrix pair attention: scores depend only on the
                 # (dst, src) pair, so the dedup layout computes the whole
                 # softmax over dense [NB, W] pair tiles — ~7x less score
                 # work than the per-edge kernel and unique-src gathers
-                # (ops/pallas/dedup_attention.py)
+                # (ops/pallas/dedup_attention.py). On simple graphs the
+                # in-kernel per-cell dropout IS per-edge dropout.
                 from ..ops.pallas.dedup_attention import dedup_gat_attention
                 csc_d, red = dedup_aux
+                seed = _attn_drop_seed(self, rate)
                 out = dedup_gat_attention(attn_dst, attn_src, v, csc_d,
-                                          red, H, Dh, 0.2)
+                                          red, H, Dh, 0.2,
+                                          attn_drop=rate, drop_seed=seed)
             elif drop_in_kernel:
                 # additive-score kernel: exact f32 VPU scores, no matmul
                 from ..ops.pallas.attention_kernels import (
@@ -476,17 +485,21 @@ class TransformerConv(nn.Module):
                 and (H * D) % 128 == 0):
             rate = float(self.attn_drop) if training else 0.0
             dedup_aux = (graph._dedup_attn_aux()
-                         if rate == 0.0 and hasattr(graph,
-                                                    "_dedup_attn_aux")
-                         else None)
+                         if hasattr(graph, "_dedup_attn_aux") else None)
+            if dedup_aux is not None and rate > 0.0 \
+                    and not dedup_aux[0].simple:
+                dedup_aux = None        # multigraph: per-edge kernels
             if dedup_aux is not None:
                 # count-matrix pair attention (dot scores) — see
-                # ops/pallas/dedup_attention.py
+                # ops/pallas/dedup_attention.py; in-kernel per-cell
+                # dropout is per-edge dropout on simple graphs
                 from ..ops.pallas.dedup_attention import (
                     dedup_dot_attention)
                 csc_d, red = dedup_aux
+                seed = _attn_drop_seed(self, rate)
                 output = dedup_dot_attention(q, k, v, csc_d, red, H, D, D,
-                                             0.0)
+                                             0.0, attn_drop=rate,
+                                             drop_seed=seed)
             else:
                 # fused SDDMM+softmax+aggregate Pallas kernel
                 # (attention-prob dropout applied in-kernel when training)

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .dedup_kernels import DedupLayout
 from .segment_kernels import BlockedLayout, build_blocked_layout, \
     _blocked_spmm
+from .attention_kernels import _drop_keep
 
 __all__ = ["dedup_gat_attention", "dedup_dot_attention",
            "build_uniq_reduce"]
@@ -148,7 +149,16 @@ def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
     jax.lax.fori_loop(0, num_tiles, body, ())
 
 
-def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
+def _cell_idx(blk, wb, NB, W):
+    """int32 identity of each (global dst row, global uniq row) cell of
+    the current pair — the dropout-mask key. Must match the XLA replica
+    in tests/conv references bit-for-bit (int32 wrap-around math)."""
+    rows = blk * NB + jax.lax.broadcasted_iota(jnp.int32, (NB, W), 0)
+    cols = wb + jax.lax.broadcasted_iota(jnp.int32, (NB, W), 1)
+    return rows * jnp.int32(-1640531535) + cols    # 0x9E3779B1, wraps
+
+
+def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      adst_ref,              # [NB, SDp] VMEM (block rows)
                      asrcT_ref,             # [SD, Upad+W] HBM (transposed)
                      vu_ref,                # [Upad+W, DV] HBM (uniq v)
@@ -159,7 +169,8 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
                      oh_dst, oh_rankT, c_acc, m_s, l_s, acc,
                      sem_ws, sem_wv, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
-                     additive: bool = True, DSH: int = 0):
+                     additive: bool = True, DSH: int = 0,
+                     rate: float = 0.0):
     p = pl.program_id(0)
     wb = wb_ref[p]
 
@@ -201,6 +212,11 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
 
     C = c_acc[:]
     has = C > 0.0
+    if rate:
+        # per-cell dropout identity: (global dst row, global uniq row)
+        # — on a SIMPLE graph (layout.simple) each cell is one edge, so
+        # this is exactly the reference's per-edge attention dropout
+        didx = _cell_idx(blk_ref[p], wb, NB, W)
     m_prev = m_s[:]
     l_prev = l_s[:]
     acc_prev = acc[:]
@@ -224,8 +240,16 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
         m_new = jnp.maximum(m_prev[:, h], jnp.max(s, axis=1))
         scale = jnp.exp(m_prev[:, h] - m_new)
         pmat = C * jnp.exp(s - m_new[:, None])
+        # dropout is applied to the NORMALIZED attention (reference
+        # semantics: drop after softmax) — so the l denominator uses the
+        # full pmat while the value accumulation uses the masked one
         l_new = l_prev[:, h] * scale + jnp.sum(pmat, axis=1)
-        pv = jax.lax.dot(pmat, win_v[p % 2][:, h * DVH:(h + 1) * DVH],
+        if rate:
+            keep = _drop_keep(didx, seed_ref[0], h, rate)
+            pmat_v = jnp.where(keep, pmat, 0.0) * (1.0 / (1.0 - rate))
+        else:
+            pmat_v = pmat
+        pv = jax.lax.dot(pmat_v, win_v[p % 2][:, h * DVH:(h + 1) * DVH],
                          preferred_element_type=jnp.float32)
         acc_h = acc_prev[:, h * DVH:(h + 1) * DVH] * scale[:, None] + pv
         m_new_h.append(m_new)
@@ -251,7 +275,7 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
 # backward kernel
 # ----------------------------------------------------------------------
 
-def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
+def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      adst_ref,              # [NB, SDp] VMEM block
                      g_ref,                 # [NB, DV] VMEM block
                      lse_ref,               # [NB, 128] VMEM block
@@ -265,7 +289,8 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
                      oh_dst, oh_rankT, c_acc,
                      sem_ws, sem_wv, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
-                     additive: bool = True, DSH: int = 0):
+                     additive: bool = True, DSH: int = 0,
+                     rate: float = 0.0):
     p = pl.program_id(0)
     wb = wb_ref[p]
 
@@ -304,6 +329,8 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
 
     C = c_acc[:]
     has = C > 0.0
+    if rate:
+        didx = _cell_idx(blk_ref[p], wb, NB, W)
     dadst_cols = []
     dsrc_rows = []
     dv_parts = []
@@ -327,7 +354,17 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
         gv = jax.lax.dot_general(
             g_h, win_vT[p % 2][h * DVH:(h + 1) * DVH, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dsc = ptil * (gv - delta_ref[:, h][:, None])       # d score
+        if rate:
+            # same mask as the forward: dropped cells contribute no
+            # direct g·v term (delta already reflects the masked out)
+            keep = _drop_keep(didx, seed_ref[0], h, rate)
+            inv = 1.0 / (1.0 - rate)
+            gv_eff = jnp.where(keep, gv * inv, 0.0)
+            ptil_v = jnp.where(keep, ptil * inv, 0.0)
+        else:
+            gv_eff = gv
+            ptil_v = ptil
+        dsc = ptil * (gv_eff - delta_ref[:, h][:, None])   # d score
         if leaky:
             dsc = dsc * ds_dS
         if additive:
@@ -349,9 +386,9 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref,
                 adst_ref[:, h * DSH:(h + 1) * DSH], dsc,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))       # [DSH, W]
-        # dv_h[W, DVH] = p̃ᵀ · g_h  (native AᵀB)
+        # dv_h[W, DVH] = p̃ᵀ · g_h  (native AᵀB; masked under dropout)
         dv_parts.append(jax.lax.dot_general(
-            ptil, g_h, (((0,), (0,)), ((), ())),
+            ptil_v, g_h, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
 
     if additive:
@@ -401,11 +438,13 @@ def _common(layout, nb):
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "dsh",
                                              "additive", "leaky", "nb",
-                                             "et", "w", "interpret"))
+                                             "et", "w", "interpret",
+                                             "rate"))
 def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
                          num_heads: int, dvh: int, dsh: int,
                          additive: bool, leaky: float,
-                         nb: int, et: int, w: int, interpret: bool):
+                         nb: int, et: int, w: int, interpret: bool,
+                         rate: float = 0.0, seed=None):
     """score_dst/score_src: additive → [N, H] halves; dot → [N, DS] q/k."""
     H, DV = num_heads, v.shape[1]
     P, n_pad = _common(layout, nb)
@@ -423,17 +462,21 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
         jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0).T)
     vu = jnp.take(v, layout.uv, axis=0)
 
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
     kern = functools.partial(_attn_fwd_kernel, NB=nb, ET=et, W=w, DV=DV,
                              H=H, DVH=dvh, Hp=_hp(H), P=P, leaky=leaky,
-                             additive=additive, DSH=dsh)
+                             additive=additive, DSH=dsh, rate=rate)
     out, lse = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(P,),
             in_specs=[
                 pl.BlockSpec((nb, SDp),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -443,10 +486,10 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
             ],
             out_specs=(
                 pl.BlockSpec((nb, DV),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, 128),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -473,6 +516,7 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
+      seed,
       adst_pad, asrcT, vu, layout.padded_ids, layout.rank_ts,
       layout.rank_te)
     return out[:N], lse[:N]
@@ -480,12 +524,14 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "dsh",
                                              "additive", "leaky", "nb",
-                                             "et", "w", "interpret"))
+                                             "et", "w", "interpret",
+                                             "rate"))
 def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
                          layout: DedupLayout, red: BlockedLayout,
                          num_heads: int, dvh: int, dsh: int,
                          additive: bool, leaky: float, nb: int, et: int,
-                         w: int, interpret: bool):
+                         w: int, interpret: bool,
+                         rate: float = 0.0, seed=None):
     H, DV = num_heads, v.shape[1]
     Hp = _hp(H)
     P, n_pad = _common(layout, nb)
@@ -513,27 +559,31 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
         jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0).T)
     vuT = jnp.take(v.astype(jnp.float32), layout.uv, axis=0).T
 
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
     kern = functools.partial(_attn_bwd_kernel, NB=nb, ET=et, W=w, DV=DV,
                              H=H, DVH=dvh, Hp=Hp, P=P, leaky=leaky,
-                             additive=additive, DSH=dsh)
+                             additive=additive, DSH=dsh, rate=rate)
     n_win = Upw // w
     dadst, dsrcT, dvu = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(P,),
             in_specs=[
                 pl.BlockSpec((nb, SDp),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, DV),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, 128),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, 128),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -543,13 +593,15 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
             ],
             out_specs=(
                 pl.BlockSpec((nb, SDp),
-                             lambda p, ts, te, blk, wb: (blk[p], 0),
+                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((SDo, w),
-                             lambda p, ts, te, blk, wb: (0, wb[p] // w),
+                             lambda p, ts, te, blk, wb, sd:
+                             (0, wb[p] // w),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((w, DV),
-                             lambda p, ts, te, blk, wb: (wb[p] // w, 0),
+                             lambda p, ts, te, blk, wb, sd:
+                             (wb[p] // w, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -576,6 +628,7 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
+      seed,
       adst_pad, g_pad, lse_pad, delta_pad, asrcT, vuT,
       layout.padded_ids, layout.rank_ts, layout.rank_te)
 
@@ -594,70 +647,82 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     return da_dst, da_src.astype(score_src.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def dedup_gat_attention(a_dst, a_src, v, layout: DedupLayout,
                         red: BlockedLayout, num_heads: int, dvh: int,
                         leaky: float = 0.2, nb: int = 256, et: int = 1024,
-                        interpret: bool = False):
+                        interpret: bool = False, attn_drop: float = 0.0,
+                        drop_seed=None):
     """out[r] = Σ_{e: dst=r} softmax_r(leaky(a_dst[r] + a_src[src_e]))
     · v[src_e], via the count-matrix pair form.
 
     a_dst/a_src: [N, H] per-head additive score halves; v: [N, DV] with
     heads at DVH strides (DV lane-aligned, tail ignored).
+
+    ``attn_drop`` > 0 applies in-kernel post-softmax attention dropout
+    keyed by the deterministic ``_drop_keep`` hash of each (dst, uniq
+    src) cell — on SIMPLE graphs (``layout.simple``) that is exactly the
+    reference's per-edge dropout; pass a multigraph through the
+    per-edge kernels instead.
     """
     out, _ = _dedup_attn_fwd_call(a_dst, a_src, v, layout, num_heads, dvh,
                                   0, True, leaky, nb, et, layout.w,
-                                  interpret)
+                                  interpret, attn_drop, drop_seed)
     return out
 
 
 def _dga_fwd(a_dst, a_src, v, layout, red, num_heads, dvh, leaky, nb, et,
-             interpret):
+             interpret, attn_drop, drop_seed=None):
     out, lse = _dedup_attn_fwd_call(a_dst, a_src, v, layout, num_heads,
                                     dvh, 0, True, leaky, nb, et, layout.w,
-                                    interpret)
-    return out, (a_dst, a_src, v, out, lse, layout, red)
+                                    interpret, attn_drop, drop_seed)
+    return out, (a_dst, a_src, v, out, lse, layout, red, drop_seed)
 
 
-def _dga_bwd(num_heads, dvh, leaky, nb, et, interpret, res, g):
-    a_dst, a_src, v, out, lse, layout, red = res
+def _dga_bwd(num_heads, dvh, leaky, nb, et, interpret, attn_drop, res, g):
+    a_dst, a_src, v, out, lse, layout, red, drop_seed = res
     da_dst, da_src, dv = _dedup_attn_bwd_call(
         a_dst, a_src, v, g, out, lse, layout, red, num_heads, dvh, 0,
-        True, leaky, nb, et, layout.w, interpret)
-    return da_dst, da_src, dv, None, None
+        True, leaky, nb, et, layout.w, interpret, attn_drop, drop_seed)
+    return da_dst, da_src, dv, None, None, None
 
 
 dedup_gat_attention.defvjp(_dga_fwd, _dga_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def dedup_dot_attention(q, k, v, layout: DedupLayout, red: BlockedLayout,
                         num_heads: int, dsh: int, dvh: int,
                         leaky: float = 0.0, nb: int = 256, et: int = 1024,
-                        interpret: bool = False):
+                        interpret: bool = False, attn_drop: float = 0.0,
+                        drop_seed=None):
     """out[r] = Σ_{e: dst=r} softmax_r(q[r]·k[src_e]) · v[src_e] — the
     TransformerConv/UniMP triple (``pgl/nn/conv.py:808-846``) in
-    count-matrix pair form. q/k: [N, H·dsh]; v: [N, DV] (lane-aligned)."""
+    count-matrix pair form. q/k: [N, H·dsh]; v: [N, DV] (lane-aligned).
+    ``attn_drop``: see :func:`dedup_gat_attention` (simple graphs)."""
     out, _ = _dedup_attn_fwd_call(q, k, v, layout, num_heads, dvh, dsh,
                                   False, leaky, nb, et, layout.w,
-                                  interpret)
+                                  interpret, attn_drop, drop_seed)
     return out
 
 
 def _dda_fwd(q, k, v, layout, red, num_heads, dsh, dvh, leaky, nb, et,
-             interpret):
+             interpret, attn_drop, drop_seed=None):
     out, lse = _dedup_attn_fwd_call(q, k, v, layout, num_heads, dvh, dsh,
                                     False, leaky, nb, et, layout.w,
-                                    interpret)
-    return out, (q, k, v, out, lse, layout, red)
+                                    interpret, attn_drop, drop_seed)
+    return out, (q, k, v, out, lse, layout, red, drop_seed)
 
 
-def _dda_bwd(num_heads, dsh, dvh, leaky, nb, et, interpret, res, g):
-    q, k, v, out, lse, layout, red = res
+def _dda_bwd(num_heads, dsh, dvh, leaky, nb, et, interpret, attn_drop,
+             res, g):
+    q, k, v, out, lse, layout, red, drop_seed = res
     dq, dk, dv = _dedup_attn_bwd_call(
         q, k, v, g, out, lse, layout, red, num_heads, dvh, dsh, False,
-        leaky, nb, et, layout.w, interpret)
-    return dq, dk, dv, None, None
+        leaky, nb, et, layout.w, interpret, attn_drop, drop_seed)
+    return dq, dk, dv, None, None, None
 
 
 dedup_dot_attention.defvjp(_dda_fwd, _dda_bwd)

@@ -88,7 +88,7 @@ class DedupLayout:
                  rank_ts, rank_te,
                  pair_ts, pair_te, pair_blk, pair_wb, eid,
                  num_segments: int, num_edges: int, w: int,
-                 padded_rows=None):
+                 simple: bool = False, padded_rows=None):
         self.uv = uv
         self.padded_v = padded_v
         self.padded_ids = padded_ids
@@ -103,13 +103,17 @@ class DedupLayout:
         self.num_segments = num_segments
         self.num_edges = num_edges
         self.w = w
+        # no duplicate (dst, src) pairs: every count-matrix cell is 0/1,
+        # so per-(pair)-cell dropout in the dedup attention IS per-edge
+        # dropout (multigraphs keep the per-edge kernel fallback)
+        self.simple = simple
 
     def tree_flatten(self):
         return ((self.uv, self.padded_v, self.padded_ids,
                  self.rank_ts, self.rank_te,
                  self.pair_ts, self.pair_te, self.pair_blk, self.pair_wb,
                  self.eid),
-                (self.num_segments, self.num_edges, self.w))
+                (self.num_segments, self.num_edges, self.w, self.simple))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -128,7 +132,7 @@ class _LayoutPrefix:
     __slots__ = ("E", "N", "n_pad", "G", "uv", "uv_off", "Upad",
                  "grow_o", "dst_o", "src_o", "order",
                  "nw", "P", "pair_blk", "win_in_blk", "pair_wb",
-                 "starts", "ends", "ubp_sum")
+                 "starts", "ends", "ubp_sum", "n_uniq")
 
     def __init__(self, indptr, sorted_v, num_segments: int, nb: int,
                  w: int):
@@ -194,6 +198,11 @@ class _LayoutPrefix:
         pkey = pair_blk * (int(nw.max()) + 1) + win_in_blk
         self.starts = np.searchsorted(ekey, pkey, side="left")
         self.ends = np.searchsorted(ekey, pkey, side="right")
+        # duplicate (dst, src) detection: same dst AND same global uniq
+        # row ⇔ the same count-matrix cell (a multi-edge)
+        self.n_uniq = len(np.unique(
+            self.dst_o.astype(np.int64) * (Upad + 1) + self.grow_o)) \
+            if E else 0
         self.E, self.N, self.n_pad, self.G = E, N, n_pad, G
         self.uv, self.uv_off, self.Upad = uv, uv_off, Upad
         self.nw, self.P = nw, P
@@ -249,6 +258,7 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
         jnp.asarray(pair_wb.astype(np.int32)),
         jnp.asarray(order.astype(np.int32)),
         int(N), int(E), int(w),
+        simple=bool(pre.n_uniq == E),
         padded_rows=padded_rows)
 
 

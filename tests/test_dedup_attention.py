@@ -135,9 +135,10 @@ def test_gatconv_dispatches_dedup(monkeypatch):
     orig = da.dedup_gat_attention
 
     def spy(ad, as_, v, lay, red, H, dvh, leaky=0.2, nb=256, et=1024,
-            interpret=False):
+            interpret=False, attn_drop=0.0, drop_seed=None):
         called["yes"] = True
-        return orig(ad, as_, v, lay, red, H, dvh, leaky, nb, et, True)
+        return orig(ad, as_, v, lay, red, H, dvh, leaky, nb, et, True,
+                    attn_drop, drop_seed)
 
     monkeypatch.setattr(da, "dedup_gat_attention", spy)
     conv = GATConv(input_size=16, hidden_size=8, num_heads=2,
@@ -267,3 +268,88 @@ def test_dedup_gat_dvh_not_dividing_padded_width():
     np.testing.assert_allclose(np.asarray(g1[2])[:, :H * DVH],
                                np.asarray(g2[2])[:, :H * DVH],
                                rtol=2e-3, atol=2e-4)
+
+
+def _cell_idx_per_edge(lay):
+    """Per-CSC-edge (dst, uniq-row) dropout key, replicating the
+    kernel's ``_cell_idx`` int32 math from the layout's host aux."""
+    dedup_pos = np.argsort(lay.eid)      # CSC pos -> dedup pos
+    grow = np.asarray(lay.padded_rows)[:len(lay.eid)][dedup_pos]
+    # dst in CSC order (eid sorts back to CSC edge positions)
+    ids = np.asarray(lay.padded_ids).reshape(-1)[:len(lay.eid)][dedup_pos]
+    idx = (ids.astype(np.int64) * -1640531535 + grow) & 0xFFFFFFFF
+    idx[idx >= 1 << 31] -= 1 << 32
+    return jnp.asarray(idx.astype(np.int32))
+
+
+def test_dedup_gat_in_kernel_dropout_matches_masked_reference():
+    """On a SIMPLE graph, per-cell dropout == per-edge dropout: fwd and
+    grads must match the XLA composition with the replicated hash mask."""
+    from pgl_tpu.ops.pallas.attention_kernels import _drop_keep
+    N, E, H, DVH, DV, rate = 600, 4000, 4, 8, 128, 0.4
+    rng = np.random.default_rng(31)
+    # simple graph: unique (dst, src) pairs only
+    pairs = rng.choice(N * N, E, replace=False)
+    edges = np.stack([pairs % N, pairs // N], 1)
+    order = np.argsort(edges[:, 1], kind="stable")
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(edges[:, 1], minlength=N))])
+    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N)
+    assert lay.simple
+    red = build_uniq_reduce(lay, N)
+    edges_csc = edges[order]
+    seed = jnp.int32(9876)
+    a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, DV)).astype(np.float32))
+    idx_e = _cell_idx_per_edge(lay)
+
+    def ref(ad, as_, vv):
+        src_e = jnp.asarray(edges_csc[:, 0])
+        dst_e = jnp.asarray(edges_csc[:, 1])
+        s = jax.nn.leaky_relu(ad[dst_e] + as_[src_e], 0.2)
+        smax = jax.ops.segment_max(s, dst_e, num_segments=N)
+        p = jnp.exp(s - smax[dst_e])
+        denom = jax.ops.segment_sum(p, dst_e, num_segments=N)
+        p = p / jnp.maximum(denom[dst_e], 1e-30)
+        keep = jnp.stack([_drop_keep(idx_e, seed, h, rate)
+                          for h in range(H)], axis=1)       # [E, H]
+        p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        ve = vv[:, :H * DVH][src_e].reshape(E, H, DVH)
+        o = jax.ops.segment_sum(p[:, :, None] * ve, dst_e,
+                                num_segments=N)
+        return o.reshape(N, H * DVH)
+
+    def fused(ad, as_, vv):
+        return dedup_gat_attention(ad, as_, vv, lay, red, H, DVH, 0.2,
+                                   256, 1024, True, rate, seed)
+
+    out_f = np.asarray(fused(a_dst, a_src, v))[:, :H * DVH]
+    out_r = np.asarray(ref(a_dst, a_src, v))
+    np.testing.assert_allclose(out_f, out_r, rtol=1e-4, atol=1e-5)
+
+    tgt = out_r * 0.9
+    g1 = jax.grad(lambda *a: ((fused(*a)[:, :H * DVH] - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(a_dst, a_src, v)
+    g2 = jax.grad(lambda *a: ((ref(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(a_dst, a_src, v)
+    for nm, a, b in zip(("dadst", "dasrc", "dv"), g1, g2):
+        aa, bb = np.asarray(a), np.asarray(b)
+        if nm == "dv":
+            aa = aa[:, :H * DVH]
+            bb = bb[:, :H * DVH]
+        np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=3e-4,
+                                   err_msg=nm)
+
+
+def test_dedup_gat_dropout_rate0_matches_plain():
+    edges, lay, red = _case(300, 2500, seed=40)
+    rng = np.random.default_rng(41)
+    a_dst = jnp.asarray(rng.normal(size=(300, 2)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(300, 2)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(300, 128)).astype(np.float32))
+    o0 = dedup_gat_attention(a_dst, a_src, v, lay, red, 2, 8, 0.2,
+                             256, 1024, True)
+    o1 = dedup_gat_attention(a_dst, a_src, v, lay, red, 2, 8, 0.2,
+                             256, 1024, True, 0.0, jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
