@@ -19,7 +19,11 @@ import time
 
 ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
 sys.path.insert(0, ROOT)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# default backend: the real TPU when attached (device walks + the
+# HBM-resident embedding tier make passes ~24x faster); pass --cpu to
+# rehearse the pure out-of-core tiers
+if "--cpu" in sys.argv:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import numpy as np
 
@@ -56,13 +60,17 @@ def gen_edge_file(path, n_nodes, n_edges, seed=0, chunk=4_000_000):
 
 def main():
     import jax
-    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=10_000_000)
     ap.add_argument("--edges", type=int, default=55_000_000)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/pglbox_capacity")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (pure out-of-core tier rehearsal)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print(f"backend: {jax.default_backend()}", flush=True)
 
     os.makedirs(args.workdir, exist_ok=True)
     edge_file = os.path.join(args.workdir, "edges.txt")
