@@ -181,8 +181,10 @@ def main():
                   hidden_size=16, dropout=0.0)
     params_c = model_c.init(jax.random.key(0), gc, gc.node_feat["h"])
     step_c = _build_train_step(model_c, optax.adam(1e-2))
+    # tiny steps (~0.8 ms) amortize the tunnel's per-call jitter poorly:
+    # long chains + best-of-4 keeps run-to-run spread under ~5%
     t_cora = _time_steps(step_c, params_c, optax.adam(1e-2).init(params_c),
-                         gc, gc.node_feat["h"], yc, iters=50, repeats=3)
+                         gc, gc.node_feat["h"], yc, iters=200, repeats=4)
     vs_baseline = 0.0047 / t_cora
 
     # --- SpMM / SDDMM speed-of-light fraction (BASELINE.json metric) ------
