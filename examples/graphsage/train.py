@@ -162,14 +162,17 @@ def main():
 
     from pgl_tpu.utils.edge_index import EdgeIndex
 
-    def as_graph(edges, deg, su, sv, se, indptr):
+    def as_graph(edges, deg, su, sv, indptr):
+        # se is a constant arange — regenerate in-jit instead of
+        # shipping it H2D every batch
+        se = jnp.arange(e_bucket, dtype=jnp.int32)
         return Graph(edges, num_nodes=n_bucket,
                      adj_dst_index=EdgeIndex(deg, su, sv, se, indptr))
 
     @jax.jit
-    def train_step(params, opt_state, edges, deg, su, sv, se, indptr,
+    def train_step(params, opt_state, edges, deg, su, sv, indptr,
                    sidx, smask, y, mask):
-        g = as_graph(edges, deg, su, sv, se, indptr)
+        g = as_graph(edges, deg, su, sv, indptr)
         x = jnp.take(feat_dev, sidx, axis=0) * smask
 
         def loss_fn(p):
@@ -189,10 +192,12 @@ def main():
                             collate_fn=batch_fn, seed=epoch)
         t0, steps, loss = time.time(), 0, None
         for batch in loader:
-            batch = [jax.device_put(a) for a in batch]
+            # drop the collate tuple's se (index 4): regenerated in-jit
+            batch = [jax.device_put(a)
+                     for i, a in enumerate(batch) if i != 4]
             if params is None:
-                g0 = as_graph(*batch[:6])
-                x0 = jnp.take(feat_dev, batch[6], axis=0) * batch[7]
+                g0 = as_graph(*batch[:5])
+                x0 = jnp.take(feat_dev, batch[5], axis=0) * batch[6]
                 params = model.init(jax.random.key(0), g0, x0)
                 opt_state = opt.init(params)
             params, opt_state, loss = train_step(params, opt_state, *batch)
@@ -205,11 +210,10 @@ def main():
     eval_loader = Dataloader(ShardedNodeDataset(test_nodes, test_y),
                              batch_size=args.batch_size,
                              collate_fn=batch_fn)
-    for edges, deg, su, sv, se, indptr, sidx, smask, y_b, mask \
+    for edges, deg, su, sv, _se, indptr, sidx, smask, y_b, mask \
             in eval_loader:
         g = as_graph(jnp.asarray(edges), jnp.asarray(deg), jnp.asarray(su),
-                     jnp.asarray(sv), jnp.asarray(se),
-                     jnp.asarray(indptr))
+                     jnp.asarray(sv), jnp.asarray(indptr))
         x = jnp.take(feat_dev, jnp.asarray(sidx), axis=0) \
             * jnp.asarray(smask)
         logits = model.apply(params, g, x)

@@ -195,7 +195,8 @@ def main():
     N = g.num_nodes
     dst_idx = g.adj_dst_index
     lay = dk.build_dedup_layout(np.asarray(dst_idx.indptr),
-                                np.asarray(dst_idx.sorted_v), N)
+                                np.asarray(dst_idx.sorted_v), N,
+                                debug_rows=True)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(N, 128)).astype(np.float32))
     uniq = jnp.take(x, lay.uv, axis=0)

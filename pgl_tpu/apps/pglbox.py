@@ -160,10 +160,14 @@ class DistEmbedding:
         self._ids: Optional[np.ndarray] = None
         self._dev_table = None
         budget_mb = int(os.environ.get("PGL_TPU_PGLBOX_EMB_HBM_MB", 6144))
-        self._resident = (
-            jax.default_backend() == "tpu"
-            and num_embeddings * embedding_dim * 4
-            <= budget_mb * (1 << 20))
+        force = os.environ.get("PGL_TPU_PGLBOX_EMB_RESIDENT")
+        if force is not None:           # explicit override (tests/tuning)
+            self._resident = force == "1"
+        else:
+            self._resident = (
+                jax.default_backend() == "tpu"
+                and num_embeddings * embedding_dim * 4
+                <= budget_mb * (1 << 20))
 
     def begin_pass(self, ids: Iterable[int]):
         """Stage the pass working set; returns the device table
@@ -336,6 +340,10 @@ class PGLBoxTrainer:
                 if log_every and pass_id % log_every == 0:
                     log.info("pass %d: loss %.4f", pass_id, last)
                 pass_id += 1
+            # persist the HBM-resident tier once per epoch (the mmap
+            # tier flushes every pass): the on-disk table is the
+            # documented persistence contract
+            self.embedding.flush_to_store()
         return last
 
     def embeddings(self) -> np.ndarray:

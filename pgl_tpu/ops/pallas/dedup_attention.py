@@ -28,8 +28,12 @@ anywhere.
 
 Replaces the SDDMM+edge_softmax+send_ue_recv triple
 (``pgl/nn/conv.py:333-339``, ``pgl/nn/functional/graph_op.py:101``) on
-dedup-eligible graphs. Dropout falls back to the per-edge kernels (the
-reference drops each duplicate edge independently; the count form cannot).
+dedup-eligible graphs. Attention-prob dropout runs IN-KERNEL on simple
+graphs (``DedupLayout.simple``): one count-matrix cell is one edge
+there, so the per-cell hash mask is exactly the reference's per-edge
+post-softmax dropout. Only multigraphs fall back to the per-edge
+kernels (the reference drops each duplicate edge independently; the
+count form cannot distinguish them).
 """
 
 from __future__ import annotations

@@ -132,10 +132,11 @@ class _LayoutPrefix:
     __slots__ = ("E", "N", "n_pad", "G", "uv", "uv_off", "Upad",
                  "grow_o", "dst_o", "src_o", "order",
                  "nw", "P", "pair_blk", "win_in_blk", "pair_wb",
-                 "starts", "ends", "ubp_sum", "n_uniq")
+                 "starts", "ends", "ubp_sum", "n_uniq", "rejected")
 
     def __init__(self, indptr, sorted_v, num_segments: int, nb: int,
-                 w: int):
+                 w: int, max_ratio: float = 0.0,
+                 want_simple: bool = False):
         indptr = np.asarray(indptr, dtype=np.int64)
         src = np.asarray(sorted_v, dtype=np.int64)
         E = len(src)
@@ -157,6 +158,15 @@ class _LayoutPrefix:
         ub = np.bincount(ublk, minlength=G)          # uniques per block
         ubp = (ub + w - 1) // w * w                  # padded to W windows
         self.ubp_sum = float(ubp.sum())
+        # bail out BEFORE the expensive passes (lexsort, searchsorteds)
+        # when the caller's unique-ratio eligibility check fails — this
+        # runs for every tensor() graph in the dedup size band, and the
+        # whole point of the check is to reject near-regular graphs
+        self.rejected = bool(max_ratio and E
+                             and self.ubp_sum / E > max_ratio)
+        self.n_uniq = -1
+        if self.rejected:
+            return
         uv_off = np.zeros(G + 1, np.int64)
         np.cumsum(ubp, out=uv_off[1:])
         Upad = int(uv_off[-1])
@@ -198,11 +208,14 @@ class _LayoutPrefix:
         pkey = pair_blk * (int(nw.max()) + 1) + win_in_blk
         self.starts = np.searchsorted(ekey, pkey, side="left")
         self.ends = np.searchsorted(ekey, pkey, side="right")
-        # duplicate (dst, src) detection: same dst AND same global uniq
-        # row ⇔ the same count-matrix cell (a multi-edge)
-        self.n_uniq = len(np.unique(
-            self.dst_o.astype(np.int64) * (Upad + 1) + self.grow_o)) \
-            if E else 0
+        if want_simple:
+            # duplicate (dst, src) detection: same dst AND same global
+            # uniq row ⇔ the same count-matrix cell (a multi-edge);
+            # one extra O(E log E) pass, so only when the caller needs
+            # the `simple` flag (the attention-dropout dispatch)
+            self.n_uniq = len(np.unique(
+                self.dst_o.astype(np.int64) * (Upad + 1) + self.grow_o)) \
+                if E else 0
         self.E, self.N, self.n_pad, self.G = E, N, n_pad, G
         self.uv, self.uv_off, self.Upad = uv, uv_off, Upad
         self.nw, self.P = nw, P
@@ -212,18 +225,24 @@ class _LayoutPrefix:
 def build_dedup_layout(indptr, sorted_v, num_segments: int,
                        nb: int = NBD_DEFAULT, et: int = ETD_DEFAULT,
                        w: int = W_DEFAULT,
-                       max_ratio: float = 0.0) -> Optional[DedupLayout]:
+                       max_ratio: float = 0.0,
+                       debug_rows: bool = False) -> Optional[DedupLayout]:
     """Host-side (numpy) construction from a CSC/CSR index; O(E log E).
 
     ``max_ratio`` > 0: return None when the padded unique-row count exceeds
     ``max_ratio * E`` — on such graphs (near-regular, no src repetition
     within blocks) the two-phase kernel pays its extra inner matmul without
     a gather saving, so the caller should stay on the base kernel.
+
+    ``debug_rows``: keep the host-only ``padded_rows`` aux (~4·E bytes of
+    host RAM) for layout debugging / historical kernel variants; the
+    production kernels never read it.
     """
-    pre = _LayoutPrefix(indptr, sorted_v, num_segments, nb, w)
-    E, N = pre.E, pre.N
-    if max_ratio and E and pre.ubp_sum / E > max_ratio:
+    pre = _LayoutPrefix(indptr, sorted_v, num_segments, nb, w,
+                        max_ratio=max_ratio, want_simple=True)
+    if pre.rejected:
         return None
+    E, N = pre.E, pre.N
     n_pad = pre.n_pad
     uv, grow_o, dst_o, src_o, order = (pre.uv, pre.grow_o, pre.dst_o,
                                        pre.src_o, pre.order)
@@ -245,8 +264,10 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
     padded_v[:E] = src_o
     padded_ids = np.full(Ep, n_pad, np.int32)
     padded_ids[:E] = dst_o
-    padded_rows = np.full(Ep, _ROW_SENTINEL, np.int32)
-    padded_rows[:E] = grow_o
+    padded_rows = None
+    if debug_rows:
+        padded_rows = np.full(Ep, _ROW_SENTINEL, np.int32)
+        padded_rows[:E] = grow_o
     return DedupLayout(
         jnp.asarray(uv), jnp.asarray(padded_v),
         jnp.asarray(padded_ids.reshape(-1, 128)),

@@ -248,3 +248,37 @@ def test_graph4rec_deepwalk_on_typed_graph():
     l1 = tr.train(epochs=1)
     l2 = tr.train(epochs=3)
     assert l1 > 0 and l2 < l1     # steps ran, loss decreases
+
+
+def test_pglbox_resident_tier_persists(tmp_path, monkeypatch):
+    """HBM-resident embedding tier (forced on CPU via env): training must
+    persist to the mmap backing store — the documented contract is that
+    reopening the path sees the trained table (regression: end_pass only
+    updated the device copy and train() never flushed)."""
+    from pgl_tpu.apps.pglbox import DistGraph, PGLBoxTrainer
+    from pgl_tpu.utils.shared_embedding import SharedEmbedding
+
+    monkeypatch.setenv("PGL_TPU_PGLBOX_EMB_RESIDENT", "1")
+    rng = np.random.default_rng(1)
+    edges = rng.integers(0, 60, (500, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    ef = tmp_path / "edges.txt"
+    with open(ef, "w") as f:
+        for s, d in edges:
+            f.write(f"{s}\t{d}\n")
+    dg = DistGraph.from_edge_file(str(ef), str(tmp_path / "g"),
+                                  symmetry=True)
+    tr = PGLBoxTrainer(dg, str(tmp_path / "emb"),
+                       config=dict(emb_size=8, walk_len=6, win_size=2,
+                                   pass_nodes=30, epochs=1,
+                                   batch_pairs=256, lr=0.1))
+    assert tr.embedding._resident
+    before = np.array(np.load(tmp_path / "emb" / "weight.npy",
+                              mmap_mode="r"))
+    tr.train()
+    # in-memory view trained
+    after_mem = tr.embeddings()
+    assert not np.allclose(before, after_mem)
+    # AND the on-disk store reopened from the path matches it
+    reopened = SharedEmbedding(60, 8, str(tmp_path / "emb"), lr=0.1)
+    np.testing.assert_allclose(np.asarray(reopened.weight), after_mem)

@@ -28,7 +28,8 @@ def _case(N, E, seed=0, hub=False, dups=0):
     order = np.argsort(edges[:, 1], kind="stable")
     indptr = np.concatenate(
         [[0], np.cumsum(np.bincount(edges[:, 1], minlength=N))])
-    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N)
+    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N,
+                                debug_rows=True)
     red = build_uniq_reduce(lay, N)
     return edges, lay, red
 
@@ -91,7 +92,8 @@ def test_empty_rows_produce_zeros():
     order = np.argsort(edges[:, 1], kind="stable")
     indptr = np.concatenate(
         [[0], np.cumsum(np.bincount(edges[:, 1], minlength=N))])
-    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N)
+    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N,
+                                debug_rows=True)
     red = build_uniq_reduce(lay, N)
     a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
     a_src = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
@@ -294,7 +296,8 @@ def test_dedup_gat_in_kernel_dropout_matches_masked_reference():
     order = np.argsort(edges[:, 1], kind="stable")
     indptr = np.concatenate(
         [[0], np.cumsum(np.bincount(edges[:, 1], minlength=N))])
-    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N)
+    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N,
+                                debug_rows=True)
     assert lay.simple
     red = build_uniq_reduce(lay, N)
     edges_csc = edges[order]
@@ -353,3 +356,67 @@ def test_dedup_gat_dropout_rate0_matches_plain():
     o1 = dedup_gat_attention(a_dst, a_src, v, lay, red, 2, 8, 0.2,
                              256, 1024, True, 0.0, jnp.int32(5))
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_dedup_dot_in_kernel_dropout_matches_masked_reference():
+    """Dot-score (TransformerConv) mode with in-kernel dropout: the
+    additive=False backward branch (masked dsc feeding the dq/dk
+    contractions) must match the masked XLA composition."""
+    from pgl_tpu.ops.pallas.dedup_attention import dedup_dot_attention
+    from pgl_tpu.ops.pallas.attention_kernels import _drop_keep
+    N, E, H, DSH, DVH, DV, rate = 500, 3500, 4, 8, 8, 128, 0.3
+    rng = np.random.default_rng(51)
+    pairs = rng.choice(N * N, E, replace=False)
+    edges = np.stack([pairs % N, pairs // N], 1)
+    order = np.argsort(edges[:, 1], kind="stable")
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(edges[:, 1], minlength=N))])
+    lay = dk.build_dedup_layout(indptr, edges[order][:, 0], N,
+                                debug_rows=True)
+    assert lay.simple
+    red = build_uniq_reduce(lay, N)
+    edges_csc = edges[order]
+    seed = jnp.int32(4242)
+    q = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32) * .3)
+    k = jnp.asarray(rng.normal(size=(N, H * DSH)).astype(np.float32) * .3)
+    v = jnp.asarray(rng.normal(size=(N, DV)).astype(np.float32))
+    idx_e = _cell_idx_per_edge(lay)
+
+    def ref(qq, kk, vv):
+        src_e = jnp.asarray(edges_csc[:, 0])
+        dst_e = jnp.asarray(edges_csc[:, 1])
+        qh = qq.reshape(N, H, DSH)
+        kh = kk.reshape(N, H, DSH)
+        s = jnp.einsum("ehd,ehd->eh", qh[dst_e], kh[src_e])
+        smax = jax.ops.segment_max(s, dst_e, num_segments=N)
+        p = jnp.exp(s - smax[dst_e])
+        denom = jax.ops.segment_sum(p, dst_e, num_segments=N)
+        p = p / jnp.maximum(denom[dst_e], 1e-30)
+        keep = jnp.stack([_drop_keep(idx_e, seed, h, rate)
+                          for h in range(H)], axis=1)
+        p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        ve = vv[:, :H * DVH][src_e].reshape(E, H, DVH)
+        o = jax.ops.segment_sum(p[:, :, None] * ve, dst_e,
+                                num_segments=N)
+        return o.reshape(N, H * DVH)
+
+    def fused(qq, kk, vv):
+        return dedup_dot_attention(qq, kk, vv, lay, red, H, DSH, DVH,
+                                   0.0, 256, 1024, True, rate, seed)
+
+    out_f = np.asarray(fused(q, k, v))[:, :H * DVH]
+    out_r = np.asarray(ref(q, k, v))
+    np.testing.assert_allclose(out_f, out_r, rtol=1e-4, atol=1e-5)
+
+    tgt = out_r * 0.9
+    g1 = jax.grad(lambda *a: ((fused(*a)[:, :H * DVH] - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: ((ref(*a) - tgt) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for nm, a, b in zip(("dq", "dk", "dv"), g1, g2):
+        aa, bb = np.asarray(a), np.asarray(b)
+        if nm == "dv":
+            aa = aa[:, :H * DVH]
+            bb = bb[:, :H * DVH]
+        np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=3e-4,
+                                   err_msg=nm)
