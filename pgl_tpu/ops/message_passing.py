@@ -38,8 +38,13 @@ _COMBINE = {
 
 
 def gather_rows(feature, index):
-    """Row gather ``feature[index]`` — kept as a hook for a Pallas gather."""
-    return jnp.take(feature, index, axis=0)
+    """Row gather ``feature[index]`` — kept as a hook for a Pallas gather.
+
+    mode="clip": graph indices are in-bounds by construction; jax's
+    default mode="fill" materializes an extra [rows, D] compare+select
+    pass over the gathered buffer (measured ~0.4 ms per 276k x 128 f32
+    gather inside the GCN step)."""
+    return jnp.take(feature, index, axis=0, mode="clip")
 
 
 def _broadcast_edge(edge_feat, target_ndim):

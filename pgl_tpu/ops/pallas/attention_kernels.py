@@ -242,7 +242,8 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
     q_pad = jnp.zeros((n_pad, DS), q.dtype).at[:num_segments].set(q)
     # ONE row gather for both streams — the gather is row-count-bound
     # (~10 ns/row regardless of width), so fusing k|v halves its cost.
-    kv_e = jnp.take(jnp.concatenate([k, v], axis=1), padded_v, axis=0)
+    kv_e = jnp.take(jnp.concatenate([k, v], axis=1), padded_v, axis=0,
+                    mode="clip")
     seed_arr = (jnp.zeros((1,), jnp.int32) if drop_seed is None
                 else jnp.asarray(drop_seed, jnp.int32).reshape(1))
     out = pl.pallas_call(
@@ -570,7 +571,8 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
     # ---- CSC pass: dq --------------------------------------------------
     if kv_e is None:
         # residual not kept (size cap) — re-gather, still one fused gather
-        kv_e = jnp.take(jnp.concatenate([k, v], axis=1), csc_v, axis=0)
+        kv_e = jnp.take(jnp.concatenate([k, v], axis=1), csc_v, axis=0,
+                        mode="clip")
     seed_arr = (jnp.zeros((1,), jnp.int32) if drop_seed is None
                 else jnp.asarray(drop_seed, jnp.int32).reshape(1))
     dq = pl.pallas_call(
@@ -630,7 +632,7 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
         ld = ld.at[:, :H].set(lse.astype(q.dtype))
         ld = ld.at[:, H:2 * H].set(delta.astype(q.dtype))
         qgl = jnp.concatenate([q, g, ld], axis=1)   # [N, DS+DV+LDW]
-    qgl_e = jnp.take(qgl, csr_v, axis=0)
+    qgl_e = jnp.take(qgl, csr_v, axis=0, mode="clip")
     if drop_rate:
         # CSC index of every CSR edge position, lane-major like the ids —
         # a cheap sequential side stream (NOT a gather); lets both backward

@@ -463,8 +463,9 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
     adst_pad = jnp.zeros((n_pad, SDp), jnp.float32).at[:N, :sd_cols].set(
         score_dst.astype(jnp.float32))
     asrcT = jnp.zeros((SD, Upw), jnp.float32).at[:sd_cols].set(
-        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0).T)
-    vu = jnp.take(v, layout.uv, axis=0)
+        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0,
+                 mode="clip").T)
+    vu = jnp.take(v, layout.uv, axis=0, mode="clip")
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -560,8 +561,10 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
         N, H, dvh).sum(-1)
     delta_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(delta)
     asrcT = jnp.zeros((SD, Upw), jnp.float32).at[:sd_cols].set(
-        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0).T)
-    vuT = jnp.take(v.astype(jnp.float32), layout.uv, axis=0).T
+        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0,
+                 mode="clip").T)
+    vuT = jnp.take(v.astype(jnp.float32), layout.uv, axis=0,
+                   mode="clip").T
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)

@@ -441,7 +441,7 @@ def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
 def _blocked_spmm_dedup(feature, layout: DedupLayout, num_segments: int,
                         nb: int, et: int, w: int, interpret: bool,
                         edge_w=None):
-    uniq = jnp.take(feature, layout.uv, axis=0)
+    uniq = jnp.take(feature, layout.uv, axis=0, mode="clip")
     return _dedup_call(uniq, layout, num_segments, nb, et, w, interpret,
                        edge_w)
 
@@ -574,7 +574,7 @@ def _spmm_dw_bwd(nb, et, w, interpret, res, g):
     # dw (dedup-CSC order): <g[dst_e], x[src_e]> per edge
     g_e = jnp.take(g, csc_d.padded_ids.reshape(-1), axis=0,
                    mode="fill", fill_value=0)
-    x_e = jnp.take(feature, csc_d.padded_v, axis=0)
+    x_e = jnp.take(feature, csc_d.padded_v, axis=0, mode="clip")
     dw = jnp.sum(g_e * x_e, axis=1)
     return dx, dw, jnp.zeros_like(w_csr), None, None
 
