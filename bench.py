@@ -100,8 +100,8 @@ def _build_train_step(model, opt):
     def train_step(params, opt_state, g, x, y):
         def loss_fn(p):
             logits = model.apply(p, g, x)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, y).mean()
+            from pgl_tpu.ops import softmax_cross_entropy_integer
+            return softmax_cross_entropy_integer(logits, y).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
@@ -309,7 +309,8 @@ def main():
 
         def loss_fn(p):
             logits = sage.apply(p, gsub, x)
-            ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+            from pgl_tpu.ops import softmax_cross_entropy_integer
+            ce = softmax_cross_entropy_integer(logits, yb)
             return (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -372,7 +373,8 @@ def main():
 
             def loss_fn(p):
                 logits = dsage.apply(p, feat_dev, seeds, sampled)
-                return optax.softmax_cross_entropy_with_integer_labels(
+                from pgl_tpu.ops import softmax_cross_entropy_integer
+                return softmax_cross_entropy_integer(
                     logits, y_dev[seeds]).mean()
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -248,3 +248,26 @@ def test_bf16_mixed_precision_training():
     acc = float((np.asarray(jnp.argmax(
         model.apply(params, gt, x), -1)) == np.asarray(labels)).mean())
     assert acc > 0.9, acc
+
+
+def test_softmax_cross_entropy_integer_matches_optax():
+    """Gather-free CE: same values and grads as the optax reference."""
+    import optax
+    import jax
+    import jax.numpy as jnp
+    from pgl_tpu.ops import softmax_cross_entropy_integer
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(257, 11)).astype(np.float32) * 3)
+    y = jnp.asarray(rng.integers(0, 11, 257).astype(np.int32))
+    ours = softmax_cross_entropy_integer(logits, y)
+    ref = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    g1 = jax.grad(lambda x: softmax_cross_entropy_integer(x, y).sum())(
+        logits)
+    g2 = jax.grad(
+        lambda x: optax.softmax_cross_entropy_with_integer_labels(
+            x, y).sum())(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
