@@ -310,12 +310,18 @@ class Graph:
                     if d % 128:
                         # zero-pad narrow features to the lane width: the
                         # gather is row-count-bound, so padding is ~free
-                        # compared to falling back to the XLA scatter
+                        # compared to falling back to the XLA scatter.
+                        # The barrier pins the pad on the [N, d] side —
+                        # XLA otherwise commutes it past the kernel's
+                        # uniq gather and pads the (larger) [Upad, d]
+                        # gathered buffer instead (trace-measured +0.4 ms
+                        # per narrow SpMM at 2M edges)
                         pad = (-d) % 128
-                        fpad = jnp.concatenate(
-                            [feature,
-                             jnp.zeros((feature.shape[0], pad),
-                                       feature.dtype)], axis=1)
+                        fpad = jax.lax.optimization_barrier(
+                            jnp.concatenate(
+                                [feature,
+                                 jnp.zeros((feature.shape[0], pad),
+                                           feature.dtype)], axis=1))
                         out = run(fpad)[:, :d]
                     else:
                         out = run(feature)
