@@ -259,7 +259,9 @@ def main():
                 out_shape=jax.ShapeDtypeStruct((S + ET, D), jnp.float32),
             )(lay_tile_start, tile_pidx, tile_wb, tile_blk,
               lay_tile_nsub, tile_pord,
-              uniq, dstp, lay.slot_ids, lay.rank_ts, lay.rank_te)
+              uniq, dstp, lay.slot_ids,
+              # packed intervals split back for this old prototype
+              lay.rank_iv[:, :1], lay.rank_iv[:, 1:])
 
         @jax.jit
         def loop(uniq, dstp):

@@ -82,8 +82,8 @@ def _uniq_reduce(rows, red: BlockedLayout, interpret: bool = False):
 # forward kernel
 # ----------------------------------------------------------------------
 
-def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
-                 ids_tile, rts_tile, rte_tile, oh_dst, oh_rankT, c_acc,
+def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
+                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
                  sem_i, sem_b, *, NB, ET, W, P):
     """Shared count-matrix pass: leaves ``C[NB, W]`` (f32) in ``c_acc``.
 
@@ -99,10 +99,8 @@ def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
     ER = ET // 128
     HW = W // 128
 
-    b_dmas = (pltpu.make_async_copy(rts_ref.at[p], rts_tile, sem_b.at[0]),
-              pltpu.make_async_copy(rte_ref.at[p], rte_tile, sem_b.at[1]))
-    for c in b_dmas:
-        c.start()
+    b_dma = pltpu.make_async_copy(iv_ref.at[p], iv_tile, sem_b)
+    b_dma.start()
 
     def tile_dma(slot, t):
         start = pl.multiple_of(e0 + t * ET, 128)
@@ -116,8 +114,7 @@ def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
             c.start()
 
     c_acc[:] = jnp.zeros((NB, W), c_acc.dtype)
-    for c in b_dmas:
-        c.wait()
+    b_dma.wait()
 
     def body(t, _):
         slot = t % 2
@@ -139,8 +136,8 @@ def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
                 rows_d == ids_row, 1.0, 0.0).astype(oh_dst.dtype)
             e_glob = e0 + t * ET + r * 128 + sub
             for h in range(HW):
-                sh = rts_tile[h:h + 1, :]
-                eh = rte_tile[h:h + 1, :]
+                sh = iv_tile[h:h + 1, :]
+                eh = iv_tile[HW + h:HW + h + 1, :]
                 m = (e_glob >= sh) & (e_glob < eh)
                 oh_rankT[r * 128:(r + 1) * 128, h * 128:(h + 1) * 128] = \
                     jnp.where(m, 1.0, 0.0).astype(oh_rankT.dtype)
@@ -166,10 +163,10 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      adst_ref,              # [NB, SDp] VMEM (block rows)
                      asrcT_ref,             # [SD, Upad+W] HBM (transposed)
                      vu_ref,                # [Upad+W, DV] HBM (uniq v)
-                     ids_ref, rts_ref, rte_ref,
+                     ids_ref, iv_ref,
                      out_ref,               # [NB, DV] VMEM (revisit blk)
                      lse_ref,               # [NB, 128] VMEM (revisit blk)
-                     win_s, win_v, ids_tile, rts_tile, rte_tile,
+                     win_s, win_v, ids_tile, iv_tile,
                      oh_dst, oh_rankT, c_acc, m_s, l_s, acc,
                      sem_ws, sem_wv, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
@@ -207,8 +204,8 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
         l_s[:] = jnp.zeros((NB, Hp), jnp.float32)
         acc[:] = jnp.zeros((NB, DV), jnp.float32)
 
-    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
-                 ids_tile, rts_tile, rte_tile, oh_dst, oh_rankT, c_acc,
+    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
+                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
                  sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
 
     ws_dma(p % 2, p).wait()
@@ -285,11 +282,11 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      lse_ref,               # [NB, 128] VMEM block
                      delta_ref,             # [NB, 128] VMEM block
                      asrcT_ref, vuT_ref,    # HBM transposed uniq tables
-                     ids_ref, rts_ref, rte_ref,
+                     ids_ref, iv_ref,
                      dadst_ref,             # [NB, SDp] VMEM out (revisit)
                      dsrcT_ref,             # [SDo, W] VMEM out (own window)
                      dv_ref,                # [W, DV] VMEM out (own window)
-                     win_s, win_vT, ids_tile, rts_tile, rte_tile,
+                     win_s, win_vT, ids_tile, iv_tile,
                      oh_dst, oh_rankT, c_acc,
                      sem_ws, sem_wv, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
@@ -324,8 +321,8 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     def _():
         dadst_ref[:] = jnp.zeros(dadst_ref.shape, dadst_ref.dtype)
 
-    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, rts_ref, rte_ref,
-                 ids_tile, rts_tile, rte_tile, oh_dst, oh_rankT, c_acc,
+    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
+                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
                  sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
 
     ws_dma(p % 2, p).wait()
@@ -487,7 +484,6 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=(
                 pl.BlockSpec((nb, DV),
@@ -501,8 +497,7 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
                 pltpu.VMEM((2, SD, w), jnp.float32),
                 pltpu.VMEM((2, w, DV), v.dtype),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
-                pltpu.VMEM((w // 128, 128), jnp.int32),
-                pltpu.VMEM((w // 128, 128), jnp.int32),
+                pltpu.VMEM((2 * (w // 128), 128), jnp.int32),
                 pltpu.VMEM((nb, et), jnp.bfloat16),
                 pltpu.VMEM((et, w), jnp.bfloat16),
                 pltpu.VMEM((nb, w), jnp.float32),
@@ -512,7 +507,7 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=(jax.ShapeDtypeStruct((n_pad, DV), v.dtype),
@@ -522,8 +517,7 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
             vmem_limit_bytes=64 * 1024 * 1024),
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
       seed,
-      adst_pad, asrcT, vu, layout.padded_ids, layout.rank_ts,
-      layout.rank_te)
+      adst_pad, asrcT, vu, layout.padded_ids, layout.rank_iv)
     return out[:N], lse[:N]
 
 
@@ -596,7 +590,6 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=(
                 pl.BlockSpec((nb, SDp),
@@ -615,15 +608,14 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
                 pltpu.VMEM((2, SD, w), jnp.float32),
                 pltpu.VMEM((2, DV, w), jnp.float32),
                 pltpu.VMEM((2, et // 128, 128), jnp.int32),
-                pltpu.VMEM((w // 128, 128), jnp.int32),
-                pltpu.VMEM((w // 128, 128), jnp.int32),
+                pltpu.VMEM((2 * (w // 128), 128), jnp.int32),
                 pltpu.VMEM((nb, et), jnp.bfloat16),
                 pltpu.VMEM((et, w), jnp.bfloat16),
                 pltpu.VMEM((nb, w), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=(
@@ -637,7 +629,7 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
       seed,
       adst_pad, g_pad, lse_pad, delta_pad, asrcT, vuT,
-      layout.padded_ids, layout.rank_ts, layout.rank_te)
+      layout.padded_ids, layout.rank_iv)
 
     da_dst = dadst[:N, :sd_cols].astype(score_dst.dtype)
     # fold window rows back onto nodes (sorted reduce, no scatter);

@@ -71,11 +71,14 @@ class DedupLayout:
                  and out of the pytree (kept for layout debugging and
                  the historical kernel variants in
                  ``experiments/dedup_breakdown``)
-    rank_ts/te:  [P, W/128, 128] int32 — per (pair, rank-in-window) the
-                 start / exclusive-end *edge position* of that rank's run
-                 (edges are rank-sorted within a pair, so each rank owns
-                 one contiguous interval — the kernel's rank "one-hot" is
-                 two position compares, born pre-transposed [ET, W])
+    rank_iv:     [P, 2·W/128, 128] int32 — per (pair, rank-in-window)
+                 the start (first W/128 rows) and exclusive-end (last
+                 W/128 rows) *edge position* of that rank's run (edges
+                 are rank-sorted within a pair, so each rank owns one
+                 contiguous interval — the kernel's rank "one-hot" is
+                 two position compares, born pre-transposed [ET, W]).
+                 Packed into ONE array so each pair costs a single tiny
+                 DMA instead of two
     pair_ts/te:  [P] int32 ET-aligned start / exclusive end edge offsets
                  per (block, window) pair
     pair_blk:    [P] int32 output block index per pair (sorted ascending)
@@ -85,7 +88,7 @@ class DedupLayout:
     """
 
     def __init__(self, uv, padded_v, padded_ids,
-                 rank_ts, rank_te,
+                 rank_iv,
                  pair_ts, pair_te, pair_blk, pair_wb, eid,
                  num_segments: int, num_edges: int, w: int,
                  simple: bool = False, padded_rows=None):
@@ -93,8 +96,7 @@ class DedupLayout:
         self.padded_v = padded_v
         self.padded_ids = padded_ids
         self.padded_rows = padded_rows      # host-only aux (may be None)
-        self.rank_ts = rank_ts
-        self.rank_te = rank_te
+        self.rank_iv = rank_iv
         self.pair_ts = pair_ts
         self.pair_te = pair_te
         self.pair_blk = pair_blk
@@ -110,7 +112,7 @@ class DedupLayout:
 
     def tree_flatten(self):
         return ((self.uv, self.padded_v, self.padded_ids,
-                 self.rank_ts, self.rank_te,
+                 self.rank_iv,
                  self.pair_ts, self.pair_te, self.pair_blk, self.pair_wb,
                  self.eid),
                 (self.num_segments, self.num_edges, self.w, self.simple))
@@ -271,8 +273,9 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
     return DedupLayout(
         jnp.asarray(uv), jnp.asarray(padded_v),
         jnp.asarray(padded_ids.reshape(-1, 128)),
-        jnp.asarray(rank_ts.reshape(P, w // 128, 128)),
-        jnp.asarray(rank_te.reshape(P, w // 128, 128)),
+        jnp.asarray(np.concatenate(
+            [rank_ts.reshape(P, w // 128, 128),
+             rank_te.reshape(P, w // 128, 128)], axis=1)),
         jnp.asarray(pair_ts.astype(np.int32)),
         jnp.asarray(pair_te.astype(np.int32)),
         jnp.asarray(pair_blk.astype(np.int32)),
@@ -286,10 +289,9 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
 def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
                   uniq_ref,                          # [Upad, D] HBM
                   ids_ref,                           # [Ep/128, 128] HBM
-                  rts_ref,                           # [P, W/128, 128] HBM
-                  rte_ref,                           # [P, W/128, 128] HBM
+                  iv_ref,                            # [P, 2·W/128, 128]
                   out_ref,                           # [NB, D] VMEM
-                  win_tile, ids_tile, rts_tile, rte_tile,
+                  win_tile, ids_tile, iv_tile,
                   oh_dst, oh_rankT, c_acc,
                   sem_w, sem_i, sem_b,
                   *, NB: int, ET: int, W: int, D: int, P: int,
@@ -338,11 +340,10 @@ def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
     def _():
         win_dma((p + 1) % 2, p + 1).start()
 
-    # this pair's rank interval table (tiny; latency hides behind tile DMA)
-    b_dmas = (pltpu.make_async_copy(rts_ref.at[p], rts_tile, sem_b.at[0]),
-              pltpu.make_async_copy(rte_ref.at[p], rte_tile, sem_b.at[1]))
-    for c in b_dmas:
-        c.start()
+    # this pair's rank interval table (ts+te packed: ONE tiny DMA per
+    # pair; latency hides behind the tile DMA)
+    b_dma = pltpu.make_async_copy(iv_ref.at[p], iv_tile, sem_b)
+    b_dma.start()
 
     def tile_dma(slot, t):
         start = pl.multiple_of(e0 + t * ET, 128)
@@ -367,8 +368,7 @@ def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
         out_ref[:] = jnp.zeros((NB, D), out_ref.dtype)
 
     c_acc[:] = jnp.zeros((NB, W), c_acc.dtype)
-    for c in b_dmas:
-        c.wait()
+    b_dma.wait()
 
     def body(t, _):
         slot = t % 2
@@ -406,8 +406,8 @@ def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
                     hit, 1.0, 0.0).astype(oh_dst.dtype)
             e_glob = e0 + t * ET + r * 128 + sub         # [128, 1]
             for h in range(HW):
-                sh = rts_tile[h:h + 1, :]                # [1, 128]
-                eh = rte_tile[h:h + 1, :]
+                sh = iv_tile[h:h + 1, :]                 # [1, 128]
+                eh = iv_tile[HW + h:HW + h + 1, :]
                 m = (e_glob >= sh) & (e_glob < eh)
                 oh_rankT[r * 128:(r + 1) * 128, h * 128:(h + 1) * 128] = \
                     jnp.where(m, 1.0, 0.0).astype(oh_rankT.dtype)
@@ -459,19 +459,18 @@ def _dedup_call(uniq, layout, num_segments: int, nb: int, et: int, w: int,
     oh_dt = (jnp.float32 if _os.environ.get("PGL_TPU_DEDUP_F32") == "1"
              else jnp.bfloat16)
     weighted = edge_w is not None
-    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4
-    operands = [uniq, layout.padded_ids, layout.rank_ts, layout.rank_te]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
+    operands = [uniq, layout.padded_ids, layout.rank_iv]
     scratch = [
         pltpu.VMEM((2, w, D), uniq.dtype),
         pltpu.VMEM((2, et // 128, 128), jnp.int32),
-        pltpu.VMEM((w // 128, 128), jnp.int32),
-        pltpu.VMEM((w // 128, 128), jnp.int32),
+        pltpu.VMEM((2 * (w // 128), 128), jnp.int32),   # iv_tile
         pltpu.VMEM((nb, et), oh_dt),
         pltpu.VMEM((et, w), oh_dt),
         pltpu.VMEM((nb, w), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
     ]
     if weighted:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
@@ -481,11 +480,11 @@ def _dedup_call(uniq, layout, num_segments: int, nb: int, et: int, w: int,
                     pltpu.VMEM((nb, et), oh_dt),
                     pltpu.VMEM((nb, et), oh_dt)]
 
-        def kernel(ts, te, blk, wb, uniq_r, ids_r, rts_r, rte_r, w_r,
-                   out_r, win, ids_t, rts_t, rte_t, ohd, ohr, cacc,
+        def kernel(ts, te, blk, wb, uniq_r, ids_r, iv_r, w_r,
+                   out_r, win, ids_t, iv_t, ohd, ohr, cacc,
                    sw, si, sb, w_t, se, ohd_lo, ohd_lo2):
-            _dedup_kernel(ts, te, blk, wb, uniq_r, ids_r, rts_r, rte_r,
-                          out_r, win, ids_t, rts_t, rte_t, ohd, ohr, cacc,
+            _dedup_kernel(ts, te, blk, wb, uniq_r, ids_r, iv_r,
+                          out_r, win, ids_t, iv_t, ohd, ohr, cacc,
                           sw, si, sb,
                           NB=nb, ET=et, W=w, D=D, P=P, weighted=True,
                           w_ref=w_r, w_tile=w_t, sem_e=se,

@@ -73,8 +73,9 @@ class SddmmLayout:
                to W multiples (pad = 0); +W tail for the window DMA
     slot_src:  [S] int32 src id per slot (0 at pads) — backward fallback
     slot_ids:  [S/128, 128] int32 dst id per slot, sentinel ``n_pad``
-    rank_ts/te:[Pa, W/128, 128] int32 slot-position interval per
-               (ACTIVE pair, rank-in-window)
+    rank_iv:   [Pa, 2·W/128, 128] int32 slot-position interval per
+               (ACTIVE pair, rank-in-window) — starts then ends, packed
+               so each pair costs one tiny DMA
     pair_*:    [Pa] int32 per-active-pair tables — slot start, tile
                count, global tile index of tile 0, window uniq-row
                base, dst block (empty pairs are dropped: the grid runs
@@ -86,7 +87,7 @@ class SddmmLayout:
                pads (NOT traced; use from host code / tests)
     """
 
-    def __init__(self, uv, slot_src, slot_ids, rank_ts, rank_te,
+    def __init__(self, uv, slot_src, slot_ids, rank_iv,
                  pair_ts, pair_nt, pair_gt0, pair_wb, pair_blk,
                  tile_start, tile_nsub,
                  num_segments: int, num_edges: int, slots: int,
@@ -94,8 +95,7 @@ class SddmmLayout:
         self.uv = uv
         self.slot_src = slot_src
         self.slot_ids = slot_ids
-        self.rank_ts = rank_ts
-        self.rank_te = rank_te
+        self.rank_iv = rank_iv
         self.pair_ts = pair_ts
         self.pair_nt = pair_nt
         self.pair_gt0 = pair_gt0
@@ -114,7 +114,7 @@ class SddmmLayout:
 
     def tree_flatten(self):
         return ((self.uv, self.slot_src, self.slot_ids,
-                 self.rank_ts, self.rank_te,
+                 self.rank_iv,
                  self.pair_ts, self.pair_nt, self.pair_gt0,
                  self.pair_wb, self.pair_blk,
                  self.tile_start, self.tile_nsub),
@@ -203,8 +203,9 @@ def build_sddmm_layout(indptr, sorted_v, num_segments: int,
         jnp.asarray(uv),
         jnp.asarray(slot_src),
         jnp.asarray(slot_ids.reshape(-1, 128)),
-        jnp.asarray(rank_ts.reshape(P, w // 128, 128)[act]),
-        jnp.asarray(rank_te.reshape(P, w // 128, 128)[act]),
+        jnp.asarray(np.concatenate(
+            [rank_ts.reshape(P, w // 128, 128)[act],
+             rank_te.reshape(P, w // 128, 128)[act]], axis=1)),
         jnp.asarray(slot_off[act].astype(np.int32)),
         jnp.asarray(a_nt.astype(np.int32)),
         jnp.asarray(a_gt0.astype(np.int32)),
@@ -232,9 +233,9 @@ def _split3(x32, out_ref):
 
 def _sddmm_kernel(ts_ref, nt_ref, gt0_ref, wb_ref, blk_ref,       # [Pa]
                   tstart_ref, tnsub_ref,                          # [T]
-                  uniq_ref, dstp_ref, ids_ref, rts_ref, rte_ref,  # HBM
+                  uniq_ref, dstp_ref, ids_ref, iv_ref,            # HBM
                   out_ref,                                        # HBM
-                  win_f, dst_f, win_b, dst_b, ids_t, rts_t, rte_t,
+                  win_f, dst_f, win_b, dst_b, ids_t, iv_t,
                   ohr, out_t,
                   sem_w, sem_d, sem_i, sem_b, sem_o,
                   *, NB: int, ET: int, W: int, D: int, P: int, T: int,
@@ -264,10 +265,8 @@ def _sddmm_kernel(ts_ref, nt_ref, gt0_ref, wb_ref, blk_ref,       # [Pa]
                 dstp_ref.at[pl.ds(
                     pl.multiple_of(blk_ref[q] * NB, NB), NB), :],
                 dst_f.at[slot], sem_d.at[slot]),
-            pltpu.make_async_copy(rts_ref.at[q], rts_t.at[slot],
-                                  sem_b.at[slot, 0]),
-            pltpu.make_async_copy(rte_ref.at[q], rte_t.at[slot],
-                                  sem_b.at[slot, 1]),
+            pltpu.make_async_copy(iv_ref.at[q], iv_t.at[slot],
+                                  sem_b.at[slot]),
         )
 
     @pl.when(p == 0)
@@ -321,8 +320,8 @@ def _sddmm_kernel(ts_ref, nt_ref, gt0_ref, wb_ref, blk_ref,       # [Pa]
         for r in range(ER):
             s_glob = e0 + k * ET + r * 128 + sub     # [128, 1] slot pos
             for h in range(HW):
-                m = ((s_glob >= rts_t[slot_p, h:h + 1, :])
-                     & (s_glob < rte_t[slot_p, h:h + 1, :]))
+                m = ((s_glob >= iv_t[slot_p, h:h + 1, :])
+                     & (s_glob < iv_t[slot_p, HW + h:HW + h + 1, :]))
                 ohr[r * 128:(r + 1) * 128, h * 128:(h + 1) * 128] = \
                     jnp.where(m, 1.0, 0.0).astype(ohr.dtype)
             ids_row = ids_t[slot_i, r].reshape(1, 128) - row_base
@@ -389,7 +388,7 @@ def _sddmm_call(src_feat, dst_feat, layout: SddmmLayout, op: str,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(P,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * 5,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * 4,
             out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, W, D), jnp.float32),       # win_f
@@ -397,14 +396,13 @@ def _sddmm_call(src_feat, dst_feat, layout: SddmmLayout, op: str,
                 pltpu.VMEM((3 * W, D), jnp.bfloat16),     # win_b
                 pltpu.VMEM((3 * NB, D), jnp.bfloat16),    # dst_b
                 pltpu.VMEM((2, ET // 128, 128), jnp.int32),
-                pltpu.VMEM((2, W // 128, 128), jnp.int32),
-                pltpu.VMEM((2, W // 128, 128), jnp.int32),
+                pltpu.VMEM((2, 2 * (W // 128), 128), jnp.int32),
                 pltpu.VMEM((ET, W), jnp.bfloat16),        # ohr
                 pltpu.VMEM((2, ET, D), jnp.float32),      # out_t
                 pltpu.SemaphoreType.DMA((2,)),            # sem_w
                 pltpu.SemaphoreType.DMA((2,)),            # sem_d
                 pltpu.SemaphoreType.DMA((2,)),            # sem_i
-                pltpu.SemaphoreType.DMA((2, 2)),          # sem_b
+                pltpu.SemaphoreType.DMA((2,)),            # sem_b
                 pltpu.SemaphoreType.DMA((2,)),            # sem_o
             ],
         ),
@@ -418,7 +416,7 @@ def _sddmm_call(src_feat, dst_feat, layout: SddmmLayout, op: str,
     )(layout.pair_ts, layout.pair_nt, layout.pair_gt0,
       layout.pair_wb, layout.pair_blk,
       layout.tile_start, layout.tile_nsub,
-      uniq, dstp, layout.slot_ids, layout.rank_ts, layout.rank_te)
+      uniq, dstp, layout.slot_ids, layout.rank_iv)
     return out[:S]
 
 

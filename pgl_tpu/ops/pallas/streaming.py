@@ -65,8 +65,8 @@ class StreamedSpMM:
             # host copies: nothing edge-sized lives on the device between
             # calls — each pass re-stages exactly one chunk
             host = {k: np.asarray(getattr(lay, k))
-                    for k in ("uv", "padded_ids", "rank_ts",
-                              "rank_te", "pair_ts", "pair_te", "pair_blk",
+                    for k in ("uv", "padded_ids", "rank_iv",
+                              "pair_ts", "pair_te", "pair_blk",
                               "pair_wb")}
             self.chunks.append((r0, r1, host))
 
@@ -91,8 +91,8 @@ class StreamedSpMM:
             h["pair_wb"] = np.pad(h["pair_wb"], (0, padn),
                                   constant_values=last_wb)
             # pad pairs carry empty dst intervals (s = e = 0)
-            h["rank_ts"] = np.pad(h["rank_ts"], ((0, padn), (0, 0), (0, 0)))
-            h["rank_te"] = np.pad(h["rank_te"], ((0, padn), (0, 0), (0, 0)))
+            h["rank_iv"] = np.pad(h["rank_iv"],
+                                  ((0, padn), (0, 0), (0, 0)))
             flat_ids = h["padded_ids"].reshape(-1)
             h["padded_ids"] = np.pad(
                 flat_ids, (0, self._EP - flat_ids.size),
@@ -104,10 +104,10 @@ class StreamedSpMM:
         self._jit_run = jax.jit(run)
 
     @staticmethod
-    def _run_chunk(uniq, ids, dts, dte, ts, te, blk, wb, *, rows,
+    def _run_chunk(uniq, ids, div, ts, te, blk, wb, *, rows,
                    nb, et, w, interpret):
         lay = DedupLayout(jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
-                          ids, dts, dte, ts, te, blk, wb,
+                          ids, div, ts, te, blk, wb,
                           jnp.zeros(1, jnp.int32), rows, 0, w)
         return _dedup_call(uniq, lay, rows, nb, et, w, interpret)
 
@@ -127,7 +127,7 @@ class StreamedSpMM:
             uniq = np.ascontiguousarray(feature_host[h["uv"]])
             return (jax.device_put(uniq),
                     tuple(jax.device_put(h[k]) for k in
-                          ("padded_ids", "rank_ts", "rank_te",
+                          ("padded_ids", "rank_iv",
                            "pair_ts", "pair_te", "pair_blk", "pair_wb")))
 
         nxt = pool.submit(stage, 0)
