@@ -409,7 +409,7 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
             f"nb/et to build_blocked_layout and the kernel")
 
     if chunks is None or len(chunks) <= 1:
-        msgs = jnp.take(feature, padded_v, axis=0)
+        msgs = jnp.take(feature, padded_v, axis=0, mode="clip")
         if edge_w is not None:
             msgs = _weighted_msgs(msgs, edge_w, D, msg_op)
         out = _spmm_pallas(msgs, padded_ids, tile_starts, tile_ends, n_pad,
@@ -426,7 +426,7 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
         v_c = jax.lax.dynamic_slice(padded_v, (off,), (size,))
         ids_c = jax.lax.dynamic_slice(
             padded_ids, (off // 128, 0), (size // 128, 128))
-        msgs = jnp.take(feature, v_c, axis=0)
+        msgs = jnp.take(feature, v_c, axis=0, mode="clip")
         if edge_w is not None:
             w_c = jax.lax.dynamic_slice(
                 edge_w, (off,) + (0,) * (edge_w.ndim - 1),
@@ -520,7 +520,7 @@ def _segsum_fwd(msgs, seg_ids, layout, num_segments, nb, et, interpret):
 
 
 def _segsum_bwd(num_segments, nb, et, interpret, seg_ids, g):
-    return jnp.take(g, seg_ids, axis=0), None, None
+    return jnp.take(g, seg_ids, axis=0, mode="clip"), None, None
 
 
 _segsum_vjp.defvjp(_segsum_fwd, _segsum_bwd)
@@ -591,7 +591,7 @@ def _spmm_w_bwd(nb, et, interpret, msg_op, res, g):
     # dw (CSC order): <g[dst_e], x[src_e]> per edge (per-head reduced)
     g_e = jnp.take(g, csc_l.padded_ids.reshape(-1), axis=0,
                    mode="fill", fill_value=0)
-    x_e = jnp.take(feature, csc_l.padded_v, axis=0)
+    x_e = jnp.take(feature, csc_l.padded_v, axis=0, mode="clip")
     prod = g_e * x_e
     if w_csc.ndim == 2:
         H = w_csc.shape[1]
