@@ -221,7 +221,7 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     m_prev = m_s[:]
     l_prev = l_s[:]
     acc_prev = acc[:]
-    m_new_h, l_new_h, acc_new_h, out_h = [], [], [], []
+    m_new_h, l_new_h, scale_h, pmat_h = [], [], [], []
     for h in range(H):
         if additive:
             s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
@@ -250,14 +250,32 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
             pmat_v = jnp.where(keep, pmat, 0.0) * (1.0 / (1.0 - rate))
         else:
             pmat_v = pmat
-        pv = jax.lax.dot(pmat_v, win_v[p % 2][:, h * DVH:(h + 1) * DVH],
-                         preferred_element_type=jnp.float32)
-        acc_h = acc_prev[:, h * DVH:(h + 1) * DVH] * scale[:, None] + pv
         m_new_h.append(m_new)
         l_new_h.append(l_new)
+        scale_h.append(scale)
+        pmat_h.append(pmat_v)
+    # value products for all heads as ONE M-stacked matmul: a per-head
+    # [NB, W] @ [W, DVH] is an 8-lane output (1/16 of the MXU width at
+    # DVH=8); [H·NB, W] @ [W, DV] computes H× extra columns but runs at
+    # full width — measured 11% faster on the GAT layer-0 shape
+    # (experiments/gat_fwd_ablate.py). H == 1 keeps the direct product.
+    acc_new_h, out_h = [], []
+    if H > 1:
+        pv_all = jax.lax.dot(jnp.concatenate(pmat_h, axis=0),
+                             win_v[p % 2],
+                             preferred_element_type=jnp.float32)
+        pv_h = [pv_all[h * NB:(h + 1) * NB, h * DVH:(h + 1) * DVH]
+                for h in range(H)]
+    else:
+        pv_h = [jax.lax.dot(pmat_h[0], win_v[p % 2][:, :DVH],
+                            preferred_element_type=jnp.float32)]
+    for h in range(H):
+        acc_h = acc_prev[:, h * DVH:(h + 1) * DVH] \
+            * scale_h[h][:, None] + pv_h[h]
         acc_new_h.append(acc_h)
-        denom = jnp.maximum(l_new, 1e-30)[:, None]
-        out_h.append(jnp.where((l_new > 0.0)[:, None], acc_h / denom, 0.0))
+        denom = jnp.maximum(l_new_h[h], 1e-30)[:, None]
+        out_h.append(jnp.where((l_new_h[h] > 0.0)[:, None],
+                               acc_h / denom, 0.0))
     m_s[:] = jnp.stack(m_new_h + [m_new_h[-1]] * (Hp - H), axis=1)
     l_s[:] = jnp.stack(l_new_h + [l_new_h[-1]] * (Hp - H), axis=1)
     acc[:, :H * DVH] = jnp.concatenate(acc_new_h, axis=1)
