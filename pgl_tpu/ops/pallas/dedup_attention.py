@@ -200,8 +200,10 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
 
     @pl.when(new_blk)
     def _():
-        m_s[:] = jnp.full((NB, Hp), -1e30, jnp.float32)
-        l_s[:] = jnp.zeros((NB, Hp), jnp.float32)
+        # m/l live head-STACKED ([H·NB, 1] columns) so the stacked
+        # softmax math below never lane-slices or re-concats them
+        m_s[:] = jnp.full((H * NB, 1), -1e30, jnp.float32)
+        l_s[:] = jnp.zeros((H * NB, 1), jnp.float32)
         acc[:] = jnp.zeros((NB, DV), jnp.float32)
 
     _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
@@ -221,7 +223,8 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     m_prev = m_s[:]
     l_prev = l_s[:]
     acc_prev = acc[:]
-    m_new_h, l_new_h, scale_h, pmat_h = [], [], [], []
+    # raw scores per head (the only step whose shape differs by mode)
+    s_parts = []
     for h in range(H):
         if additive:
             s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
@@ -235,49 +238,62 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-        if leaky:
-            s = jnp.where(s >= 0, s, s * leaky)
-        s = jnp.where(has, s, -1e30)
-        m_new = jnp.maximum(m_prev[:, h], jnp.max(s, axis=1))
-        scale = jnp.exp(m_prev[:, h] - m_new)
-        pmat = C * jnp.exp(s - m_new[:, None])
-        # dropout is applied to the NORMALIZED attention (reference
-        # semantics: drop after softmax) — so the l denominator uses the
-        # full pmat while the value accumulation uses the masked one
-        l_new = l_prev[:, h] * scale + jnp.sum(pmat, axis=1)
-        if rate:
-            keep = _drop_keep(didx, seed_ref[0], h, rate)
-            pmat_v = jnp.where(keep, pmat, 0.0) * (1.0 / (1.0 - rate))
-        else:
-            pmat_v = pmat
-        m_new_h.append(m_new)
-        l_new_h.append(l_new)
-        scale_h.append(scale)
-        pmat_h.append(pmat_v)
-    # value products for all heads as ONE M-stacked matmul: a per-head
-    # [NB, W] @ [W, DVH] is an 8-lane output (1/16 of the MXU width at
-    # DVH=8); [H·NB, W] @ [W, DV] computes H× extra columns but runs at
-    # full width — measured 11% faster on the GAT layer-0 shape
-    # (experiments/gat_fwd_ablate.py). H == 1 keeps the direct product.
-    acc_new_h, out_h = [], []
+        s_parts.append(s)
+    # everything from leaky/mask/max/exp on runs HEAD-STACKED on M
+    # ([H·NB, W]) — larger vector ops amortize per-op overhead, and the
+    # stacked p-matrix is exactly what the M-stacked value matmul wants
+    # (a per-head [NB, W] @ [W, DVH] is an 8-lane output at DVH=8 —
+    # 1/16 of the MXU width; [H·NB, W] @ [W, DV] computes H× extra
+    # columns at full width and still measures faster,
+    # experiments/gat_fwd_ablate.py)
+    S = jnp.concatenate(s_parts, axis=0) if H > 1 else s_parts[0]
+    if leaky:
+        S = jnp.where(S >= 0, S, S * leaky)
+    has_all = jnp.concatenate([has] * H, axis=0) if H > 1 else has
+    S = jnp.where(has_all, S, -1e30)
+    # stacked per-head scalars ride as [H·NB, 1] COLUMNS (the scratch
+    # layout) — 1-D vectors lay out on lanes, where Mosaic cannot slice
+    # past the first 128-lane tile, and concat-of-lane-slices does not
+    # lower either; columns on sublanes avoid both
+    m_prev_all = m_prev
+    l_prev_all = l_prev
+    m_new_all = jnp.maximum(m_prev_all,
+                            jnp.max(S, axis=1, keepdims=True))
+    scale_all = jnp.exp(m_prev_all - m_new_all)
+    C_all = jnp.concatenate([C] * H, axis=0) if H > 1 else C
+    P_all = C_all * jnp.exp(S - m_new_all)
+    # dropout applies to the NORMALIZED attention (reference semantics:
+    # drop after softmax) — the l denominator uses the full p-matrix,
+    # the value accumulation the masked one
+    l_new_all = l_prev_all * scale_all + jnp.sum(P_all, axis=1,
+                                                 keepdims=True)
+    if rate:
+        keep_all = jnp.concatenate(
+            [_drop_keep(didx, seed_ref[0], h, rate) for h in range(H)],
+            axis=0)
+        P_v = jnp.where(keep_all, P_all, 0.0) * (1.0 / (1.0 - rate))
+    else:
+        P_v = P_all
     if H > 1:
-        pv_all = jax.lax.dot(jnp.concatenate(pmat_h, axis=0),
-                             win_v[p % 2],
+        pv_all = jax.lax.dot(P_v, win_v[p % 2],
                              preferred_element_type=jnp.float32)
         pv_h = [pv_all[h * NB:(h + 1) * NB, h * DVH:(h + 1) * DVH]
                 for h in range(H)]
     else:
-        pv_h = [jax.lax.dot(pmat_h[0], win_v[p % 2][:, :DVH],
+        pv_h = [jax.lax.dot(P_v, win_v[p % 2][:, :DVH],
                             preferred_element_type=jnp.float32)]
+    m_new_h = [m_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
+    l_new_h = [l_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
+    acc_new_h, out_h = [], []
     for h in range(H):
         acc_h = acc_prev[:, h * DVH:(h + 1) * DVH] \
-            * scale_h[h][:, None] + pv_h[h]
+            * scale_all[h * NB:(h + 1) * NB] + pv_h[h]
         acc_new_h.append(acc_h)
-        denom = jnp.maximum(l_new_h[h], 1e-30)[:, None]
-        out_h.append(jnp.where((l_new_h[h] > 0.0)[:, None],
-                               acc_h / denom, 0.0))
-    m_s[:] = jnp.stack(m_new_h + [m_new_h[-1]] * (Hp - H), axis=1)
-    l_s[:] = jnp.stack(l_new_h + [l_new_h[-1]] * (Hp - H), axis=1)
+        lcol = l_new_all[h * NB:(h + 1) * NB]
+        denom = jnp.maximum(lcol, 1e-30)
+        out_h.append(jnp.where(lcol > 0.0, acc_h / denom, 0.0))
+    m_s[:] = m_new_all
+    l_s[:] = l_new_all
     acc[:, :H * DVH] = jnp.concatenate(acc_new_h, axis=1)
 
     # finalize every pair; the block's last pair leaves the final value
@@ -519,8 +535,8 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
                 pltpu.VMEM((nb, et), jnp.bfloat16),
                 pltpu.VMEM((et, w), jnp.bfloat16),
                 pltpu.VMEM((nb, w), jnp.float32),
-                pltpu.VMEM((nb, _hp(H)), jnp.float32),
-                pltpu.VMEM((nb, _hp(H)), jnp.float32),
+                pltpu.VMEM((H * nb, 1), jnp.float32),   # m (head-stacked)
+                pltpu.VMEM((H * nb, 1), jnp.float32),   # l (head-stacked)
                 pltpu.VMEM((nb, DV), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
