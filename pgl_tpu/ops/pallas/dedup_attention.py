@@ -370,38 +370,58 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     dsrc_rows = []
     dv_parts = []
     SDp = dadst_ref.shape[1]
+    # score recompute per head (mode-specific shapes), then the
+    # leaky/exp/mask/dsc chain runs HEAD-STACKED on M like the forward;
+    # lse/delta broadcasts stack as full-width [NB, W] blocks (Mosaic
+    # cannot lower concat-of-lane-slices, broadcast-then-concat is fine)
+    s_parts, gv_parts, lse_b, dl_b = [], [], [], []
     for h in range(H):
         if additive:
-            s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
+            s_parts.append(adst_ref[:, h][:, None]
+                           + win_s[p % 2][h:h + 1, :])
         else:
-            s = jax.lax.dot_general(
+            s_parts.append(jax.lax.dot_general(
                 adst_ref[:, h * DSH:(h + 1) * DSH],
                 win_s[p % 2][h * DSH:(h + 1) * DSH, :],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        if leaky:
-            ds_dS = jnp.where(s >= 0, 1.0, leaky)
-            s = jnp.where(s >= 0, s, s * leaky)
-        ptil = jnp.where(has, C * jnp.exp(s - lse_ref[:, h][:, None]), 0.0)
+                precision=jax.lax.Precision.HIGHEST))
+        # gv_h[NB, W] = g_h · v_winᵀ (contract DVH with vuT rows)
+        gv_parts.append(jax.lax.dot_general(
+            g_ref[:, h * DVH:(h + 1) * DVH],
+            win_vT[p % 2][h * DVH:(h + 1) * DVH, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        lse_b.append(jnp.broadcast_to(lse_ref[:, h][:, None], (NB, W)))
+        dl_b.append(jnp.broadcast_to(delta_ref[:, h][:, None], (NB, W)))
+    S = jnp.concatenate(s_parts, axis=0) if H > 1 else s_parts[0]
+    GV = jnp.concatenate(gv_parts, axis=0) if H > 1 else gv_parts[0]
+    LSE = jnp.concatenate(lse_b, axis=0) if H > 1 else lse_b[0]
+    DLT = jnp.concatenate(dl_b, axis=0) if H > 1 else dl_b[0]
+    if leaky:
+        ds_dS_all = jnp.where(S >= 0, 1.0, leaky)
+        S = jnp.where(S >= 0, S, S * leaky)
+    has_all = jnp.concatenate([has] * H, axis=0) if H > 1 else has
+    C_all = jnp.concatenate([C] * H, axis=0) if H > 1 else C
+    P_til = jnp.where(has_all, C_all * jnp.exp(S - LSE), 0.0)
+    if rate:
+        # same mask as the forward: dropped cells contribute no direct
+        # g·v term (delta already reflects the masked out)
+        keep_all = jnp.concatenate(
+            [_drop_keep(didx, seed_ref[0], h, rate) for h in range(H)],
+            axis=0) if H > 1 else _drop_keep(didx, seed_ref[0], 0, rate)
+        inv = 1.0 / (1.0 - rate)
+        GV = jnp.where(keep_all, GV * inv, 0.0)
+        P_v = jnp.where(keep_all, P_til * inv, 0.0)
+    else:
+        P_v = P_til
+    DSC = P_til * (GV - DLT)                               # d score
+    if leaky:
+        DSC = DSC * ds_dS_all
+    for h in range(H):
+        dsc = DSC[h * NB:(h + 1) * NB] if H > 1 else DSC
+        ptil_v = P_v[h * NB:(h + 1) * NB] if H > 1 else P_v
         g_h = g_ref[:, h * DVH:(h + 1) * DVH]              # [NB, DVH]
-        # gv[NB, W] = g_h · v_winᵀ  (native: contract DVH with vuT rows)
-        gv = jax.lax.dot_general(
-            g_h, win_vT[p % 2][h * DVH:(h + 1) * DVH, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        if rate:
-            # same mask as the forward: dropped cells contribute no
-            # direct g·v term (delta already reflects the masked out)
-            keep = _drop_keep(didx, seed_ref[0], h, rate)
-            inv = 1.0 / (1.0 - rate)
-            gv_eff = jnp.where(keep, gv * inv, 0.0)
-            ptil_v = jnp.where(keep, ptil * inv, 0.0)
-        else:
-            gv_eff = gv
-            ptil_v = ptil
-        dsc = ptil * (gv_eff - delta_ref[:, h][:, None])   # d score
-        if leaky:
-            dsc = dsc * ds_dS
         if additive:
             dadst_cols.append(jnp.sum(dsc, axis=1))        # [NB]
             dsrc_rows.append(jnp.sum(dsc, axis=0,
