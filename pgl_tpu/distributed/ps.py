@@ -56,9 +56,15 @@ class EmbeddingShardService:
         return (self.shard_id, self.num_shards)
 
     def create_table(self, name: str, num_rows: int, dim: int,
-                     lr: float = 0.05, init_scale: Optional[float] = None,
+                     lr: Optional[float] = None,
+                     init_scale: Optional[float] = None,
                      seed: int = 0):
-        """Idempotent: every trainer calls this; the first one wins."""
+        """Idempotent: every trainer calls this; the first one wins.
+
+        ``lr=None`` means "attach, accept the existing table's lr" (or
+        0.05 when creating); an explicit lr that mismatches an existing
+        table raises — trainers configured inconsistently would otherwise
+        silently train with the first caller's value."""
         if name in self._tables:
             t = self._tables[name]
             if t["num_rows"] != num_rows or t["weight"].shape[1] != dim:
@@ -66,6 +72,10 @@ class EmbeddingShardService:
                     f"table {name!r} exists with rows={t['num_rows']} "
                     f"dim={t['weight'].shape[1]}, requested {num_rows}/"
                     f"{dim}")
+            if lr is not None and t["lr"] != float(lr):
+                raise ValueError(
+                    f"table {name!r} exists with lr={t['lr']}, "
+                    f"requested {lr}")
             return False
         local = (num_rows - self.shard_id + self.num_shards - 1) \
             // self.num_shards
@@ -73,7 +83,7 @@ class EmbeddingShardService:
         rng = np.random.default_rng(seed * 1000 + self.shard_id)
         self._tables[name] = {
             "num_rows": int(num_rows),
-            "lr": float(lr),
+            "lr": float(lr) if lr is not None else 0.05,
             "weight": rng.uniform(-scale, scale,
                                   (local, dim)).astype(np.float32),
             "moment": np.zeros((local, dim), np.float32),
@@ -137,7 +147,7 @@ class PSEmbedding:
     """
 
     def __init__(self, addresses: Sequence[str], name: str, num_rows: int,
-                 dim: int, lr: float = 0.05,
+                 dim: int, lr: Optional[float] = None,
                  init_scale: Optional[float] = None, seed: int = 0,
                  async_push: bool = True):
         self.name = name

@@ -390,7 +390,8 @@ class Graph:
                         ).at[:E].set(jnp.take(w_csr_e, csr_d.eid))
                         return spmm_dedup_weighted(f, wd_csc, wd_csr,
                                                    csc_d, csr_d)
-                    wshape = lambda lay: (lay.padded_v.shape[0],)                         + w.shape[1:]
+                    def wshape(lay):
+                        return (lay.padded_v.shape[0],) + w.shape[1:]
                     w_csc = jnp.zeros(wshape(csc), f.dtype
                                       ).at[:E].set(w_csc_e)
                     w_csr = jnp.zeros(wshape(csr), f.dtype

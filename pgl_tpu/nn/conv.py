@@ -192,7 +192,8 @@ class GATConv(nn.Module):
                                   v.dtype)], axis=1)
             csc, csr, perm = graph._spmm_layouts[:3]
             rate = float(self.attn_drop) if training else 0.0
-            dedup_aux = graph._dedup_attn_aux()
+            dedup_aux = (graph._dedup_attn_aux()
+                         if hasattr(graph, "_dedup_attn_aux") else None)
             if dedup_aux is not None and rate > 0.0 \
                     and not dedup_aux[0].simple:
                 # multigraph: a count-matrix cell covers several edges,

@@ -59,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .segment_kernels import BlockedLayout
 
 __all__ = ["fused_graph_attention", "fused_gat_attention",
-           "gat_score_features", "logits_score_features"]
+           "gat_score_features"]
 
 
 def _drop_keep(idx, seed, h, rate):
@@ -953,9 +953,3 @@ def gat_score_features(attn_dst, attn_src, pad_to: int = 128):
         k = k.at[:, h * dsh].set(1.0)
         k = k.at[:, h * dsh + 1].set(attn_src[:, h])
     return q, k
-
-
-def logits_score_features(node_logits_dst, num_heads, pad_to: int = 128):
-    """Precomputed per-(dst)-node logits as dot form (rarely needed; for
-    per-edge logits use the unfused path)."""
-    raise NotImplementedError

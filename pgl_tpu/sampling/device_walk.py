@@ -82,13 +82,17 @@ class DeviceWalker:
             self.num_nodes = graph.num_nodes
             indptr = np.asarray(idx.indptr, np.int64)
             sv = np.asarray(idx.sorted_v, np.int64)
+            eid = np.asarray(idx.sorted_eid, np.int64)
             if neighbor_sorted and len(sv):
                 # sort within each neighborhood (host, once): stable sort
-                # of the composite (owner, dst) key
+                # of the composite (owner, dst) key. eid is permuted
+                # alongside sv so weights keep attaching to the right
+                # neighbor slots when alias tables are built below.
                 owner = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64),
                                   np.diff(indptr))
-                sv = sv[np.argsort(owner * (sv.max() + 2) + sv,
-                                   kind="stable")]
+                perm = np.argsort(owner * (sv.max() + 2) + sv, kind="stable")
+                sv = sv[perm]
+                eid = eid[perm]
             self.neighbor_sorted = neighbor_sorted
             self._indptr = _to_i32(indptr)[None]
             self._sorted_v = _to_i32(sv if len(sv) else np.zeros(1))
@@ -96,8 +100,8 @@ class DeviceWalker:
                 from ..native import graph_kernel as native
                 w = np.asarray(graph.edge_feat[weighted],
                                np.float64).reshape(-1)
-                # per-neighborhood alias tables in CSR edge order
-                eid = np.asarray(idx.sorted_eid)
+                # per-neighborhood alias tables in the (possibly re-sorted)
+                # slot order of self._sorted_v
                 w = w[eid]
                 probs = np.zeros(len(sv), np.float32)
                 alias = np.zeros(len(sv), np.int32)

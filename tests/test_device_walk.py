@@ -75,6 +75,27 @@ def test_weighted_walk_alias_bias():
     assert 0.85 < frac1 < 0.95
 
 
+def test_weighted_walk_neighbor_sorted_alias_bias():
+    """Regression: with neighbor_sorted=True the neighborhood arrays are
+    re-sorted by dst id, and the alias tables must be built from weights
+    permuted the same way — previously they were built in original CSR
+    edge order, attaching weights to the wrong neighbors."""
+    # node 0 -> 2 (w=999), 0 -> 1 (w=1): edge order is the REVERSE of
+    # dst-sorted order, so an unpermuted weight array flips the bias
+    e = np.array([[0, 2], [0, 1]])
+    g = Graph(e, num_nodes=3,
+              edge_feat={"w": np.array([999.0, 1.0], np.float32)})
+    w = DeviceWalker(g, neighbor_sorted=True, weighted="w")
+    walks = np.asarray(w.random_walk(np.zeros(2000, np.int32), 2,
+                                     jax.random.key(0)))
+    frac2 = np.mean(walks[:, 1] == 2)
+    assert frac2 > 0.99
+    # and the weighted node2vec path (which requires neighbor_sorted)
+    walks = np.asarray(w.node2vec_walk(np.zeros(2000, np.int32), 3,
+                                       jax.random.key(1), p=1.0, q=1.0))
+    assert np.mean(walks[:, 1] == 2) > 0.99
+
+
 def test_node2vec_p_bias():
     rng = np.random.default_rng(0)
     g = _und(rng.integers(0, 500, (3000, 2)), 500)

@@ -121,3 +121,12 @@ def test_ps_rejects_shape_mismatch():
     svc.create_table("x", 10, 4)
     with pytest.raises(ValueError):
         svc.create_table("x", 10, 8)
+
+
+def test_ps_rejects_lr_mismatch():
+    svc = EmbeddingShardService(0, 1)
+    svc.create_table("x", 10, 4, lr=0.1)
+    with pytest.raises(ValueError):
+        svc.create_table("x", 10, 4, lr=0.5)
+    # lr=None attaches without asserting a value
+    assert svc.create_table("x", 10, 4) is False
