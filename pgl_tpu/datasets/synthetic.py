@@ -11,7 +11,7 @@ from ..graph import Graph
 
 __all__ = ["random_graph", "powerlaw_graph", "community_graph",
            "blogcatalog_shaped_graph",
-           "cora_shaped_graph"]
+           "cora_shaped_graph", "citation_shaped_graph"]
 
 
 def random_graph(num_nodes: int, num_edges: int, feat_dim: int = 0,
@@ -69,16 +69,60 @@ def community_graph(num_nodes: int = 400, num_classes: int = 2,
     return g, labels.astype(np.int32)
 
 
-def cora_shaped_graph(seed: int = 0):
-    """A graph with Cora's shape (2708 nodes, ~10556 directed edges, 1433-d
-    features, 7 classes) for benchmarking against the reference's published
-    Cora epoch times (BASELINE.md). Returns (graph, labels, train_index)."""
+# (nodes, undirected edges, feature dim, classes, train split) of the
+# three citation benchmarks the reference publishes speed rows for
+# (`legacy/docs/source/md/introduction.md:46-63`; Planetoid splits)
+_CITATION_SHAPES = {
+    "cora": (2708, 5278, 1433, 7, 140),
+    "citeseer": (3327, 4552, 3703, 6, 120),
+    "pubmed": (19717, 44324, 500, 3, 60),
+}
+
+
+def citation_shaped_graph(name: str = "cora", seed: int = 0):
+    """A synthetic simple symmetric graph with the exact node/edge/feature
+    shape of a Planetoid citation dataset (no dataset files exist in this
+    environment), class-correlated features for learnability. Returns
+    ``(graph, labels, train_index)``.
+
+    Edges lean intra-community (70%), are deduplicated and symmetrized —
+    like the real citation graphs, the result is a simple graph, which
+    keeps the count-matrix attention kernels on their fast path.
+    """
+    n, m, d, c, n_train = _CITATION_SHAPES[name]
     rng = np.random.default_rng(seed)
-    g, labels = community_graph(num_nodes=2708, num_classes=7,
-                                feat_dim=1433, avg_degree=4, noise=1.2,
-                                p_inter=0.15, seed=seed)
-    train_index = rng.choice(2708, size=140, replace=False).astype(np.int32)
-    return g, labels, train_index
+    labels = rng.integers(0, c, n)
+    order = np.argsort(labels)
+    counts = np.bincount(labels, minlength=c)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    k = int(m * 1.3)
+    src = rng.integers(0, n, k)
+    dst_same = order[starts[labels[src]] +
+                     rng.integers(0, np.maximum(counts[labels[src]], 1))]
+    dst_rand = rng.integers(0, n, k)
+    dst = np.where(rng.random(k) < 0.7, dst_same, dst_rand)
+    ok = src != dst
+    pairs = np.sort(np.stack([src[ok], dst[ok]], 1), axis=1)
+    pairs = np.unique(pairs, axis=0)
+    pairs = pairs[rng.permutation(len(pairs))[:m]]
+    edges = np.concatenate([pairs, pairs[:, ::-1]])
+    feat = (np.eye(c)[labels] @ rng.normal(size=(c, d)) +
+            1.2 * rng.normal(size=(n, d))).astype(np.float32)
+    g = Graph(edges, num_nodes=n, node_feat={"h": feat})
+    train_index = rng.choice(n, size=n_train, replace=False).astype(np.int32)
+    return g, labels.astype(np.int32), train_index
+
+
+def cora_shaped_graph(seed: int = 0):
+    """Cora-shaped graph (2708 nodes, 10556 directed edges, 1433-d
+    features, 7 classes) for benchmarking against the reference's published
+    Cora epoch times (BASELINE.md). Returns (graph, labels, train_index).
+
+    Note: before round 5 this generated only ~2900 edges (a planted-
+    partition keep-filter dropped 73% of draws); it now carries real
+    Cora's edge count — epoch timings across rounds are not directly
+    comparable at the ~10% level."""
+    return citation_shaped_graph("cora", seed=seed)
 
 
 def blogcatalog_shaped_graph(num_nodes: int = 2000, num_groups: int = 12,

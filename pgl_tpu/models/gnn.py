@@ -299,3 +299,34 @@ class FAGCN(nn.Module):
             h = self.eps * h0 + FAConv(self.hidden_size, drop=self.dropout,
                                        name=f"fa_{i}")(graph, h, training)
         return nn.Dense(self.num_class, name="t2")(h)
+
+
+class LSTMSage(nn.Module):
+    """GraphSAGE with UDF LSTM aggregation — the model family behind the
+    reference's proudest legacy speed rows (UDF LSTM-aggregation epoch,
+    ``legacy/docs/source/md/introduction.md:58-63``: 8.8-13.6x DGL). Each
+    layer projects, gathers source features per edge, aggregates each
+    destination's message sequence with an LSTM (``nn.LSTMAggregation``,
+    CSC-ordered, padded to ``max_degree``), and combines with self.
+    """
+    input_size: int
+    num_class: int
+    num_layers: int = 2
+    hidden_size: int = 16
+    max_degree: int = 32
+
+    @nn.compact
+    def __call__(self, graph, feature, training: bool = False):
+        from ..nn import LSTMAggregation
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            out = self.num_class if last else self.hidden_size
+            h = nn.Dense(self.hidden_size, name=f"proj_{i}")(feature)
+            msgs = jnp.take(h, graph.edges[:, 0], axis=0)
+            agg = LSTMAggregation(self.hidden_size, self.max_degree,
+                                  name=f"lstm_{i}")(graph, msgs)
+            feature = nn.Dense(out, name=f"out_{i}")(
+                jnp.concatenate([h, agg], axis=-1))
+            if not last:
+                feature = jax.nn.relu(feature)
+        return feature

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dedup_kernels import DedupLayout
+from .dedup_kernels import DedupLayout, _count_tiles
 from .segment_kernels import BlockedLayout, build_blocked_layout, \
     _blocked_spmm
 from .attention_kernels import _drop_keep
@@ -82,74 +82,6 @@ def _uniq_reduce(rows, red: BlockedLayout, interpret: bool = False):
 # forward kernel
 # ----------------------------------------------------------------------
 
-def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
-                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
-                 sem_i, sem_b, *, NB, ET, W, P):
-    """Shared count-matrix pass: leaves ``C[NB, W]`` (f32) in ``c_acc``.
-
-    Identical machinery to ``dedup_kernels._dedup_kernel``'s tile loop:
-    natural dst one-hot (bf16), interval-built transposed rank one-hot,
-    one native bf16 matmul per tile.
-    """
-    p = pl.program_id(0)
-    e0 = ts_ref[p]
-    e1 = te_ref[p]
-    num_tiles = (e1 - e0 + ET - 1) // ET
-    row_base = blk_ref[p] * NB
-    ER = ET // 128
-    HW = W // 128
-
-    b_dma = pltpu.make_async_copy(iv_ref.at[p], iv_tile, sem_b)
-    b_dma.start()
-
-    def tile_dma(slot, t):
-        start = pl.multiple_of(e0 + t * ET, 128)
-        return (pltpu.make_async_copy(
-            ids_ref.at[pl.ds(start // 128, ER), :],
-            ids_tile.at[slot], sem_i.at[slot]),)
-
-    @pl.when(num_tiles > 0)
-    def _():
-        for c in tile_dma(0, 0):
-            c.start()
-
-    c_acc[:] = jnp.zeros((NB, W), c_acc.dtype)
-    b_dma.wait()
-
-    def body(t, _):
-        slot = t % 2
-        nxt = (t + 1) % 2
-
-        @pl.when(t + 1 < num_tiles)
-        def _():
-            for c in tile_dma(nxt, t + 1):
-                c.start()
-
-        for c in tile_dma(slot, t):
-            c.wait()
-
-        rows_d = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-        for r in range(ER):
-            ids_row = ids_tile[slot, r].reshape(1, 128) - row_base
-            oh_dst[:, r * 128:(r + 1) * 128] = jnp.where(
-                rows_d == ids_row, 1.0, 0.0).astype(oh_dst.dtype)
-            e_glob = e0 + t * ET + r * 128 + sub
-            for h in range(HW):
-                sh = iv_tile[h:h + 1, :]
-                eh = iv_tile[HW + h:HW + h + 1, :]
-                m = (e_glob >= sh) & (e_glob < eh)
-                oh_rankT[r * 128:(r + 1) * 128, h * 128:(h + 1) * 128] = \
-                    jnp.where(m, 1.0, 0.0).astype(oh_rankT.dtype)
-        c = jax.lax.dot_general(
-            oh_dst[:], oh_rankT[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        c_acc[:] = c_acc[:] + c.astype(c_acc.dtype)
-        return ()
-
-    jax.lax.fori_loop(0, num_tiles, body, ())
-
-
 def _cell_idx(blk, wb, NB, W):
     """int32 identity of each (global dst row, global uniq row) cell of
     the current pair — the dropout-mask key. Must match the XLA replica
@@ -171,9 +103,11 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      sem_ws, sem_wv, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
                      additive: bool = True, DSH: int = 0,
-                     rate: float = 0.0):
+                     rate: float = 0.0,
+                     c_ref=None, c_tile=None, sem_c=None):
     p = pl.program_id(0)
     wb = wb_ref[p]
+    cached = c_ref is not None       # counts-cache path: C is a DMA
 
     # window DMAs (double-buffered across grid steps like the SpMM)
     def ws_dma(slot, q):
@@ -186,15 +120,24 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
             vu_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
             win_v.at[slot], sem_wv.at[slot])
 
+    def c_dma(slot, q):
+        return pltpu.make_async_copy(
+            c_ref.at[pl.ds(pl.multiple_of(q * NB, NB), NB), :],
+            c_tile.at[slot], sem_c.at[slot])
+
     @pl.when(p == 0)
     def _():
         ws_dma(0, 0).start()
         wv_dma(0, 0).start()
+        if cached:
+            c_dma(0, 0).start()
 
     @pl.when(p + 1 < P)
     def _():
         ws_dma((p + 1) % 2, p + 1).start()
         wv_dma((p + 1) % 2, p + 1).start()
+        if cached:
+            c_dma((p + 1) % 2, p + 1).start()
 
     new_blk = (p == 0) | (blk_ref[jnp.maximum(p - 1, 0)] != blk_ref[p])
 
@@ -206,14 +149,19 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
         l_s[:] = jnp.zeros((H * NB, 1), jnp.float32)
         acc[:] = jnp.zeros((NB, DV), jnp.float32)
 
-    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
-                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
-                 sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
+    if not cached:
+        _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
+                     ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
+                     sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
 
     ws_dma(p % 2, p).wait()
     wv_dma(p % 2, p).wait()
 
-    C = c_acc[:]
+    if cached:
+        c_dma(p % 2, p).wait()
+        C = c_tile[p % 2][:].astype(jnp.float32)
+    else:
+        C = c_acc[:]
     has = C > 0.0
     if rate:
         # per-cell dropout identity: (global dst row, global uniq row)
@@ -325,9 +273,11 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      sem_ws, sem_wv, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
                      additive: bool = True, DSH: int = 0,
-                     rate: float = 0.0):
+                     rate: float = 0.0,
+                     c_ref=None, c_tile=None, sem_c=None):
     p = pl.program_id(0)
     wb = wb_ref[p]
+    cached = c_ref is not None       # counts-cache path: C is a DMA
 
     def ws_dma(slot, q):
         return pltpu.make_async_copy(
@@ -339,15 +289,24 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
             vuT_ref.at[:, pl.ds(pl.multiple_of(wb_ref[q], W), W)],
             win_vT.at[slot], sem_wv.at[slot])
 
+    def c_dma(slot, q):
+        return pltpu.make_async_copy(
+            c_ref.at[pl.ds(pl.multiple_of(q * NB, NB), NB), :],
+            c_tile.at[slot], sem_c.at[slot])
+
     @pl.when(p == 0)
     def _():
         ws_dma(0, 0).start()
         wv_dma(0, 0).start()
+        if cached:
+            c_dma(0, 0).start()
 
     @pl.when(p + 1 < P)
     def _():
         ws_dma((p + 1) % 2, p + 1).start()
         wv_dma((p + 1) % 2, p + 1).start()
+        if cached:
+            c_dma((p + 1) % 2, p + 1).start()
 
     new_blk = (p == 0) | (blk_ref[jnp.maximum(p - 1, 0)] != blk_ref[p])
 
@@ -355,14 +314,19 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     def _():
         dadst_ref[:] = jnp.zeros(dadst_ref.shape, dadst_ref.dtype)
 
-    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
-                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
-                 sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
+    if not cached:
+        _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
+                     ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
+                     sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
 
     ws_dma(p % 2, p).wait()
     wv_dma(p % 2, p).wait()
 
-    C = c_acc[:]
+    if cached:
+        c_dma(p % 2, p).wait()
+        C = c_tile[p % 2][:].astype(jnp.float32)
+    else:
+        C = c_acc[:]
     has = C > 0.0
     if rate:
         didx = _cell_idx(blk_ref[p], wb, NB, W)
@@ -522,47 +486,63 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    kern = functools.partial(_attn_fwd_kernel, NB=nb, ET=et, W=w, DV=DV,
-                             H=H, DVH=dvh, Hp=_hp(H), P=P, leaky=leaky,
-                             additive=additive, DSH=dsh, rate=rate)
+    cached = layout.counts is not None
+    kpar = dict(NB=nb, ET=et, W=w, DV=DV, H=H, DVH=dvh, Hp=_hp(H), P=P,
+                leaky=leaky, additive=additive, DSH=dsh, rate=rate)
+    blkmap = lambda p, ts, te, blk, wb, sd: (blk[p], 0)
+    common_scratch = [
+        pltpu.VMEM((2, SD, w), jnp.float32),
+        pltpu.VMEM((2, w, DV), v.dtype),
+    ]
+    tail_scratch = [
+        pltpu.VMEM((H * nb, 1), jnp.float32),   # m (head-stacked)
+        pltpu.VMEM((H * nb, 1), jnp.float32),   # l (head-stacked)
+        pltpu.VMEM((nb, DV), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if cached:
+        def kern(ts, te, blk, wb, sd, adst, asrcT_r, vu_r, c_r,
+                 out_r, lse_r, win_s, win_v, c_t, m_s, l_s, acc,
+                 s_ws, s_wv, s_c):
+            _attn_fwd_kernel(ts, te, blk, wb, sd, adst, asrcT_r, vu_r,
+                             None, None, out_r, lse_r, win_s, win_v,
+                             None, None, None, None, None, m_s, l_s, acc,
+                             s_ws, s_wv, None, None,
+                             c_ref=c_r, c_tile=c_t, sem_c=s_c, **kpar)
+        in_specs_tail = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        operands_tail = (layout.counts,)
+        scratch = common_scratch + [
+            pltpu.VMEM((2, nb, w), jnp.bfloat16),
+        ] + tail_scratch + [pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = functools.partial(_attn_fwd_kernel, **kpar)
+        in_specs_tail = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        operands_tail = (layout.padded_ids, layout.rank_iv)
+        scratch = common_scratch + [
+            pltpu.VMEM((2, et // 128, 128), jnp.int32),
+            pltpu.VMEM((2 * (w // 128), 128), jnp.int32),
+            pltpu.VMEM((nb, et), jnp.bfloat16),
+            pltpu.VMEM((et, w), jnp.bfloat16),
+            pltpu.VMEM((nb, w), jnp.float32),
+        ] + tail_scratch + [pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.SemaphoreType.DMA]
     out, lse = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(P,),
             in_specs=[
-                pl.BlockSpec((nb, SDp),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, SDp), blkmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            ],
+            ] + in_specs_tail,
             out_specs=(
-                pl.BlockSpec((nb, DV),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, 128),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, DV), blkmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 128), blkmap, memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, SD, w), jnp.float32),
-                pltpu.VMEM((2, w, DV), v.dtype),
-                pltpu.VMEM((2, et // 128, 128), jnp.int32),
-                pltpu.VMEM((2 * (w // 128), 128), jnp.int32),
-                pltpu.VMEM((nb, et), jnp.bfloat16),
-                pltpu.VMEM((et, w), jnp.bfloat16),
-                pltpu.VMEM((nb, w), jnp.float32),
-                pltpu.VMEM((H * nb, 1), jnp.float32),   # m (head-stacked)
-                pltpu.VMEM((H * nb, 1), jnp.float32),   # l (head-stacked)
-                pltpu.VMEM((nb, DV), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=(jax.ShapeDtypeStruct((n_pad, DV), v.dtype),
                    jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)),
@@ -571,7 +551,7 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
             vmem_limit_bytes=64 * 1024 * 1024),
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
       seed,
-      adst_pad, asrcT, vu, layout.padded_ids, layout.rank_iv)
+      adst_pad, asrcT, vu, *operands_tail)
     return out[:N], lse[:N]
 
 

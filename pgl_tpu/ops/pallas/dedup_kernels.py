@@ -47,7 +47,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["DedupLayout", "build_dedup_layout", "spmm_dedup",
-           "spmm_dedup_weighted", "NBD_DEFAULT", "ETD_DEFAULT", "W_DEFAULT"]
+           "spmm_dedup_weighted", "materialize_counts",
+           "NBD_DEFAULT", "ETD_DEFAULT", "W_DEFAULT"]
 
 NBD_DEFAULT = 256     # output rows per dst block
 ETD_DEFAULT = 1024    # edges per DMA tile
@@ -85,13 +86,25 @@ class DedupLayout:
     pair_wb:     [P] int32 global uniq-row offset of the pair's window
     eid:         [E] int32 — for dedup position i, the CSC/CSR-order edge
                  position it came from (permute weights with ``w[eid]``)
+    counts:      optional [P·NB, W] bf16 — the MATERIALIZED count matrix
+                 (``materialize_counts``). C is purely structural (it
+                 depends only on the graph, never on features), yet the
+                 kernels rebuilt it from ids+intervals on every SpMM /
+                 attention fwd / attention bwd call — the measured
+                 ~1-2 µs/pair count-pass floor. Cached, each pair costs
+                 one [NB, W] DMA (~0.1 µs) instead. bf16 holds counts
+                 exactly up to 256 (gated by ``max_count``); HBM cost is
+                 NB·W·2 bytes per pair ≈ 33 B/edge, so caching is gated
+                 by a size budget at the call site.
     """
 
     def __init__(self, uv, padded_v, padded_ids,
                  rank_iv,
                  pair_ts, pair_te, pair_blk, pair_wb, eid,
-                 num_segments: int, num_edges: int, w: int,
-                 simple: bool = False, padded_rows=None):
+                 counts=None,
+                 num_segments: int = 0, num_edges: int = 0, w: int = 128,
+                 simple: bool = False, max_count: int = 0,
+                 padded_rows=None):
         self.uv = uv
         self.padded_v = padded_v
         self.padded_ids = padded_ids
@@ -102,6 +115,7 @@ class DedupLayout:
         self.pair_blk = pair_blk
         self.pair_wb = pair_wb
         self.eid = eid
+        self.counts = counts
         self.num_segments = num_segments
         self.num_edges = num_edges
         self.w = w
@@ -109,17 +123,22 @@ class DedupLayout:
         # so per-(pair)-cell dropout in the dedup attention IS per-edge
         # dropout (multigraphs keep the per-edge kernel fallback)
         self.simple = simple
+        # largest per-(dst, src) edge multiplicity (0 = unknown): bf16
+        # count caching is exact only when <= 256
+        self.max_count = max_count
 
     def tree_flatten(self):
         return ((self.uv, self.padded_v, self.padded_ids,
                  self.rank_iv,
                  self.pair_ts, self.pair_te, self.pair_blk, self.pair_wb,
-                 self.eid),
-                (self.num_segments, self.num_edges, self.w, self.simple))
+                 self.eid, self.counts),
+                (self.num_segments, self.num_edges, self.w, self.simple,
+                 self.max_count))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children, num_segments=aux[0], num_edges=aux[1],
+                   w=aux[2], simple=aux[3], max_count=aux[4])
 
 
 class _LayoutPrefix:
@@ -134,7 +153,8 @@ class _LayoutPrefix:
     __slots__ = ("E", "N", "n_pad", "G", "uv", "uv_off", "Upad",
                  "grow_o", "dst_o", "src_o", "order",
                  "nw", "P", "pair_blk", "win_in_blk", "pair_wb",
-                 "starts", "ends", "ubp_sum", "n_uniq", "rejected")
+                 "starts", "ends", "ubp_sum", "n_uniq", "max_count",
+                 "rejected")
 
     def __init__(self, indptr, sorted_v, num_segments: int, nb: int,
                  w: int, max_ratio: float = 0.0,
@@ -167,6 +187,7 @@ class _LayoutPrefix:
         self.rejected = bool(max_ratio and E
                              and self.ubp_sum / E > max_ratio)
         self.n_uniq = -1
+        self.max_count = 0
         if self.rejected:
             return
         uv_off = np.zeros(G + 1, np.int64)
@@ -214,10 +235,18 @@ class _LayoutPrefix:
             # duplicate (dst, src) detection: same dst AND same global
             # uniq row ⇔ the same count-matrix cell (a multi-edge);
             # one extra O(E log E) pass, so only when the caller needs
-            # the `simple` flag (the attention-dropout dispatch)
-            self.n_uniq = len(np.unique(
-                self.dst_o.astype(np.int64) * (Upad + 1) + self.grow_o)) \
-                if E else 0
+            # the `simple` flag (the attention-dropout dispatch). The
+            # per-cell multiplicities double as the counts-cache
+            # exactness gate (bf16 cells hold counts <= 256 exactly).
+            if E:
+                _, cell_counts = np.unique(
+                    self.dst_o.astype(np.int64) * (Upad + 1) + self.grow_o,
+                    return_counts=True)
+                self.n_uniq = len(cell_counts)
+                self.max_count = int(cell_counts.max())
+            else:
+                self.n_uniq = 0
+                self.max_count = 0
         self.E, self.N, self.n_pad, self.G = E, N, n_pad, G
         self.uv, self.uv_off, self.Upad = uv, uv_off, Upad
         self.nw, self.P = nw, P
@@ -281,9 +310,79 @@ def build_dedup_layout(indptr, sorted_v, num_segments: int,
         jnp.asarray(pair_blk.astype(np.int32)),
         jnp.asarray(pair_wb.astype(np.int32)),
         jnp.asarray(order.astype(np.int32)),
-        int(N), int(E), int(w),
+        num_segments=int(N), num_edges=int(E), w=int(w),
         simple=bool(pre.n_uniq == E),
+        max_count=int(pre.max_count),
         padded_rows=padded_rows)
+
+
+def _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
+                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
+                 sem_i, sem_b, *, NB, ET, W, P):
+    """Shared count-matrix pass: leaves ``C[NB, W]`` (f32) in ``c_acc``.
+
+    Identical machinery to ``dedup_kernels._dedup_kernel``'s tile loop:
+    natural dst one-hot (bf16), interval-built transposed rank one-hot,
+    one native bf16 matmul per tile.
+    """
+    p = pl.program_id(0)
+    e0 = ts_ref[p]
+    e1 = te_ref[p]
+    num_tiles = (e1 - e0 + ET - 1) // ET
+    row_base = blk_ref[p] * NB
+    ER = ET // 128
+    HW = W // 128
+
+    b_dma = pltpu.make_async_copy(iv_ref.at[p], iv_tile, sem_b)
+    b_dma.start()
+
+    def tile_dma(slot, t):
+        start = pl.multiple_of(e0 + t * ET, 128)
+        return (pltpu.make_async_copy(
+            ids_ref.at[pl.ds(start // 128, ER), :],
+            ids_tile.at[slot], sem_i.at[slot]),)
+
+    @pl.when(num_tiles > 0)
+    def _():
+        for c in tile_dma(0, 0):
+            c.start()
+
+    c_acc[:] = jnp.zeros((NB, W), c_acc.dtype)
+    b_dma.wait()
+
+    def body(t, _):
+        slot = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            for c in tile_dma(nxt, t + 1):
+                c.start()
+
+        for c in tile_dma(slot, t):
+            c.wait()
+
+        rows_d = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        for r in range(ER):
+            ids_row = ids_tile[slot, r].reshape(1, 128) - row_base
+            oh_dst[:, r * 128:(r + 1) * 128] = jnp.where(
+                rows_d == ids_row, 1.0, 0.0).astype(oh_dst.dtype)
+            e_glob = e0 + t * ET + r * 128 + sub
+            for h in range(HW):
+                sh = iv_tile[h:h + 1, :]
+                eh = iv_tile[HW + h:HW + h + 1, :]
+                m = (e_glob >= sh) & (e_glob < eh)
+                oh_rankT[r * 128:(r + 1) * 128, h * 128:(h + 1) * 128] = \
+                    jnp.where(m, 1.0, 0.0).astype(oh_rankT.dtype)
+        c = jax.lax.dot_general(
+            oh_dst[:], oh_rankT[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        c_acc[:] = c_acc[:] + c.astype(c_acc.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, num_tiles, body, ())
+
 
 
 def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
@@ -435,6 +534,139 @@ def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
+def _materialize_kernel(ts_ref, te_ref, blk_ref, wb_ref,
+                        ids_ref, iv_ref, out_ref,
+                        ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
+                        sem_i, sem_b, *, NB, ET, W, P):
+    _count_tiles(ts_ref, te_ref, blk_ref, ids_ref, iv_ref,
+                 ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
+                 sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
+    out_ref[:] = c_acc[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "et", "w", "interpret"))
+def _materialize_counts_call(layout: DedupLayout, nb: int, et: int, w: int,
+                             interpret: bool):
+    P = int(layout.pair_ts.shape[0])
+    return pl.pallas_call(
+        functools.partial(_materialize_kernel, NB=nb, ET=et, W=w, P=P),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(P,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+            out_specs=pl.BlockSpec(
+                (nb, w), lambda p, ts, te, blk, wb: (p, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, et // 128, 128), jnp.int32),
+                pltpu.VMEM((2 * (w // 128), 128), jnp.int32),
+                pltpu.VMEM((nb, et), jnp.bfloat16),
+                pltpu.VMEM((et, w), jnp.bfloat16),
+                pltpu.VMEM((nb, w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((P * nb, w), jnp.bfloat16),
+        interpret=interpret,
+    )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
+      layout.padded_ids, layout.rank_iv)
+
+
+def materialize_counts(layout: DedupLayout, nb: int = NBD_DEFAULT,
+                       et: int = ETD_DEFAULT,
+                       interpret: bool = False) -> DedupLayout:
+    """Materialize the structural count matrix once (device pass over the
+    ids+interval tables — the same machinery every kernel re-ran per
+    call) and attach it to the layout. Returns the layout with
+    ``counts`` set; no-op if counts exist or bf16 can't hold the counts
+    exactly (``max_count`` > 256)."""
+    if layout.counts is not None or layout.max_count > 256:
+        return layout
+    layout.counts = _materialize_counts_call(layout, nb, et, layout.w,
+                                             interpret)
+    return layout
+
+
+def _dedup_cached_kernel(ts_ref, te_ref, blk_ref, wb_ref,
+                         uniq_ref,              # [Upad, D] HBM
+                         c_ref,                 # [P·NB, W] bf16 HBM
+                         out_ref,               # [NB, D] VMEM (revisit blk)
+                         win_tile, c_tile,
+                         sem_w, sem_c,
+                         *, NB: int, W: int, D: int, P: int):
+    """Counts-cached apply: per pair, DMA ``C[NB, W]`` and the window's
+    uniq rows, then ``out += C @ win``. No ids/interval DMAs, no one-hot
+    builds, no count matmul — the whole per-call count pass collapses to
+    one [NB, W] read (the cache is valid because C is structural)."""
+    p = pl.program_id(0)
+
+    def win_dma(slot, q):
+        return pltpu.make_async_copy(
+            uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
+            win_tile.at[slot], sem_w.at[slot])
+
+    def c_dma(slot, q):
+        return pltpu.make_async_copy(
+            c_ref.at[pl.ds(pl.multiple_of(q * NB, NB), NB), :],
+            c_tile.at[slot], sem_c.at[slot])
+
+    @pl.when(p == 0)
+    def _():
+        win_dma(0, 0).start()
+        c_dma(0, 0).start()
+
+    @pl.when(p + 1 < P)
+    def _():
+        win_dma((p + 1) % 2, p + 1).start()
+        c_dma((p + 1) % 2, p + 1).start()
+
+    @pl.when((p == 0) | (blk_ref[jnp.maximum(p - 1, 0)] != blk_ref[p]))
+    def _():
+        out_ref[:] = jnp.zeros((NB, D), out_ref.dtype)
+
+    win_dma(p % 2, p).wait()
+    c_dma(p % 2, p).wait()
+    out_ref[:] = out_ref[:] + jax.lax.dot(
+        c_tile[p % 2][:].astype(jnp.float32),
+        win_tile[p % 2].astype(jnp.float32),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _dedup_call_cached(uniq, layout, num_segments: int, nb: int, w: int,
+                       interpret: bool):
+    D = uniq.shape[1]
+    n_pad = (num_segments + nb - 1) // nb * nb
+    P = int(layout.pair_ts.shape[0])
+    out = pl.pallas_call(
+        functools.partial(_dedup_cached_kernel, NB=nb, W=w, D=D, P=P),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(P,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+            out_specs=pl.BlockSpec(
+                (nb, D), lambda p, ts, te, blk, wb: (blk[p], 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, w, D), uniq.dtype),
+                pltpu.VMEM((2, nb, w), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), uniq.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * nb * w * D,
+            bytes_accessed=(P * nb * w * 2
+                            + int(layout.uv.shape[0]) * D * 4 * 2
+                            + n_pad * D * 4),
+            transcendentals=0),
+    )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
+      uniq, layout.counts)
+    return out[:num_segments]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "nb", "et", "w",
                                     "interpret"))
@@ -451,6 +683,9 @@ def _dedup_call(uniq, layout, num_segments: int, nb: int, et: int, w: int,
     """Kernel dispatch given the already-gathered unique-src table
     (``uniq = feature[layout.uv]``) — the host-streamed path gathers on
     the host instead (``ops/pallas/streaming.py``)."""
+    if edge_w is None and layout.counts is not None:
+        return _dedup_call_cached(uniq, layout, num_segments, nb, w,
+                                  interpret)
     D = uniq.shape[1]
     n_pad = (num_segments + nb - 1) // nb * nb
     P = int(layout.pair_ts.shape[0])

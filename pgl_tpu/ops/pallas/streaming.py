@@ -108,7 +108,8 @@ class StreamedSpMM:
                    nb, et, w, interpret):
         lay = DedupLayout(jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
                           ids, div, ts, te, blk, wb,
-                          jnp.zeros(1, jnp.int32), rows, 0, w)
+                          jnp.zeros(1, jnp.int32),
+                          num_segments=rows, num_edges=0, w=w)
         return _dedup_call(uniq, lay, rows, nb, et, w, interpret)
 
     def __call__(self, feature_host: np.ndarray,
