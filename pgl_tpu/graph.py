@@ -595,6 +595,22 @@ class Graph:
             # so it happens here, not under a trace
             from .ops.pallas.dedup_attention import build_uniq_reduce
             red = build_uniq_reduce(csc_d, self._num_nodes)
+        if csc_d is not None and jax.default_backend() == "tpu":
+            # Materialize the structural count matrices once (one device
+            # pass each): every dedup SpMM / attention fwd / attention bwd
+            # call then DMAs C[NB, W] per pair instead of re-running the
+            # ~1-2 µs/pair count pass. HBM cost ≈ 33 B/edge per layout,
+            # so gate by a budget (and bf16 exactness, inside
+            # materialize_counts).
+            from .ops.pallas.dedup_kernels import (materialize_counts,
+                                                   NBD_DEFAULT)
+            budget = float(os.environ.get("PGL_TPU_COUNTS_BUDGET_MB",
+                                          512)) * 1e6
+            nbytes = sum(int(lay.pair_ts.shape[0]) * NBD_DEFAULT * lay.w * 2
+                         for lay in (csc_d, csr_d))
+            if nbytes <= budget:
+                csc_d = materialize_counts(csc_d)
+                csr_d = materialize_counts(csr_d)
         return (csc, csr, perm, csc_d, csr_d, red)
 
     def _dedup_layouts(self):

@@ -62,6 +62,12 @@ __all__ = ["fused_graph_attention", "fused_gat_attention",
            "gat_score_features"]
 
 
+
+def _take_ib(x, idx):
+    """Row gather with no bounds handling — indices are layout-built and
+    in-bounds by construction (clip/fill modes add a lane pass per call)."""
+    return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
+
 def _drop_keep(idx, seed, h, rate):
     """Deterministic per-(edge, head) Bernoulli(1-rate) keep mask from the
     edge's CSC index — a counter-based multiplicative hash, so the forward
@@ -242,8 +248,7 @@ def _fused_attention_fwd(q, k, v, padded_v, padded_ids, tile_starts,
     q_pad = jnp.zeros((n_pad, DS), q.dtype).at[:num_segments].set(q)
     # ONE row gather for both streams — the gather is row-count-bound
     # (~10 ns/row regardless of width), so fusing k|v halves its cost.
-    kv_e = jnp.take(jnp.concatenate([k, v], axis=1), padded_v, axis=0,
-                    mode="clip")
+    kv_e = _take_ib(jnp.concatenate([k, v], axis=1), padded_v)
     seed_arr = (jnp.zeros((1,), jnp.int32) if drop_seed is None
                 else jnp.asarray(drop_seed, jnp.int32).reshape(1))
     out = pl.pallas_call(
@@ -571,8 +576,7 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
     # ---- CSC pass: dq --------------------------------------------------
     if kv_e is None:
         # residual not kept (size cap) — re-gather, still one fused gather
-        kv_e = jnp.take(jnp.concatenate([k, v], axis=1), csc_v, axis=0,
-                        mode="clip")
+        kv_e = _take_ib(jnp.concatenate([k, v], axis=1), csc_v)
     seed_arr = (jnp.zeros((1,), jnp.int32) if drop_seed is None
                 else jnp.asarray(drop_seed, jnp.int32).reshape(1))
     dq = pl.pallas_call(
@@ -632,7 +636,7 @@ def _fused_attention_bwd(q, k, v, g, out, lse, kv_e,
         ld = ld.at[:, :H].set(lse.astype(q.dtype))
         ld = ld.at[:, H:2 * H].set(delta.astype(q.dtype))
         qgl = jnp.concatenate([q, g, ld], axis=1)   # [N, DS+DV+LDW]
-    qgl_e = jnp.take(qgl, csr_v, axis=0, mode="clip")
+    qgl_e = _take_ib(qgl, csr_v)
     if drop_rate:
         # CSC index of every CSR edge position, lane-major like the ids —
         # a cheap sequential side stream (NOT a gather); lets both backward

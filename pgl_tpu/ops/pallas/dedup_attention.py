@@ -56,6 +56,12 @@ __all__ = ["dedup_gat_attention", "dedup_dot_attention",
            "build_uniq_reduce"]
 
 
+
+def _take_ib(x, idx):
+    """Row gather with no bounds handling — indices are layout-built and
+    in-bounds by construction (clip/fill modes add a lane pass per call)."""
+    return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
+
 def build_uniq_reduce(layout: DedupLayout, num_nodes: int) -> BlockedLayout:
     """Host-built sorted reduce from uniq-table rows back to nodes.
 
@@ -162,7 +168,6 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
         C = c_tile[p % 2][:].astype(jnp.float32)
     else:
         C = c_acc[:]
-    has = C > 0.0
     if rate:
         # per-cell dropout identity: (global dst row, global uniq row)
         # — on a SIMPLE graph (layout.simple) each cell is one edge, so
@@ -197,8 +202,12 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     S = jnp.concatenate(s_parts, axis=0) if H > 1 else s_parts[0]
     if leaky:
         S = jnp.where(S >= 0, S, S * leaky)
-    has_all = jnp.concatenate([has] * H, axis=0) if H > 1 else has
-    S = jnp.where(has_all, S, -1e30)
+    # No absent-cell (C == 0) masking: those cells contribute C·e^s = 0
+    # exactly, and an absent-cell score raising the running max only
+    # rescales num/denom identically (out = acc/l is m-invariant); real
+    # scores and absent scores share the same bounded range, so the
+    # masked select (2 VPU passes over [H·NB, W] in fwd AND bwd) buys
+    # nothing
     # stacked per-head scalars ride as [H·NB, 1] COLUMNS (the scratch
     # layout) — 1-D vectors lay out on lanes, where Mosaic cannot slice
     # past the first 128-lane tile, and concat-of-lane-slices does not
@@ -230,28 +239,40 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     else:
         pv_h = [jax.lax.dot(P_v, win_v[p % 2][:, :DVH],
                             preferred_element_type=jnp.float32)]
-    m_new_h = [m_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
-    l_new_h = [l_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
-    acc_new_h, out_h = [], []
+    acc_new_h = []
     for h in range(H):
         acc_h = acc_prev[:, h * DVH:(h + 1) * DVH] \
             * scale_all[h * NB:(h + 1) * NB] + pv_h[h]
         acc_new_h.append(acc_h)
-        lcol = l_new_all[h * NB:(h + 1) * NB]
-        denom = jnp.maximum(lcol, 1e-30)
-        out_h.append(jnp.where(lcol > 0.0, acc_h / denom, 0.0))
     m_s[:] = m_new_all
     l_s[:] = l_new_all
     acc[:, :H * DVH] = jnp.concatenate(acc_new_h, axis=1)
 
-    # finalize every pair; the block's last pair leaves the final value
-    if H * DVH < DV:
-        out_h.append(jnp.zeros((NB, DV - H * DVH), jnp.float32))
-    out_ref[:] = jnp.concatenate(out_h, axis=1).astype(out_ref.dtype)
-    lse_h = [jnp.where(lv > 0.0, mv + jnp.log(jnp.maximum(lv, 1e-30)), 0.0)
-             for mv, lv in zip(m_new_h, l_new_h)]
-    lse_ref[:] = jnp.stack(
-        lse_h + [jnp.zeros((NB,), jnp.float32)] * (128 - H), axis=1)
+    # finalize (normalize + lse) ONLY on the block's last pair: the
+    # out/lse VMEM blocks revisit the same index until the block changes,
+    # so intermediate pairs can skip the div/log/write chain (~1 us/pair
+    # of VPU passes on the H-stacked shapes; blocks average several
+    # pairs, so most grid steps skip it)
+    last_of_blk = (p == P - 1) | \
+        (blk_ref[jnp.minimum(p + 1, P - 1)] != blk_ref[p])
+
+    @pl.when(last_of_blk)
+    def _():
+        m_new_h = [m_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
+        l_new_h = [l_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
+        out_h = []
+        for h in range(H):
+            lcol = l_new_all[h * NB:(h + 1) * NB]
+            denom = jnp.maximum(lcol, 1e-30)
+            out_h.append(jnp.where(lcol > 0.0, acc_new_h[h] / denom, 0.0))
+        if H * DVH < DV:
+            out_h.append(jnp.zeros((NB, DV - H * DVH), jnp.float32))
+        out_ref[:] = jnp.concatenate(out_h, axis=1).astype(out_ref.dtype)
+        lse_h = [jnp.where(lv > 0.0,
+                           mv + jnp.log(jnp.maximum(lv, 1e-30)), 0.0)
+                 for mv, lv in zip(m_new_h, l_new_h)]
+        lse_ref[:] = jnp.stack(
+            lse_h + [jnp.zeros((NB,), jnp.float32)] * (128 - H), axis=1)
 
 
 # ----------------------------------------------------------------------
@@ -327,7 +348,6 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
         C = c_tile[p % 2][:].astype(jnp.float32)
     else:
         C = c_acc[:]
-    has = C > 0.0
     if rate:
         didx = _cell_idx(blk_ref[p], wb, NB, W)
     dadst_cols = []
@@ -365,9 +385,11 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     if leaky:
         ds_dS_all = jnp.where(S >= 0, 1.0, leaky)
         S = jnp.where(S >= 0, S, S * leaky)
-    has_all = jnp.concatenate([has] * H, axis=0) if H > 1 else has
     C_all = jnp.concatenate([C] * H, axis=0) if H > 1 else C
-    P_til = jnp.where(has_all, C_all * jnp.exp(S - LSE), 0.0)
+    # absent (C == 0) cells self-mask through the product; the clamp
+    # keeps exp finite where LSE is 0 (edgeless rows) so 0·inf can't
+    # produce NaN — one VPU min instead of the H-stacked has-mask select
+    P_til = C_all * jnp.exp(jnp.minimum(S - LSE, 80.0))
     if rate:
         # same mask as the forward: dropped cells contribute no direct
         # g·v term (delta already reflects the masked out)
@@ -477,10 +499,15 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
     sd_cols = H if additive else SD
     adst_pad = jnp.zeros((n_pad, SDp), jnp.float32).at[:N, :sd_cols].set(
         score_dst.astype(jnp.float32))
-    asrcT = jnp.zeros((SD, Upw), jnp.float32).at[:sd_cols].set(
-        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0,
-                 mode="clip").T)
-    vu = jnp.take(v, layout.uv, axis=0, mode="clip")
+    # pad score lanes BEFORE the uniq gather: a sub-8-lane (esp. 1-head)
+    # gather degenerates to a 1-D gather, ~4x slower than the 8-lane
+    # row gather (xplane-measured 899 vs 248 us on the 65k GAT graph)
+    ss = score_src.astype(jnp.float32)
+    if sd_cols < SD:
+        ss = jnp.concatenate(
+            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1)
+    asrcT = _take_ib(ss, layout.uv).T
+    vu = _take_ib(v, layout.uv)
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -588,19 +615,54 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
              * out[:, :H * dvh].astype(jnp.float32)).reshape(
         N, H, dvh).sum(-1)
     delta_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(delta)
-    asrcT = jnp.zeros((SD, Upw), jnp.float32).at[:sd_cols].set(
-        jnp.take(score_src.astype(jnp.float32), layout.uv, axis=0,
-                 mode="clip").T)
-    vuT = jnp.take(v.astype(jnp.float32), layout.uv, axis=0,
-                   mode="clip").T
+    ss = score_src.astype(jnp.float32)
+    if sd_cols < SD:
+        ss = jnp.concatenate(
+            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1)
+    asrcT = _take_ib(ss, layout.uv).T
+    vuT = _take_ib(v.astype(jnp.float32), layout.uv).T
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    kern = functools.partial(_attn_bwd_kernel, NB=nb, ET=et, W=w, DV=DV,
-                             H=H, DVH=dvh, Hp=Hp, P=P, leaky=leaky,
-                             additive=additive, DSH=dsh, rate=rate)
+    cached = layout.counts is not None
+    kpar = dict(NB=nb, ET=et, W=w, DV=DV, H=H, DVH=dvh, Hp=Hp, P=P,
+                leaky=leaky, additive=additive, DSH=dsh, rate=rate)
+    blkmap = lambda p, ts, te, blk, wb, sd: (blk[p], 0)
+    if cached:
+        def kern(ts, te, blk, wb, sd, adst, g_r, lse_r, dlt_r,
+                 asrcT_r, vuT_r, c_r,
+                 dadst_r, dsrcT_r, dv_r, win_s, win_vT, c_t,
+                 s_ws, s_wv, s_c):
+            _attn_bwd_kernel(ts, te, blk, wb, sd, adst, g_r, lse_r,
+                             dlt_r, asrcT_r, vuT_r, None, None,
+                             dadst_r, dsrcT_r, dv_r, win_s, win_vT,
+                             None, None, None, None, None,
+                             s_ws, s_wv, None, None,
+                             c_ref=c_r, c_tile=c_t, sem_c=s_c, **kpar)
+        in_specs_tail = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        operands_tail = (layout.counts,)
+        mid_scratch = [pltpu.VMEM((2, nb, w), jnp.bfloat16)]
+        sem_scratch = [pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kern = functools.partial(_attn_bwd_kernel, **kpar)
+        in_specs_tail = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        operands_tail = (layout.padded_ids, layout.rank_iv)
+        mid_scratch = [
+            pltpu.VMEM((2, et // 128, 128), jnp.int32),
+            pltpu.VMEM((2 * (w // 128), 128), jnp.int32),
+            pltpu.VMEM((nb, et), jnp.bfloat16),
+            pltpu.VMEM((et, w), jnp.bfloat16),
+            pltpu.VMEM((nb, w), jnp.float32),
+        ]
+        sem_scratch = [pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA((2,)),
+                       pltpu.SemaphoreType.DMA]
     n_win = Upw // w
     dadst, dsrcT, dvu = pl.pallas_call(
         kern,
@@ -608,27 +670,15 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
             num_scalar_prefetch=5,
             grid=(P,),
             in_specs=[
-                pl.BlockSpec((nb, SDp),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, DV),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, 128),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, 128),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, SDp), blkmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, DV), blkmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 128), blkmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 128), blkmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            ],
+            ] + in_specs_tail,
             out_specs=(
-                pl.BlockSpec((nb, SDp),
-                             lambda p, ts, te, blk, wb, sd: (blk[p], 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, SDp), blkmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((SDo, w),
                              lambda p, ts, te, blk, wb, sd:
                              (0, wb[p] // w),
@@ -641,16 +691,7 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
             scratch_shapes=[
                 pltpu.VMEM((2, SD, w), jnp.float32),
                 pltpu.VMEM((2, DV, w), jnp.float32),
-                pltpu.VMEM((2, et // 128, 128), jnp.int32),
-                pltpu.VMEM((2 * (w // 128), 128), jnp.int32),
-                pltpu.VMEM((nb, et), jnp.bfloat16),
-                pltpu.VMEM((et, w), jnp.bfloat16),
-                pltpu.VMEM((nb, w), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ],
+            ] + mid_scratch + sem_scratch,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, SDp), jnp.float32),
@@ -663,7 +704,7 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
       seed,
       adst_pad, g_pad, lse_pad, delta_pad, asrcT, vuT,
-      layout.padded_ids, layout.rank_iv)
+      *operands_tail)
 
     da_dst = dadst[:N, :sd_cols].astype(score_dst.dtype)
     # fold window rows back onto nodes (sorted reduce, no scatter);

@@ -37,6 +37,12 @@ NB_DEFAULT = 256      # output rows per grid step
 ET_DEFAULT = 1024     # edges per DMA tile (1-D int32 slices tile at 1024)
 
 
+
+def _take_ib(x, idx):
+    """Row gather with no bounds handling — indices are layout-built and
+    in-bounds by construction (clip/fill modes add a lane pass per call)."""
+    return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
+
 @jax.tree_util.register_pytree_node_class
 class BlockedLayout:
     """Device-resident tile-aligned CSC/CSR layout for the SpMM kernel.
@@ -409,7 +415,7 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
             f"nb/et to build_blocked_layout and the kernel")
 
     if chunks is None or len(chunks) <= 1:
-        msgs = jnp.take(feature, padded_v, axis=0, mode="clip")
+        msgs = _take_ib(feature, padded_v)
         if edge_w is not None:
             msgs = _weighted_msgs(msgs, edge_w, D, msg_op)
         out = _spmm_pallas(msgs, padded_ids, tile_starts, tile_ends, n_pad,
@@ -426,7 +432,7 @@ def _blocked_spmm(feature, padded_v, padded_ids, tile_starts, tile_ends,
         v_c = jax.lax.dynamic_slice(padded_v, (off,), (size,))
         ids_c = jax.lax.dynamic_slice(
             padded_ids, (off // 128, 0), (size // 128, 128))
-        msgs = jnp.take(feature, v_c, axis=0, mode="clip")
+        msgs = _take_ib(feature, v_c)
         if edge_w is not None:
             w_c = jax.lax.dynamic_slice(
                 edge_w, (off,) + (0,) * (edge_w.ndim - 1),
@@ -591,7 +597,7 @@ def _spmm_w_bwd(nb, et, interpret, msg_op, res, g):
     # dw (CSC order): <g[dst_e], x[src_e]> per edge (per-head reduced)
     g_e = jnp.take(g, csc_l.padded_ids.reshape(-1), axis=0,
                    mode="fill", fill_value=0)
-    x_e = jnp.take(feature, csc_l.padded_v, axis=0, mode="clip")
+    x_e = _take_ib(feature, csc_l.padded_v)
     prod = g_e * x_e
     if w_csc.ndim == 2:
         H = w_csc.shape[1]
