@@ -504,9 +504,15 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
     # row gather (xplane-measured 899 vs 248 us on the 65k GAT graph)
     ss = score_src.astype(jnp.float32)
     if sd_cols < SD:
-        ss = jnp.concatenate(
-            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1)
-    asrcT = _take_ib(ss, layout.uv).T
+        # the barrier pins the lane pad BEFORE the gather; XLA otherwise
+        # rewrites gather(concat(x, zeros)) -> concat(gather(x), zeros)
+        # and the 1-lane gather degenerates to a 1-D gather (899 us)
+        ss = jax.lax.optimization_barrier(jnp.concatenate(
+            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1))
+    # barrier pins gather-then-transpose: XLA otherwise commutes the
+    # transpose (and the lane pad) past the gather and the row gather
+    # degenerates to per-column 1-D gathers (899 vs 248 us, xplane)
+    asrcT = jax.lax.optimization_barrier(_take_ib(ss, layout.uv)).T
     vu = _take_ib(v, layout.uv)
 
     if seed is None:
@@ -617,10 +623,14 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     delta_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(delta)
     ss = score_src.astype(jnp.float32)
     if sd_cols < SD:
-        ss = jnp.concatenate(
-            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1)
-    asrcT = _take_ib(ss, layout.uv).T
-    vuT = _take_ib(v.astype(jnp.float32), layout.uv).T
+        # the barrier pins the lane pad BEFORE the gather; XLA otherwise
+        # rewrites gather(concat(x, zeros)) -> concat(gather(x), zeros)
+        # and the 1-lane gather degenerates to a 1-D gather (899 us)
+        ss = jax.lax.optimization_barrier(jnp.concatenate(
+            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1))
+    asrcT = jax.lax.optimization_barrier(_take_ib(ss, layout.uv)).T
+    vuT = jax.lax.optimization_barrier(
+        _take_ib(v.astype(jnp.float32), layout.uv)).T
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
