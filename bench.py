@@ -472,7 +472,18 @@ def main():
             "sddmm_ms": round(t_sddmm * 1000, 2),
             "sddmm_xla_full_ms": round(t_sddmm_xla * 1000, 2),
             "sddmm_note": "full-E dedup kernel w/ barrier (r1-r3 "
-                          "numbers were XLA-elided to ~2 N-row gathers)",
+                          "numbers were XLA-elided to ~2 N-row gathers). "
+                          "Roofline: unlike SpMM/attention (counts-cached "
+                          "in r5), SDDMM's output is PER-EDGE, so the "
+                          "one-hot expansion cannot be replaced by the "
+                          "structural count matrix; the ablation table "
+                          "(experiments/sddmm_dedup.md) measured deep "
+                          "prefetch, K-merged splits, fewer out-DMAs and "
+                          "the pair-grid skeleton all flat — the ~1.6 "
+                          "us/tile VPU cost (one-hot builds + per-edge "
+                          "product + ~2 MB/tile VMEM staging) is the "
+                          "algorithm's floor on this hardware; it still "
+                          "beats honest XLA send_uv by >4x",
             "gat8_train_step_ms_1M_edges": round(t_gat_step * 1000, 1),
             "gat8_step_spread": _spread(t_gat_times),
             "gat_train_edges_per_s": round(2 * E_gat / t_gat_step, 0),

@@ -127,13 +127,29 @@ class GCNConv(nn.Module):
 
 class GATConv(nn.Module):
     """GAT: additive attention via SDDMM + edge softmax + weighted SpMM
-    (reference ``pgl/nn/conv.py:257-346``)."""
+    (reference ``pgl/nn/conv.py:257-346``).
+
+    ``attn_drop_mode`` (matters only for MULTIgraphs with attn_drop > 0;
+    simple graphs are bit-identical either way):
+      * ``"edge"`` (default) — reference-exact per-edge dropout
+        (``pgl/nn/conv.py:334-339`` drops each duplicate edge
+        independently); multigraphs fall back to the per-edge kernels
+        (~3x the attention cost of the count-matrix path).
+      * ``"cell"`` — per-(dst, src)-cell dropout on the fast
+        count-matrix path: duplicates of one (dst, src) pair drop
+        TOGETHER. The output is linear in the mask and the softmax
+        denominator is undropped (reference semantics), so E[out] is
+        identical to per-edge dropout — same expectation, higher
+        variance (see tests/test_dedup_attention.py expectation-parity
+        test).
+    """
     input_size: int
     hidden_size: int
     feat_drop: float = 0.6
     attn_drop: float = 0.6
     num_heads: int = 1
     concat: bool = True
+    attn_drop_mode: str = "edge"
     activation: Any = None
 
     @nn.compact
@@ -195,10 +211,12 @@ class GATConv(nn.Module):
             dedup_aux = (graph._dedup_attn_aux()
                          if hasattr(graph, "_dedup_attn_aux") else None)
             if dedup_aux is not None and rate > 0.0 \
-                    and not dedup_aux[0].simple:
+                    and not dedup_aux[0].simple \
+                    and self.attn_drop_mode != "cell":
                 # multigraph: a count-matrix cell covers several edges,
                 # so per-cell dropout is not per-edge dropout — use the
-                # per-edge kernels instead
+                # per-edge kernels (attn_drop_mode="cell" opts into the
+                # expectation-equivalent fast path instead)
                 dedup_aux = None
             if dedup_aux is not None:
                 # count-matrix pair attention: scores depend only on the
@@ -429,6 +447,10 @@ class TransformerConv(nn.Module):
     skip_feat: bool = True
     gate: bool = False
     layer_norm: bool = True
+    # "edge" = reference-exact per-edge dropout (per-edge kernels on
+    # multigraphs); "cell" = expectation-equivalent per-(dst, src)-cell
+    # dropout on the fast count-matrix path (see GATConv docstring)
+    attn_drop_mode: str = "edge"
     activation: Any = "relu"
 
     @nn.compact
@@ -488,7 +510,8 @@ class TransformerConv(nn.Module):
             dedup_aux = (graph._dedup_attn_aux()
                          if hasattr(graph, "_dedup_attn_aux") else None)
             if dedup_aux is not None and rate > 0.0 \
-                    and not dedup_aux[0].simple:
+                    and not dedup_aux[0].simple \
+                    and self.attn_drop_mode != "cell":
                 dedup_aux = None        # multigraph: per-edge kernels
             if dedup_aux is not None:
                 # count-matrix pair attention (dot scores) — see

@@ -420,3 +420,60 @@ def test_dedup_dot_in_kernel_dropout_matches_masked_reference():
             bb = bb[:, :H * DVH]
         np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=3e-4,
                                    err_msg=nm)
+
+
+def test_multigraph_cell_dropout_expectation_parity():
+    """attn_drop_mode="cell" on a MULTIgraph: per-(dst, src)-cell dropout
+    matches per-edge dropout IN EXPECTATION (the output is linear in the
+    keep mask and the softmax denominator is undropped, reference
+    semantics ``pgl/nn/conv.py:334-339``), with positive variance (it is
+    really dropping)."""
+    N, E, H, DVH = 96, 800, 2, 8
+    edges, lay, red = _case(N, E, seed=3, dups=200)
+    assert not lay.simple
+    rng = np.random.default_rng(0)
+    a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, 128)).astype(np.float32))
+    rate = 0.5
+
+    undropped = np.asarray(dedup_gat_attention(
+        a_dst, a_src, v, lay, red, H, DVH, 0.2, 256, 1024, True))
+
+    outs = []
+    for seed in range(200):
+        outs.append(np.asarray(dedup_gat_attention(
+            a_dst, a_src, v, lay, red, H, DVH, 0.2, 256, 1024, True,
+            attn_drop=rate, drop_seed=seed)))
+    outs = np.stack(outs)
+    mean = outs.mean(0)
+    # E[out] == undropped out (cell mask is unbiased); CLT tolerance
+    scale = np.abs(undropped).max()
+    assert np.abs(mean - undropped).max() < 0.15 * scale
+    # and it is actually dropping: per-seed deviation is substantial
+    assert np.abs(outs[0] - undropped).max() > 0.05 * scale
+
+
+def test_gatconv_cell_mode_takes_fast_path_on_multigraph():
+    """GATConv(attn_drop_mode="cell") keeps the count-matrix path on a
+    multigraph with dropout; default mode falls back (documented
+    contract)."""
+    import flax.linen as fnn
+    from pgl_tpu import Graph
+    from pgl_tpu.nn import GATConv
+    rng = np.random.default_rng(1)
+    e = rng.integers(0, 128, (600, 2))
+    e = np.concatenate([e, e[:150]])            # multigraph
+    g = Graph(e, num_nodes=128,
+              node_feat={"h": rng.normal(size=(128, 16)
+                                         ).astype(np.float32)})
+    g = g.tensor()
+    for mode in ("edge", "cell"):
+        conv = GATConv(input_size=16, hidden_size=8, num_heads=2,
+                       feat_drop=0.0, attn_drop=0.3, attn_drop_mode=mode)
+        p = conv.init({"params": jax.random.key(0),
+                       "dropout": jax.random.key(1)},
+                      g, g.node_feat["h"], True)
+        out = conv.apply(p, g, g.node_feat["h"], True,
+                         rngs={"dropout": jax.random.key(2)})
+        assert np.isfinite(np.asarray(out)).all()
