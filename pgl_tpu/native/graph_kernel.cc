@@ -501,14 +501,21 @@ i64 cut_of(const std::vector<i64>& indptr, const std::vector<i64>& adj,
 
 }  // namespace
 
-// parts must be sized num_nodes. Edge weights optional (pass nullptr).
-void metis_style_partition(const i64* indptr_in, const i64* adj_in,
-                           i64 num_nodes, i64 nparts, i64 seed,
-                           i64* parts_out) {
+// parts must be sized num_nodes. vwgt_in: optional per-vertex balance
+// weights (nullptr = unit weights). Degree weights make each part carry
+// ~equal EDGE mass — the balance that matters for halo-sharded SpMM,
+// where a hub-heavy shard sets the step time (edge skew), not node
+// count.
+void metis_style_partition_w(const i64* indptr_in, const i64* adj_in,
+                             const i64* vwgt_in,
+                             i64 num_nodes, i64 nparts, i64 seed,
+                             i64* parts_out) {
   std::mt19937_64 rng(static_cast<uint64_t>(seed));
   std::vector<i64> indptr(indptr_in, indptr_in + num_nodes + 1);
   std::vector<i64> adj(adj_in, adj_in + indptr[num_nodes]);
   std::vector<i64> wgt(adj.size(), 1), vwgt(num_nodes, 1);
+  if (vwgt_in != nullptr)
+    vwgt.assign(vwgt_in, vwgt_in + num_nodes);
 
   if (nparts <= 1 || num_nodes == 0) {
     std::fill(parts_out, parts_out + num_nodes, 0);
@@ -562,6 +569,14 @@ void metis_style_partition(const i64* indptr_in, const i64* adj_in,
     }
   }
   std::copy(parts.begin(), parts.end(), parts_out);
+}
+
+// Back-compat unit-weight entry point.
+void metis_style_partition(const i64* indptr_in, const i64* adj_in,
+                           i64 num_nodes, i64 nparts, i64 seed,
+                           i64* parts_out) {
+  metis_style_partition_w(indptr_in, adj_in, nullptr, num_nodes, nparts,
+                          seed, parts_out);
 }
 
 }  // extern "C"

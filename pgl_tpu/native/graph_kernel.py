@@ -84,6 +84,8 @@ def _load():
             _i64, _i64, _i64, _ll, _i64, _ll, _i64]
         lib.extract_edges_from_nodes.restype = _ll
         lib.metis_style_partition.argtypes = [_i64, _i64, _ll, _ll, _ll, _i64]
+        lib.metis_style_partition_w.argtypes = [
+            _i64, _i64, _i64, _ll, _ll, _ll, _i64]
         _lib = lib
         return _lib
 
@@ -375,17 +377,22 @@ def extract_edges_from_nodes(indptr, sorted_v, sorted_eid, num_nodes_graph,
     return np.asarray(keep, dtype=np.int64)
 
 
-def metis_partition(indptr, adj, nparts, seed=0):
+def metis_partition(indptr, adj, nparts, seed=0, vwgt=None):
     """Multilevel k-way partition (own METIS-style implementation in C++:
     heavy-edge-matching coarsening + greedy growth + boundary refinement).
-    Returns parts int64[num_nodes]."""
+    ``vwgt``: optional int64[num_nodes] balance weights (e.g. degrees so
+    every part carries ~equal edge mass). Returns parts int64[num_nodes]."""
     lib = _load()
     indptr, adj = _c(indptr), _c(adj)
     n = len(indptr) - 1
     parts = np.empty(n, dtype=np.int64)
     if lib is not None:
-        lib.metis_style_partition(indptr, adj, n, int(nparts), int(seed),
-                                  parts)
+        if vwgt is not None:
+            lib.metis_style_partition_w(indptr, adj, _c(vwgt), n,
+                                        int(nparts), int(seed), parts)
+        else:
+            lib.metis_style_partition(indptr, adj, n, int(nparts),
+                                      int(seed), parts)
         return parts
     # numpy fallback: BFS-grown balanced blocks — far weaker cuts than
     # the multilevel C++ path but a valid partition on g++-less hosts

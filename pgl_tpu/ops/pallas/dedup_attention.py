@@ -258,8 +258,6 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
 
     @pl.when(last_of_blk)
     def _():
-        m_new_h = [m_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
-        l_new_h = [l_new_all[h * NB:(h + 1) * NB, 0] for h in range(H)]
         out_h = []
         for h in range(H):
             lcol = l_new_all[h * NB:(h + 1) * NB]
@@ -268,11 +266,13 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
         if H * DVH < DV:
             out_h.append(jnp.zeros((NB, DV - H * DVH), jnp.float32))
         out_ref[:] = jnp.concatenate(out_h, axis=1).astype(out_ref.dtype)
-        lse_h = [jnp.where(lv > 0.0,
-                           mv + jnp.log(jnp.maximum(lv, 1e-30)), 0.0)
-                 for mv, lv in zip(m_new_h, l_new_h)]
-        lse_ref[:] = jnp.stack(
-            lse_h + [jnp.zeros((NB,), jnp.float32)] * (128 - H), axis=1)
+        # lse lives HEAD-STACKED ([H·NB, 1], same layout as m/l) — one
+        # where/log instead of a per-head stack, and the backward can
+        # broadcast it to [H·NB, W] in one op instead of H broadcasts
+        # + a concat per pair
+        lse_ref[:] = jnp.where(
+            l_new_all > 0.0,
+            m_new_all + jnp.log(jnp.maximum(l_new_all, 1e-30)), 0.0)
 
 
 # ----------------------------------------------------------------------
@@ -282,8 +282,8 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
 def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      adst_ref,              # [NB, SDp] VMEM block
                      g_ref,                 # [NB, DV] VMEM block
-                     lse_ref,               # [NB, 128] VMEM block
-                     delta_ref,             # [NB, 128] VMEM block
+                     lse_ref,               # [H·NB, 1] VMEM block (stacked)
+                     delta_ref,             # [H·NB, 1] VMEM block (stacked)
                      asrcT_ref, vuT_ref,    # HBM transposed uniq tables
                      ids_ref, iv_ref,
                      dadst_ref,             # [NB, SDp] VMEM out (revisit)
@@ -358,7 +358,7 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     # leaky/exp/mask/dsc chain runs HEAD-STACKED on M like the forward;
     # lse/delta broadcasts stack as full-width [NB, W] blocks (Mosaic
     # cannot lower concat-of-lane-slices, broadcast-then-concat is fine)
-    s_parts, gv_parts, lse_b, dl_b = [], [], [], []
+    s_parts, gv_parts = [], []
     for h in range(H):
         if additive:
             s_parts.append(adst_ref[:, h][:, None]
@@ -376,12 +376,11 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
             win_vT[p % 2][h * DVH:(h + 1) * DVH, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-        lse_b.append(jnp.broadcast_to(lse_ref[:, h][:, None], (NB, W)))
-        dl_b.append(jnp.broadcast_to(delta_ref[:, h][:, None], (NB, W)))
     S = jnp.concatenate(s_parts, axis=0) if H > 1 else s_parts[0]
     GV = jnp.concatenate(gv_parts, axis=0) if H > 1 else gv_parts[0]
-    LSE = jnp.concatenate(lse_b, axis=0) if H > 1 else lse_b[0]
-    DLT = jnp.concatenate(dl_b, axis=0) if H > 1 else dl_b[0]
+    # head-stacked side-channels: one broadcast each, no concat
+    LSE = jnp.broadcast_to(lse_ref[:], (H * NB, W))
+    DLT = jnp.broadcast_to(delta_ref[:], (H * NB, W))
     if leaky:
         ds_dS_all = jnp.where(S >= 0, 1.0, leaky)
         S = jnp.where(S >= 0, S, S * leaky)
@@ -573,19 +572,23 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
             ] + in_specs_tail,
             out_specs=(
                 pl.BlockSpec((nb, DV), blkmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, 128), blkmap, memory_space=pltpu.VMEM),
+                # lse rides HEAD-STACKED [H*nb, 1] blocks (the m/l
+                # scratch layout) — no per-head stack in the kernel and
+                # the backward broadcasts it in one op
+                pl.BlockSpec((H * nb, 1), blkmap,
+                             memory_space=pltpu.VMEM),
             ),
             scratch_shapes=scratch,
         ),
         out_shape=(jax.ShapeDtypeStruct((n_pad, DV), v.dtype),
-                   jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)),
+                   jax.ShapeDtypeStruct((n_pad * H, 1), jnp.float32)),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
       seed,
       adst_pad, asrcT, vu, *operands_tail)
-    return out[:N], lse[:N]
+    return out[:N], lse
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "dsh",
@@ -614,13 +617,16 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
         score_dst.astype(jnp.float32))
     g_pad = jnp.zeros((n_pad, DV), jnp.float32).at[:N].set(
         g.astype(jnp.float32))
-    lse_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N].set(lse)
+    lse_pad = lse                      # already head-stacked [n_pad*H, 1]
     # per-head Σ g⊙out over that head's dvh columns; slice off the lane
     # padding FIRST (DV is ceil-128-padded and need not divide by dvh)
     delta = (g[:, :H * dvh].astype(jnp.float32)
              * out[:, :H * dvh].astype(jnp.float32)).reshape(
         N, H, dvh).sum(-1)
-    delta_pad = jnp.zeros((n_pad, 128), jnp.float32).at[:N, :H].set(delta)
+    # head-stack delta to the lse layout: row blk*H*nb + h*nb + i
+    delta_pad = jnp.zeros((n_pad, H), jnp.float32).at[:N].set(delta)
+    delta_pad = delta_pad.reshape(n_pad // nb, nb, H).transpose(
+        0, 2, 1).reshape(n_pad * H, 1)
     ss = score_src.astype(jnp.float32)
     if sd_cols < SD:
         # the barrier pins the lane pad BEFORE the gather; XLA otherwise
@@ -682,8 +688,10 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
             in_specs=[
                 pl.BlockSpec((nb, SDp), blkmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec((nb, DV), blkmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, 128), blkmap, memory_space=pltpu.VMEM),
-                pl.BlockSpec((nb, 128), blkmap, memory_space=pltpu.VMEM),
+                pl.BlockSpec((H * nb, 1), blkmap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H * nb, 1), blkmap,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ] + in_specs_tail,

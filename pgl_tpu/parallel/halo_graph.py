@@ -228,7 +228,10 @@ class HaloGraph:
         S = mesh.shape[axis]
         if parts is None and partition == "metis":
             from ..partition import metis_partition
-            parts = metis_partition(g, S)
+            # in-edge-balanced: edges execute on their DST owner, so the
+            # step time follows the heaviest shard's in-edge mass, not
+            # its node count
+            parts = metis_partition(g, S, balance="in_edges")
         built = build_halo_partition(np.asarray(g.edges), g.num_nodes, S,
                                      parts)
         obj = cls._from_built(built, g.num_nodes, mesh, axis,

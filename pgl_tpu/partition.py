@@ -19,10 +19,17 @@ from .native import graph_kernel as native
 __all__ = ["metis_partition", "random_partition", "partition_to_order"]
 
 
-def metis_partition(graph, npart: int, seed: int = 0) -> np.ndarray:
+def metis_partition(graph, npart: int, seed: int = 0,
+                    balance: str = "nodes") -> np.ndarray:
     """K-way partition minimizing edge cut with ~8% balance slack.
 
     The graph is viewed undirected (out-adjacency symmetrized on the fly).
+
+    ``balance="edges"`` balances per-part EDGE mass (degree vertex
+    weights) instead of node count — on heavy-tailed graphs a node-
+    balanced partition can give one shard 4x the edges of another,
+    and sharded-SpMM step time follows the heaviest shard
+    (HaloGraph.scaling_report ``edge_skew``).
     """
     g = graph.numpy() if graph.is_tensor else graph
     if npart <= 1:
@@ -36,7 +43,18 @@ def metis_partition(graph, npart: int, seed: int = 0) -> np.ndarray:
     v = und[order, 1]
     degree = np.bincount(u, minlength=g.num_nodes)
     indptr = np.concatenate([[0], np.cumsum(degree)])
-    return native.metis_partition(indptr, v, npart, seed)
+    vwgt = None
+    if balance == "edges":
+        vwgt = degree.astype(np.int64) + 1       # +1 keeps isolated nodes
+    elif balance == "in_edges":
+        # dst-partitioned execution (HaloGraph) processes each edge on
+        # its DST owner: balance in-degree mass
+        vwgt = np.bincount(edges[:, 1], minlength=g.num_nodes
+                           ).astype(np.int64) + 1
+    elif balance != "nodes":
+        raise ValueError(f"balance must be 'nodes', 'edges' or "
+                         f"'in_edges', got {balance!r}")
+    return native.metis_partition(indptr, v, npart, seed, vwgt=vwgt)
 
 
 def random_partition(graph, npart: int, seed: int = 0) -> np.ndarray:
