@@ -31,9 +31,12 @@ Replaces the SDDMM+edge_softmax+send_ue_recv triple
 dedup-eligible graphs. Attention-prob dropout runs IN-KERNEL on simple
 graphs (``DedupLayout.simple``): one count-matrix cell is one edge
 there, so the per-cell hash mask is exactly the reference's per-edge
-post-softmax dropout. Only multigraphs fall back to the per-edge
-kernels (the reference drops each duplicate edge independently; the
-count form cannot distinguish them).
+post-softmax dropout. Multigraphs default to the per-edge kernels (the
+reference drops each duplicate edge independently; the count form drops
+a cell's duplicates together) — ``attn_drop_mode="cell"`` on the conv
+layers opts into the count form there too, which matches per-edge
+dropout in expectation (the output is linear in the mask and the
+denominator is undropped).
 """
 
 from __future__ import annotations
@@ -103,7 +106,7 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      vu_ref,                # [Upad+W, DV] HBM (uniq v)
                      ids_ref, iv_ref,
                      out_ref,               # [NB, DV] VMEM (revisit blk)
-                     lse_ref,               # [NB, 128] VMEM (revisit blk)
+                     lse_ref,               # [H·NB, 1] VMEM (head-stacked)
                      win_s, win_v, ids_tile, iv_tile,
                      oh_dst, oh_rankT, c_acc, m_s, l_s, acc,
                      sem_ws, sem_wv, sem_i, sem_b,
