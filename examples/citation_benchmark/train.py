@@ -31,12 +31,15 @@ import optax
 
 from pgl_tpu.datasets import CoraDataset, CitationDataset, community_graph
 from pgl_tpu.models import (GCN, GAT, APPNPModel, SGC, SSGC, GATv2,
-                            GPRGNN, FAGCN, DeepGCNII, BernNet, ChebNetII)
+                            GPRGNN, FAGCN, DeepGCNII, BernNet, ChebNetII,
+                            LSTMSage)
 from pgl_tpu.utils.transform import add_self_loops, to_undirected
 
 
 MODELS = {
     "GCN": lambda d, c: GCN(input_size=d, num_class=c, hidden_size=16),
+    "LSTMSage": lambda d, c: LSTMSage(input_size=d, num_class=c,
+                                      hidden_size=16),
     "GAT": lambda d, c: GAT(input_size=d, num_class=c),
     "APPNP": lambda d, c: APPNPModel(input_size=d, num_class=c),
     "SGC": lambda d, c: SGC(input_size=d, num_class=c),
