@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--edges", type=int, default=55_000_000)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--workdir", default="/tmp/pglbox_capacity")
+    ap.add_argument("--emb-size", type=int, default=64)
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip gen+ingest when workdir/graph exists")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (pure out-of-core tier rehearsal)")
     args = ap.parse_args()
@@ -86,22 +89,25 @@ def main():
     print(f"target: {args.nodes:,} nodes, {args.edges:,} directed edges "
           f"(x2 after symmetry = {2 * args.edges:,} stored)", flush=True)
 
-    t = gen_edge_file(edge_file, args.nodes, args.edges)
-    sz = os.path.getsize(edge_file) / 1e9
-    print(f"edge text: {sz:.2f} GB written in {t:.0f}s "
-          f"(rss hw {rss_gb():.2f} GB)", flush=True)
-
     from pgl_tpu.apps.pglbox import DistGraph, PGLBoxTrainer
 
-    t0 = time.time()
-    dg = DistGraph.from_edge_file(edge_file, graph_dir, symmetry=True,
-                                  num_nodes=args.nodes)
-    ingest_s = time.time() - t0
-    print(f"ingest: {ingest_s:.0f}s -> {dg.num_edges:,} edges, "
-          f"{du_gb(graph_dir):.2f} GB on disk, "
-          f"rss high-water {rss_gb():.2f} GB", flush=True)
+    if args.reuse and os.path.exists(os.path.join(graph_dir, "meta.json")):
+        print("reusing existing graph dir", flush=True)
+        dg = DistGraph(graph_dir)
+    else:
+        t = gen_edge_file(edge_file, args.nodes, args.edges)
+        sz = os.path.getsize(edge_file) / 1e9
+        print(f"edge text: {sz:.2f} GB written in {t:.0f}s "
+              f"(rss hw {rss_gb():.2f} GB)", flush=True)
+        t0 = time.time()
+        dg = DistGraph.from_edge_file(edge_file, graph_dir, symmetry=True,
+                                      num_nodes=args.nodes)
+        ingest_s = time.time() - t0
+        print(f"ingest: {ingest_s:.0f}s -> {dg.num_edges:,} edges, "
+              f"{du_gb(graph_dir):.2f} GB on disk, "
+              f"rss high-water {rss_gb():.2f} GB", flush=True)
 
-    cfg = dict(emb_size=64, walk_len=12, win_size=4, neg_num=4,
+    cfg = dict(emb_size=args.emb_size, walk_len=12, win_size=4, neg_num=4,
                batch_pairs=8192, pass_nodes=2048, epochs=1, lr=0.05)
     trainer = PGLBoxTrainer(dg, embed_path, cfg, seed=0)
 
