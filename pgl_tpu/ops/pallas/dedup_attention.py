@@ -66,16 +66,21 @@ def _take_ib(x, idx):
     return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
 
 def build_uniq_reduce(layout: DedupLayout, num_nodes: int) -> BlockedLayout:
-    """Host-built sorted reduce from uniq-table rows back to nodes.
+    """Host-built sorted reduce from PAIR-SLOT rows back to nodes.
 
-    Row ``r`` of a ``[Upad+W, D]`` per-window gradient belongs to node
-    ``uv[r]``; pad rows carry zeros (no edges reference them), so they
-    may harmlessly fold into node ``uv_pad = 0``. One argsort at build
+    The attention backward writes ``dsrcT``/``dv`` into each pair's OWN
+    [W] slot rows (row ``p·W + k`` belongs to node ``uv[wb[p] + k]``) —
+    exclusive ownership regardless of whether the uniq table is
+    window-aligned or densely packed. Slot rows whose rank has no edges
+    in the pair carry zeros and fold harmlessly. One argsort at build
     time makes the reduce a sorted segment-sum (base SpMM kernel).
     """
-    uv = np.asarray(layout.uv)[:len(layout.uv) - layout.w]   # drop tail
-    order = np.argsort(uv, kind="stable").astype(np.int64)
-    counts = np.bincount(uv, minlength=num_nodes)
+    uv = np.asarray(layout.uv).astype(np.int64)
+    wb = np.asarray(layout.pair_wb).astype(np.int64)
+    w = layout.w
+    slot_uv = uv[(wb[:, None] + np.arange(w, dtype=np.int64)).ravel()]
+    order = np.argsort(slot_uv, kind="stable").astype(np.int64)
+    counts = np.bincount(slot_uv, minlength=num_nodes)
     indptr = np.concatenate([[0], np.cumsum(counts)])
     return build_blocked_layout(indptr, order, num_nodes)
 
@@ -102,14 +107,13 @@ def _cell_idx(blk, wb, NB, W):
 
 def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      adst_ref,              # [NB, SDp] VMEM (block rows)
-                     asrcT_ref,             # [SD, Upad+W] HBM (transposed)
-                     vu_ref,                # [Upad+W, DV] HBM (uniq v)
+                     comb_ref,              # [Upad+W, DV+SDT] HBM (v|score)
                      ids_ref, iv_ref,
                      out_ref,               # [NB, DV] VMEM (revisit blk)
                      lse_ref,               # [H·NB, 1] VMEM (head-stacked)
-                     win_s, win_v, ids_tile, iv_tile,
+                     win_c, ids_tile, iv_tile,
                      oh_dst, oh_rankT, c_acc, m_s, l_s, acc,
-                     sem_ws, sem_wv, sem_i, sem_b,
+                     sem_wc, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
                      additive: bool = True, DSH: int = 0,
                      rate: float = 0.0,
@@ -118,16 +122,15 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     wb = wb_ref[p]
     cached = c_ref is not None       # counts-cache path: C is a DMA
 
-    # window DMAs (double-buffered across grid steps like the SpMM)
-    def ws_dma(slot, q):
+    # ONE combined window DMA per pair (double-buffered across grid
+    # steps): uniq v rides lanes [:DV], uniq scores lanes [DV:]. The
+    # table is ROW-sliced — densely packed wb offsets are arbitrary and
+    # Mosaic only allows unaligned dynamic slices on the sublane (row)
+    # dimension; the score chunk transposes IN-KERNEL once per pair
+    def wc_dma(slot, q):
         return pltpu.make_async_copy(
-            asrcT_ref.at[:, pl.ds(pl.multiple_of(wb_ref[q], W), W)],
-            win_s.at[slot], sem_ws.at[slot])
-
-    def wv_dma(slot, q):
-        return pltpu.make_async_copy(
-            vu_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
-            win_v.at[slot], sem_wv.at[slot])
+            comb_ref.at[pl.ds(pl.multiple_of(wb_ref[q], 8), W), :],
+            win_c.at[slot], sem_wc.at[slot])
 
     def c_dma(slot, q):
         return pltpu.make_async_copy(
@@ -136,15 +139,13 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
 
     @pl.when(p == 0)
     def _():
-        ws_dma(0, 0).start()
-        wv_dma(0, 0).start()
+        wc_dma(0, 0).start()
         if cached:
             c_dma(0, 0).start()
 
     @pl.when(p + 1 < P)
     def _():
-        ws_dma((p + 1) % 2, p + 1).start()
-        wv_dma((p + 1) % 2, p + 1).start()
+        wc_dma((p + 1) % 2, p + 1).start()
         if cached:
             c_dma((p + 1) % 2, p + 1).start()
 
@@ -163,8 +164,7 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
                      sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
 
-    ws_dma(p % 2, p).wait()
-    wv_dma(p % 2, p).wait()
+    wc_dma(p % 2, p).wait()
 
     if cached:
         c_dma(p % 2, p).wait()
@@ -179,18 +179,22 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     m_prev = m_s[:]
     l_prev = l_s[:]
     acc_prev = acc[:]
+    win_v = win_c[p % 2][:, :DV]
+    # the score chunk transposes once per pair ([W, SDT] → [SDT, W]);
+    # every head then reads its [1/DSH, W] rows as before
+    wsT = win_c[p % 2][:, DV:].T
     # raw scores per head (the only step whose shape differs by mode)
     s_parts = []
     for h in range(H):
         if additive:
-            s = adst_ref[:, h][:, None] + win_s[p % 2][h:h + 1, :]
+            s = adst_ref[:, h][:, None] + wsT[h:h + 1, :]
         else:
             # dot scores: q_h · k_winᵀ — HIGHEST so the backward's
             # recomputed p = exp(s − lse) matches bit-for-bit (see
             # attention_kernels.py precision note)
             s = jax.lax.dot_general(
                 adst_ref[:, h * DSH:(h + 1) * DSH],
-                win_s[p % 2][h * DSH:(h + 1) * DSH, :],
+                wsT[h * DSH:(h + 1) * DSH, :],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
@@ -235,12 +239,12 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     else:
         P_v = P_all
     if H > 1:
-        pv_all = jax.lax.dot(P_v, win_v[p % 2],
+        pv_all = jax.lax.dot(P_v, win_v,
                              preferred_element_type=jnp.float32)
         pv_h = [pv_all[h * NB:(h + 1) * NB, h * DVH:(h + 1) * DVH]
                 for h in range(H)]
     else:
-        pv_h = [jax.lax.dot(P_v, win_v[p % 2][:, :DVH],
+        pv_h = [jax.lax.dot(P_v, win_v[:, :DVH],
                             preferred_element_type=jnp.float32)]
     acc_new_h = []
     for h in range(H):
@@ -287,14 +291,14 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      g_ref,                 # [NB, DV] VMEM block
                      lse_ref,               # [H·NB, 1] VMEM block (stacked)
                      delta_ref,             # [H·NB, 1] VMEM block (stacked)
-                     asrcT_ref, vuT_ref,    # HBM transposed uniq tables
+                     comb_ref,              # [Upad+W, DV+SDT] HBM (v|score)
                      ids_ref, iv_ref,
                      dadst_ref,             # [NB, SDp] VMEM out (revisit)
-                     dsrcT_ref,             # [SDo, W] VMEM out (own window)
-                     dv_ref,                # [W, DV] VMEM out (own window)
-                     win_s, win_vT, ids_tile, iv_tile,
+                     dsrcT_ref,             # [SDo, W] VMEM out (own slots)
+                     dv_ref,                # [W, DV] VMEM out (own slots)
+                     win_c, ids_tile, iv_tile,
                      oh_dst, oh_rankT, c_acc,
-                     sem_ws, sem_wv, sem_i, sem_b,
+                     sem_wc, sem_i, sem_b,
                      *, NB, ET, W, DV, H, DVH, Hp, P, leaky: float,
                      additive: bool = True, DSH: int = 0,
                      rate: float = 0.0,
@@ -303,15 +307,11 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     wb = wb_ref[p]
     cached = c_ref is not None       # counts-cache path: C is a DMA
 
-    def ws_dma(slot, q):
+    # ONE combined row-sliced window DMA per pair (see forward kernel)
+    def wc_dma(slot, q):
         return pltpu.make_async_copy(
-            asrcT_ref.at[:, pl.ds(pl.multiple_of(wb_ref[q], W), W)],
-            win_s.at[slot], sem_ws.at[slot])
-
-    def wv_dma(slot, q):
-        return pltpu.make_async_copy(
-            vuT_ref.at[:, pl.ds(pl.multiple_of(wb_ref[q], W), W)],
-            win_vT.at[slot], sem_wv.at[slot])
+            comb_ref.at[pl.ds(pl.multiple_of(wb_ref[q], 8), W), :],
+            win_c.at[slot], sem_wc.at[slot])
 
     def c_dma(slot, q):
         return pltpu.make_async_copy(
@@ -320,15 +320,13 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
 
     @pl.when(p == 0)
     def _():
-        ws_dma(0, 0).start()
-        wv_dma(0, 0).start()
+        wc_dma(0, 0).start()
         if cached:
             c_dma(0, 0).start()
 
     @pl.when(p + 1 < P)
     def _():
-        ws_dma((p + 1) % 2, p + 1).start()
-        wv_dma((p + 1) % 2, p + 1).start()
+        wc_dma((p + 1) % 2, p + 1).start()
         if cached:
             c_dma((p + 1) % 2, p + 1).start()
 
@@ -343,8 +341,7 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
                      ids_tile, iv_tile, oh_dst, oh_rankT, c_acc,
                      sem_i, sem_b, NB=NB, ET=ET, W=W, P=P)
 
-    ws_dma(p % 2, p).wait()
-    wv_dma(p % 2, p).wait()
+    wc_dma(p % 2, p).wait()
 
     if cached:
         c_dma(p % 2, p).wait()
@@ -361,22 +358,24 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     # leaky/exp/mask/dsc chain runs HEAD-STACKED on M like the forward;
     # lse/delta broadcasts stack as full-width [NB, W] blocks (Mosaic
     # cannot lower concat-of-lane-slices, broadcast-then-concat is fine)
+    wsT = win_c[p % 2][:, DV:].T          # [SDT, W], once per pair
+    wvT = win_c[p % 2][:, :DV].T          # [DV, W], once per pair
     s_parts, gv_parts = [], []
     for h in range(H):
         if additive:
             s_parts.append(adst_ref[:, h][:, None]
-                           + win_s[p % 2][h:h + 1, :])
+                           + wsT[h:h + 1, :])
         else:
             s_parts.append(jax.lax.dot_general(
                 adst_ref[:, h * DSH:(h + 1) * DSH],
-                win_s[p % 2][h * DSH:(h + 1) * DSH, :],
+                wsT[h * DSH:(h + 1) * DSH, :],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST))
         # gv_h[NB, W] = g_h · v_winᵀ (contract DVH with vuT rows)
         gv_parts.append(jax.lax.dot_general(
             g_ref[:, h * DVH:(h + 1) * DVH],
-            win_vT[p % 2][h * DVH:(h + 1) * DVH, :],
+            wvT[h * DVH:(h + 1) * DVH, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     S = jnp.concatenate(s_parts, axis=0) if H > 1 else s_parts[0]
@@ -415,13 +414,11 @@ def _attn_bwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
             dsrc_rows.append(jnp.sum(dsc, axis=0,
                                      keepdims=True))       # [1, W]
         else:
-            # dq_h[NB, DSH] = ds · k_win — k_win rides win_s transposed,
-            # so contract the W lanes against its columns (AᵀB form on
-            # the second operand's transpose = contract (1, 1) avoided:
-            # use win_s rows directly)
+            # dq_h[NB, DSH] = ds · k_win — the row-sliced window is
+            # [W, SD], so this is the standard A·B form directly
             dadst_cols.append(jax.lax.dot_general(
-                dsc, win_s[p % 2][h * DSH:(h + 1) * DSH, :],
-                (((1,), (1,)), ((), ())),
+                dsc, win_c[p % 2][:, DV + h * DSH:DV + (h + 1) * DSH],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))       # [NB, DSH]
             # dk_h[DSH, W] = q_hᵀ · ds  (native AᵀB, already transposed
             # to match the dsrcT output layout)
@@ -505,17 +502,17 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
     # gather degenerates to a 1-D gather, ~4x slower than the 8-lane
     # row gather (xplane-measured 899 vs 248 us on the 65k GAT graph)
     ss = score_src.astype(jnp.float32)
-    if sd_cols < SD:
-        # the barrier pins the lane pad BEFORE the gather; XLA otherwise
-        # rewrites gather(concat(x, zeros)) -> concat(gather(x), zeros)
-        # and the 1-lane gather degenerates to a 1-D gather (899 us)
-        ss = jax.lax.optimization_barrier(jnp.concatenate(
-            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1))
-    # barrier pins gather-then-transpose: XLA otherwise commutes the
-    # transpose (and the lane pad) past the gather and the row gather
-    # degenerates to per-column 1-D gathers (899 vs 248 us, xplane)
-    asrcT = jax.lax.optimization_barrier(_take_ib(ss, layout.uv)).T
-    vu = _take_ib(v, layout.uv)
+    # ONE fused gather for values AND scores (row-count-bound, so the
+    # score lanes are ~free): scores ride lanes [DV:DV+SDT] of the
+    # combined table, lane-padded to a full 128 tile (Mosaic DMA tiles
+    # must be lane-aligned). The barrier pins the concat BEFORE the
+    # gather — XLA otherwise rewrites gather(concat(x, zeros)) ->
+    # concat(gather(x), zeros) and a narrow gather degenerates to 1-D
+    SDT = _pad_lanes(SD)
+    comb = jax.lax.optimization_barrier(jnp.concatenate(
+        [v.astype(jnp.float32), ss,
+         jnp.zeros((ss.shape[0], SDT - sd_cols), jnp.float32)], 1))
+    cu = _take_ib(comb, layout.uv)
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -526,24 +523,22 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
                 leaky=leaky, additive=additive, DSH=dsh, rate=rate)
     blkmap = lambda p, ts, te, blk, wb, sd: (blk[p], 0)
     common_scratch = [
-        pltpu.VMEM((2, SD, w), jnp.float32),
-        pltpu.VMEM((2, w, DV), v.dtype),
+        pltpu.VMEM((2, w, DV + SDT), jnp.float32),
     ]
     tail_scratch = [
         pltpu.VMEM((H * nb, 1), jnp.float32),   # m (head-stacked)
         pltpu.VMEM((H * nb, 1), jnp.float32),   # l (head-stacked)
         pltpu.VMEM((nb, DV), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
     ]
     if cached:
-        def kern(ts, te, blk, wb, sd, adst, asrcT_r, vu_r, c_r,
-                 out_r, lse_r, win_s, win_v, c_t, m_s, l_s, acc,
-                 s_ws, s_wv, s_c):
-            _attn_fwd_kernel(ts, te, blk, wb, sd, adst, asrcT_r, vu_r,
-                             None, None, out_r, lse_r, win_s, win_v,
+        def kern(ts, te, blk, wb, sd, adst, comb_r, c_r,
+                 out_r, lse_r, win_c, c_t, m_s, l_s, acc,
+                 s_wc, s_c):
+            _attn_fwd_kernel(ts, te, blk, wb, sd, adst, comb_r,
+                             None, None, out_r, lse_r, win_c,
                              None, None, None, None, None, m_s, l_s, acc,
-                             s_ws, s_wv, None, None,
+                             s_wc, None, None,
                              c_ref=c_r, c_tile=c_t, sem_c=s_c, **kpar)
         in_specs_tail = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         operands_tail = (layout.counts,)
@@ -571,7 +566,6 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
             in_specs=[
                 pl.BlockSpec((nb, SDp), blkmap, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ] + in_specs_tail,
             out_specs=(
                 pl.BlockSpec((nb, DV), blkmap, memory_space=pltpu.VMEM),
@@ -590,7 +584,7 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
             vmem_limit_bytes=64 * 1024 * 1024),
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
       seed,
-      adst_pad, asrcT, vu, *operands_tail)
+      adst_pad, cu, *operands_tail)
     return out[:N], lse
 
 
@@ -631,15 +625,12 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     delta_pad = delta_pad.reshape(n_pad // nb, nb, H).transpose(
         0, 2, 1).reshape(n_pad * H, 1)
     ss = score_src.astype(jnp.float32)
-    if sd_cols < SD:
-        # the barrier pins the lane pad BEFORE the gather; XLA otherwise
-        # rewrites gather(concat(x, zeros)) -> concat(gather(x), zeros)
-        # and the 1-lane gather degenerates to a 1-D gather (899 us)
-        ss = jax.lax.optimization_barrier(jnp.concatenate(
-            [ss, jnp.zeros((ss.shape[0], SD - sd_cols), jnp.float32)], 1))
-    asrcT = jax.lax.optimization_barrier(_take_ib(ss, layout.uv)).T
-    vuT = jax.lax.optimization_barrier(
-        _take_ib(v.astype(jnp.float32), layout.uv)).T
+    # ONE fused gather for values AND scores (see forward wrapper)
+    SDT = _pad_lanes(SD)
+    comb = jax.lax.optimization_barrier(jnp.concatenate(
+        [v.astype(jnp.float32), ss,
+         jnp.zeros((ss.shape[0], SDT - sd_cols), jnp.float32)], 1))
+    cu = _take_ib(comb, layout.uv)
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -651,20 +642,19 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     blkmap = lambda p, ts, te, blk, wb, sd: (blk[p], 0)
     if cached:
         def kern(ts, te, blk, wb, sd, adst, g_r, lse_r, dlt_r,
-                 asrcT_r, vuT_r, c_r,
-                 dadst_r, dsrcT_r, dv_r, win_s, win_vT, c_t,
-                 s_ws, s_wv, s_c):
+                 comb_r, c_r,
+                 dadst_r, dsrcT_r, dv_r, win_c, c_t,
+                 s_wc, s_c):
             _attn_bwd_kernel(ts, te, blk, wb, sd, adst, g_r, lse_r,
-                             dlt_r, asrcT_r, vuT_r, None, None,
-                             dadst_r, dsrcT_r, dv_r, win_s, win_vT,
+                             dlt_r, comb_r, None, None,
+                             dadst_r, dsrcT_r, dv_r, win_c,
                              None, None, None, None, None,
-                             s_ws, s_wv, None, None,
+                             s_wc, None, None,
                              c_ref=c_r, c_tile=c_t, sem_c=s_c, **kpar)
         in_specs_tail = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         operands_tail = (layout.counts,)
         mid_scratch = [pltpu.VMEM((2, nb, w), jnp.bfloat16)]
         sem_scratch = [pltpu.SemaphoreType.DMA((2,)),
-                       pltpu.SemaphoreType.DMA((2,)),
                        pltpu.SemaphoreType.DMA((2,))]
     else:
         kern = functools.partial(_attn_bwd_kernel, **kpar)
@@ -680,9 +670,7 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
         ]
         sem_scratch = [pltpu.SemaphoreType.DMA((2,)),
                        pltpu.SemaphoreType.DMA((2,)),
-                       pltpu.SemaphoreType.DMA((2,)),
                        pltpu.SemaphoreType.DMA]
-    n_win = Upw // w
     dadst, dsrcT, dvu = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -696,47 +684,47 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
                 pl.BlockSpec((H * nb, 1), blkmap,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ] + in_specs_tail,
             out_specs=(
                 pl.BlockSpec((nb, SDp), blkmap, memory_space=pltpu.VMEM),
+                # dsrcT/dv land in the pair's OWN slot rows ([P·W]
+                # space, block index = p) — exclusive ownership that
+                # stays valid when the uniq table is densely packed
+                # (window offsets then straddle block boundaries, so
+                # window-indexed outputs would overlap)
                 pl.BlockSpec((SDo, w),
-                             lambda p, ts, te, blk, wb, sd:
-                             (0, wb[p] // w),
+                             lambda p, ts, te, blk, wb, sd: (0, p),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((w, DV),
-                             lambda p, ts, te, blk, wb, sd:
-                             (wb[p] // w, 0),
+                             lambda p, ts, te, blk, wb, sd: (p, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, SD, w), jnp.float32),
-                pltpu.VMEM((2, DV, w), jnp.float32),
+                pltpu.VMEM((2, w, DV + SDT), jnp.float32),
             ] + mid_scratch + sem_scratch,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, SDp), jnp.float32),
-            jax.ShapeDtypeStruct((SDo, n_win * w), jnp.float32),
-            jax.ShapeDtypeStruct((n_win * w, DV), jnp.float32),
+            jax.ShapeDtypeStruct((SDo, P * w), jnp.float32),
+            jax.ShapeDtypeStruct((P * w, DV), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(layout.pair_ts, layout.pair_te, layout.pair_blk, layout.pair_wb,
       seed,
-      adst_pad, g_pad, lse_pad, delta_pad, asrcT, vuT,
+      adst_pad, g_pad, lse_pad, delta_pad, cu,
       *operands_tail)
 
     da_dst = dadst[:N, :sd_cols].astype(score_dst.dtype)
-    # fold window rows back onto nodes (sorted reduce, no scatter);
-    # the +W tail window may never be written by any pair — drop it
-    Upad = Upw - w
-    dsrc_rows = dsrcT.T[:Upad]
-    dv_rows = dvu[:Upad]
+    # fold pair-slot rows back onto nodes (sorted reduce, no scatter;
+    # ``red`` maps slot row p*W+k -> node uv[wb[p]+k])
+    dsrc_rows = dsrcT.T
+    dv_rows = dvu
     src_pad = _pad_lanes(SDo)
     da_src = _uniq_reduce(
         jnp.concatenate([dsrc_rows,
-                         jnp.zeros((Upad, src_pad - SDo), jnp.float32)],
+                         jnp.zeros((P * w, src_pad - SDo), jnp.float32)],
                         axis=1), red, interpret)[:, :sd_cols]
     dv = _uniq_reduce(dv_rows, red, interpret)
     return da_dst, da_src.astype(score_src.dtype), dv.astype(v.dtype)

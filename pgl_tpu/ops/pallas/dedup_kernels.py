@@ -196,16 +196,27 @@ class _LayoutPrefix:
         self.max_count = 0
         if self.rejected:
             return
+        # DENSE packing (round 5): per-block unique runs are concatenated
+        # padded only to the f32 SUBLANE tile (8 rows — Mosaic requires
+        # dynamic row offsets divisible by the sublane tiling), not to W
+        # — window offsets (pair_wb) may straddle block boundaries,
+        # which the kernels tolerate: a window DMA reads W contiguous
+        # rows at any 8-aligned offset, spilled rows belong to ANOTHER
+        # block whose edges fail the dst compare (and the SDDMM
+        # intervals clamp to the pair's own span). W-aligned packing
+        # gathered ~18% dead rows on the bench graph vs ~1% at 8; the
+        # uniq gather is half the counts-cached SpMM, so density pays.
         uv_off = np.zeros(G + 1, np.int64)
-        np.cumsum(ubp, out=uv_off[1:])
+        np.cumsum((ub + 7) // 8 * 8, out=uv_off[1:])
         Upad = int(uv_off[-1])
+        # rank indexes into the DENSE np.unique output, so its block
+        # offsets are the UNpadded cumulative uniques (uv_off is padded)
         blk_first = np.zeros(G, np.int64)
         np.cumsum(ub, out=blk_first)                 # exclusive via shift
         blk_first = np.concatenate([[0], blk_first[:-1]])
         rank = np.arange(len(uniq), dtype=np.int64) - blk_first[ublk]
-        # +w tail: an empty block's window DMA reads [uv_off[b], +w)
-        # which can sit at Upad; the rows are never referenced (no
-        # edges) but must exist
+        # +w tail: the last window (and empty blocks') DMA reads up to
+        # [Upad - 1 + w); the rows are never referenced but must exist
         uv = np.zeros(Upad + w, np.int32)
         uv[uv_off[ublk] + rank] = (uniq % M).astype(np.int32)
 
@@ -432,7 +443,7 @@ def _dedup_kernel(ts_ref, te_ref, blk_ref, wb_ref,   # [P] SMEM prefetch
 
     def win_dma(slot, q):
         return pltpu.make_async_copy(
-            uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
+            uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], 8), W), :],
             win_tile.at[slot], sem_w.at[slot])
 
     # window double-buffer across grid steps: step p waits the DMA started
@@ -609,7 +620,7 @@ def _dedup_cached_kernel(ts_ref, te_ref, blk_ref, wb_ref,
 
     def win_dma(slot, q):
         return pltpu.make_async_copy(
-            uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
+            uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], 8), W), :],
             win_tile.at[slot], sem_w.at[slot])
 
     def c_dma(slot, q):

@@ -265,7 +265,7 @@ def _sddmm_kernel(ts_ref, nt_ref, gt0_ref, wb_ref, blk_ref,       # [Pa]
     def pair_dmas(q, slot):
         return (
             pltpu.make_async_copy(
-                uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], W), W), :],
+                uniq_ref.at[pl.ds(pl.multiple_of(wb_ref[q], 8), W), :],
                 win_f.at[slot], sem_w.at[slot]),
             pltpu.make_async_copy(
                 dstp_ref.at[pl.ds(
