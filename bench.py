@@ -316,7 +316,7 @@ def main():
     gat_step = _build_train_step(gat_model, gat_opt)
     t_gat_step, t_gat_times = _time_steps(
         gat_step, gat_params, gat_opt.init(gat_params),
-        ga, ga.node_feat["h"], y_gat, warmup=3, iters=10, repeats=3)
+        ga, ga.node_feat["h"], y_gat, warmup=3, iters=20, repeats=3)
 
     # --- minibatch GraphSAGE (host sampler + jitted bucket-padded step) ---
     # The reference pipeline shape (multiprocess Dataloader workers running
