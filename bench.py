@@ -350,14 +350,19 @@ def main():
         def __len__(self):
             return len(self.nodes)
 
-    from pgl_tpu.sampling import make_padded_batch_fn
-    batch_fn = make_padded_batch_fn(gs, samples, n_bucket, e_bucket)
+    from pgl_tpu.sampling import make_padded_batch_fn, unpack_padded_batch
+    # packed collate: ONE int32 buffer per batch = ONE H2D transfer
+    # (each transfer is a full round trip on the tunneled device; the
+    # 10-array batch paid ~10 RTTs of pure latency per step)
+    batch_fn = make_padded_batch_fn(gs, samples, n_bucket, e_bucket,
+                                    pack=True)
 
     sage_opt = optax.adam(1e-3)
 
     @jax.jit
-    def sage_step(params, opt_state, edges, deg, su, sv, se, indptr, sidx,
-                  smask, yb, mask):
+    def sage_step(params, opt_state, buf):
+        (edges, deg, su, sv, se, indptr, sidx, smask, yb, mask) = \
+            unpack_padded_batch(buf, n_bucket, e_bucket)
         from pgl_tpu.utils.edge_index import EdgeIndex
         gsub = Graph(edges, num_nodes=n_bucket,
                      adj_dst_index=EdgeIndex(deg, su, sv, se, indptr))
@@ -374,16 +379,17 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     rngb = np.random.default_rng(0)
-    b0 = batch_fn([(n, y_all[n]) for n in rngb.choice(n_sage, B,
-                                                      replace=False)])
-    b0 = [jax.device_put(a) for a in b0]
+    b0 = jax.device_put(batch_fn([(n, y_all[n])
+                                  for n in rngb.choice(n_sage, B,
+                                                       replace=False)]))
+    t0 = unpack_padded_batch(b0, n_bucket, e_bucket)
     from pgl_tpu.utils.edge_index import EdgeIndex as _EI
-    g0 = Graph(b0[0], num_nodes=n_bucket,
-               adj_dst_index=_EI(b0[1], b0[2], b0[3], b0[4], b0[5]))
-    x0 = jnp.take(feat_dev, b0[6], axis=0) * b0[7]
+    g0 = Graph(t0[0], num_nodes=n_bucket,
+               adj_dst_index=_EI(t0[1], t0[2], t0[3], t0[4], t0[5]))
+    x0 = jnp.take(feat_dev, t0[6], axis=0) * t0[7]
     sage_params = sage.init(jax.random.key(0), g0, x0)
     sage_ost = sage_opt.init(sage_params)
-    sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, *b0)
+    sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, b0)
     float(sl)
     # the package Dataloader: num_workers sampling processes + mp_reader
     n_batches = 32
@@ -394,8 +400,8 @@ def main():
     t0 = time.perf_counter()
     nb_done = 0
     for batch in loader:
-        batch = [jax.device_put(a) for a in batch]
-        sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, *batch)
+        sage_params, sage_ost, sl = sage_step(sage_params, sage_ost,
+                                              jax.device_put(batch))
         nb_done += 1
     float(sl)
     t_sage = (time.perf_counter() - t0) / max(nb_done, 1)
@@ -418,11 +424,13 @@ def main():
         batch_fn([(n, y_all[n])
                   for n in all_nodes[i * B:(i + 1) * B]])
     t_sample_1p = (time.perf_counter() - t0) / 8
-    # (c) H2D + step on a resident batch (the device half of the loop)
+    # (c) H2D + step — re-transfer a HOST copy each iteration (device_put
+    # of an already-on-device array is a no-op and fakes the number)
+    b0_host = np.asarray(b0)
     t0 = time.perf_counter()
     for _ in range(8):
-        bb = [jax.device_put(a) for a in b0]
-        sage_params, sage_ost, sl = sage_step(sage_params, sage_ost, *bb)
+        sage_params, sage_ost, sl = sage_step(
+            sage_params, sage_ost, jax.device_put(b0_host))
     float(sl)
     t_step_h2d = (time.perf_counter() - t0) / 8
     sage_breakdown = {
