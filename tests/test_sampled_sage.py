@@ -119,3 +119,22 @@ def test_layer_count_mismatch_raises():
     sampled, _ = sampler.sample(seeds, jax.random.key(0))
     with pytest.raises(ValueError, match="blocks"):
         model.init(jax.random.key(1), feat, seeds, sampled)
+
+
+def test_packed_batch_round_trip():
+    """pack=True collate + in-jit unpack reproduces the unpacked batch
+    tuple exactly (one H2D buffer per batch instead of ~10)."""
+    import jax.numpy as jnp
+    from pgl_tpu.datasets import community_graph
+    from pgl_tpu.sampling import make_padded_batch_fn, unpack_padded_batch
+    g, y = community_graph(num_nodes=2000, num_classes=4, feat_dim=8,
+                           avg_degree=8, seed=0)
+    nb, eb = 1 << 11, 1 << 13
+    bf = make_padded_batch_fn(g, (5, 5), nb, eb)
+    bfp = make_padded_batch_fn(g, (5, 5), nb, eb, pack=True)
+    items = [(n, y[n]) for n in range(64)]
+    ref = bf(items)
+    got = unpack_padded_batch(jnp.asarray(bfp(items)), nb, eb)
+    for name, a, b in zip(("edges", "deg", "su", "sv", "se", "indptr",
+                           "sidx", "smask", "y", "mask"), ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
