@@ -59,8 +59,41 @@ def _run_worker(timeout_s):
     return None, "no JSON line in worker output"
 
 
+def _preflight(timeout_s=180):
+    """Fast backend-health probe in a subprocess: a healthy tunnel lists
+    devices in seconds; a dead relay hangs forever. Without this, a dead
+    tunnel costs 3 full worker timeouts (~90 min) before fail-soft."""
+    code = ("import jax; d = jax.devices(); "
+            "print('PREFLIGHT_OK', len(d))")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True, text=True)
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        return "PREFLIGHT_OK" in (out or "")
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait()
+        return False
+
+
 def _orchestrate():
     errors = []
+    if not _preflight():
+        errors.append("backend preflight failed (device enumeration hung "
+                      "— tunnel down?); skipping measurement attempts")
+        try:
+            with open(_LAST_GOOD) as f:
+                result = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            result = {"metric": "gcn3_train_edges_per_s", "value": 0,
+                      "unit": "edges/s", "vs_baseline": 0}
+        result = dict(result)
+        result["error"] = ("value is the last-good cached result, not "
+                           "this run's: " + " || ".join(errors))
+        print(json.dumps(result))
+        return 0
     for timeout_s, backoff in _ATTEMPTS:
         if backoff:
             time.sleep(backoff)
