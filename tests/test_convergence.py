@@ -89,6 +89,16 @@ def test_graphsage_converges(split):
     assert acc >= 0.90, f"SAGE held-out acc {acc} < 0.90 (loss {loss})"
 
 
+def test_lstm_sage_converges(split):
+    """UDF LSTM-aggregation model (the legacy speed-table family,
+    legacy/docs introduction.md:58-63): same held-out floor."""
+    g, y, tr, te = split
+    acc, loss = train_eval(
+        M.LSTMSage(input_size=16, num_class=4, hidden_size=16,
+                   max_degree=16), g, y, tr, te)
+    assert acc >= 0.90, f"LSTMSage held-out acc {acc} < 0.90 (loss {loss})"
+
+
 def test_unimp_converges(split):
     """UniMP with label-propagation inputs: train labels are fed (masked),
     held-out accuracy must clear the floor — the masked-label-embedding
