@@ -64,6 +64,11 @@ class DeviceWalker:
         self.is_hetero = hasattr(graph, "edge_types") and \
             getattr(graph, "edge_types", None)
         if self.is_hetero:
+            if weighted is not None or neighbor_sorted:
+                raise ValueError(
+                    "weighted / neighbor_sorted walks are not supported "
+                    "for HeterGraph metapath walkers (silently ignoring "
+                    "them would sample the wrong distribution)")
             self.etypes = list(graph.edge_types)
             self.num_nodes = graph.num_nodes
             ip, sv, off = [], [], [0]
