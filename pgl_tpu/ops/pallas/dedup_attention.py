@@ -20,11 +20,10 @@ the gathers shrink to the unique-src tables (U ≈ 0.13·E measured).
 Backward is flash-style with the same structure: recompute C and
 ``p̃ = C·e^{S − lse}`` per pair, then
 ``ds = p̃ ⊙ (g·vᵀ − delta)``; ``d a_dst = Σ_j ds``,
-``d a_srcᵀ / dv`` land in the pair's OWN window rows of ``[Upad, ·]``
-outputs (windows are exclusively owned, so no accumulation conflicts),
-and a final uniq→node sorted reduce (host-built ``BlockedLayout`` over
-the uv table) folds window rows back onto nodes — no XLA scatter
-anywhere.
+``d a_srcᵀ / dv`` land in the pair's OWN slot rows of ``[P·W, ·]``
+outputs (exclusive ownership even under dense uniq packing), and a
+final slot→node sorted reduce (host-built ``BlockedLayout`` over the
+uv table) folds them back onto nodes — no XLA scatter anywhere.
 
 Replaces the SDDMM+edge_softmax+send_ue_recv triple
 (``pgl/nn/conv.py:333-339``, ``pgl/nn/functional/graph_op.py:101``) on
@@ -86,7 +85,7 @@ def build_uniq_reduce(layout: DedupLayout, num_nodes: int) -> BlockedLayout:
 
 
 def _uniq_reduce(rows, red: BlockedLayout, interpret: bool = False):
-    """[Upad+W, D] window-row values → [N, D] per-node sums."""
+    """[P·W, D] pair-slot values → [N, D] per-node sums."""
     return _blocked_spmm(rows, red.padded_v, red.padded_ids,
                          red.tile_starts, red.tile_ends, red.num_segments,
                          256, 1024, interpret)

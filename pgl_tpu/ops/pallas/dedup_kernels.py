@@ -68,7 +68,10 @@ class DedupLayout:
     """Device-resident layout for the two-phase SpMM.
 
     uv:          [Upad] int32 — concatenated per-block unique src ids,
-                 each block's run padded to a multiple of W (pad = 0)
+                 DENSELY packed (each block's run padded only to the
+                 8-row sublane tile; pad = 0) — window offsets may
+                 straddle block boundaries, which every consumer
+                 tolerates (see _LayoutPrefix)
     padded_v:    [Ep] int32 src id per edge in dedup order (backward dw)
     padded_ids:  [Ep/128, 128] int32 dst ids, dedup edge order, sentinel
                  ``n_pad`` at pads
