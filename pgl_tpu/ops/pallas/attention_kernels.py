@@ -56,17 +56,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .segment_kernels import BlockedLayout
+from .segment_kernels import _take_ib, BlockedLayout
 
 __all__ = ["fused_graph_attention", "fused_gat_attention",
            "gat_score_features"]
 
 
-
-def _take_ib(x, idx):
-    """Row gather with no bounds handling — indices are layout-built and
-    in-bounds by construction (clip/fill modes add a lane pass per call)."""
-    return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
 
 def _drop_keep(idx, seed, h, rate):
     """Deterministic per-(edge, head) Bernoulli(1-rate) keep mask from the

@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dedup_kernels import DedupLayout, _count_tiles
-from .segment_kernels import BlockedLayout, build_blocked_layout, \
+from .segment_kernels import _take_ib, BlockedLayout, build_blocked_layout, \
     _blocked_spmm
 from .attention_kernels import _drop_keep
 
@@ -58,11 +58,6 @@ __all__ = ["dedup_gat_attention", "dedup_dot_attention",
            "build_uniq_reduce"]
 
 
-
-def _take_ib(x, idx):
-    """Row gather with no bounds handling — indices are layout-built and
-    in-bounds by construction (clip/fill modes add a lane pass per call)."""
-    return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
 
 def build_uniq_reduce(layout: DedupLayout, num_nodes: int) -> BlockedLayout:
     """Host-built sorted reduce from PAIR-SLOT rows back to nodes.

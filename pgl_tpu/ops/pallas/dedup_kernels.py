@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .segment_kernels import _take_ib
+
 __all__ = ["DedupLayout", "build_dedup_layout", "spmm_dedup",
            "spmm_dedup_weighted", "materialize_counts",
            "NBD_DEFAULT", "ETD_DEFAULT", "W_DEFAULT"]
@@ -57,11 +59,6 @@ W_DEFAULT = 128       # uniq rows per rank window
 _ROW_SENTINEL = np.int32(-(1 << 30))
 
 
-
-def _take_ib(x, idx):
-    """Row gather with no bounds handling — indices are layout-built and
-    in-bounds by construction (clip/fill modes add a lane pass per call)."""
-    return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
 
 @jax.tree_util.register_pytree_node_class
 class DedupLayout:

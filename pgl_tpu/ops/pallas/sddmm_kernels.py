@@ -48,6 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .segment_kernels import _take_ib
+
 __all__ = ["SddmmLayout", "build_sddmm_layout", "sddmm_dedup",
            "NB_SDDMM", "ET_SDDMM", "W_SDDMM"]
 
@@ -65,11 +67,6 @@ _COMBINE = {
 }
 
 
-
-def _take_ib(x, idx):
-    """Row gather with no bounds handling — indices are layout-built and
-    in-bounds by construction (clip/fill modes add a lane pass per call)."""
-    return jnp.asarray(x).at[idx].get(mode="promise_in_bounds")
 
 @jax.tree_util.register_pytree_node_class
 class SddmmLayout:
