@@ -256,7 +256,7 @@ def main():
             "gat": (GAT(input_size=din, num_class=ncls, num_heads=8,
                         hidden_size=8), True, 100, 4),
             "lstm": (LSTMSage(input_size=din, num_class=ncls,
-                              hidden_size=16), False, 40, 3),
+                              hidden_size=16), True, 40, 3),
         }
         for mname, (model_c, train_flag, iters, reps) in models_c.items():
             params_c = model_c.init(

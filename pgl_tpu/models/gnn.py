@@ -314,6 +314,7 @@ class LSTMSage(nn.Module):
     num_layers: int = 2
     hidden_size: int = 16
     max_degree: int = 32
+    dropout: float = 0.5
 
     @nn.compact
     def __call__(self, graph, feature, training: bool = False):
@@ -321,6 +322,9 @@ class LSTMSage(nn.Module):
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             out = self.num_class if last else self.hidden_size
+            if training and self.dropout > 0:
+                feature = nn.Dropout(self.dropout,
+                                     deterministic=False)(feature)
             h = nn.Dense(self.hidden_size, name=f"proj_{i}")(feature)
             msgs = jnp.take(h, graph.edges[:, 0], axis=0)
             agg = LSTMAggregation(self.hidden_size, self.max_degree,

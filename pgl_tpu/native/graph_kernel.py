@@ -84,8 +84,15 @@ def _load():
             _i64, _i64, _i64, _ll, _i64, _ll, _i64]
         lib.extract_edges_from_nodes.restype = _ll
         lib.metis_style_partition.argtypes = [_i64, _i64, _ll, _ll, _ll, _i64]
-        lib.metis_style_partition_w.argtypes = [
-            _i64, _i64, _i64, _ll, _ll, _ll, _i64]
+        try:
+            # round-5 symbol: a stale prebuilt .so (the g++-less-host
+            # fallback this loader deliberately supports) may predate it
+            # — degrade to unweighted partitioning, never hard-fail
+            lib.metis_style_partition_w.argtypes = [
+                _i64, _i64, _i64, _ll, _ll, _ll, _i64]
+            lib._has_vwgt = True
+        except AttributeError:
+            lib._has_vwgt = False
         _lib = lib
         return _lib
 
@@ -387,10 +394,15 @@ def metis_partition(indptr, adj, nparts, seed=0, vwgt=None):
     n = len(indptr) - 1
     parts = np.empty(n, dtype=np.int64)
     if lib is not None:
-        if vwgt is not None:
+        if vwgt is not None and getattr(lib, "_has_vwgt", False):
             lib.metis_style_partition_w(indptr, adj, _c(vwgt), n,
                                         int(nparts), int(seed), parts)
         else:
+            if vwgt is not None:
+                import warnings
+                warnings.warn(
+                    "libgraph_kernel.so predates weighted partitioning; "
+                    "falling back to unweighted balance")
             lib.metis_style_partition(indptr, adj, n, int(nparts),
                                       int(seed), parts)
         return parts

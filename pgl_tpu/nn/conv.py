@@ -36,6 +36,12 @@ def _resolve_act(activation) -> Optional[Callable]:
     return getattr(jax.nn, activation)
 
 
+def _check_drop_mode(mode):
+    if mode not in ("edge", "cell"):
+        raise ValueError(
+            f"attn_drop_mode must be 'edge' or 'cell', got {mode!r}")
+
+
 def _attn_drop_seed(module, rate):
     """Fold this step's 'dropout' rng into the int32 seed the in-kernel
     counter-based attention dropout consumes (None when rate is 0)."""
@@ -210,6 +216,7 @@ class GATConv(nn.Module):
             rate = float(self.attn_drop) if training else 0.0
             dedup_aux = (graph._dedup_attn_aux()
                          if hasattr(graph, "_dedup_attn_aux") else None)
+            _check_drop_mode(self.attn_drop_mode)
             if dedup_aux is not None and rate > 0.0 \
                     and not dedup_aux[0].simple \
                     and self.attn_drop_mode != "cell":
@@ -509,6 +516,7 @@ class TransformerConv(nn.Module):
             rate = float(self.attn_drop) if training else 0.0
             dedup_aux = (graph._dedup_attn_aux()
                          if hasattr(graph, "_dedup_attn_aux") else None)
+            _check_drop_mode(self.attn_drop_mode)
             if dedup_aux is not None and rate > 0.0 \
                     and not dedup_aux[0].simple \
                     and self.attn_drop_mode != "cell":

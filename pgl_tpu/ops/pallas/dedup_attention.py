@@ -203,23 +203,27 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     S = jnp.concatenate(s_parts, axis=0) if H > 1 else s_parts[0]
     if leaky:
         S = jnp.where(S >= 0, S, S * leaky)
-    # No absent-cell (C == 0) masking: those cells contribute C·e^s = 0
-    # exactly, and an absent-cell score raising the running max only
-    # rescales num/denom identically (out = acc/l is m-invariant); real
-    # scores and absent scores share the same bounded range, so the
-    # masked select (2 VPU passes over [H·NB, W] in fwd AND bwd) buys
-    # nothing
     # stacked per-head scalars ride as [H·NB, 1] COLUMNS (the scratch
     # layout) — 1-D vectors lay out on lanes, where Mosaic cannot slice
     # past the first 128-lane tile, and concat-of-lane-slices does not
     # lower either; columns on sublanes avoid both
     m_prev_all = m_prev
     l_prev_all = l_prev
-    m_new_all = jnp.maximum(m_prev_all,
-                            jnp.max(S, axis=1, keepdims=True))
-    scale_all = jnp.exp(m_prev_all - m_new_all)
     C_all = jnp.concatenate([C] * H, axis=0) if H > 1 else C
-    P_all = C_all * jnp.exp(S - m_new_all)
+    # the running MAX must ignore absent (C == 0) cells: window tiles
+    # include real scores of NON-neighbors (uv pad rows alias node 0,
+    # densely-packed windows straddle blocks), and an absent score more
+    # than ~88 above a row's true max would underflow every real
+    # exp(S - m) to 0 → out = 0/0-guard = 0 silently. One select on the
+    # stacked tile; C·e^s itself needs no mask (C = 0 zeroes the cell)
+    m_new_all = jnp.maximum(
+        m_prev_all,
+        jnp.max(jnp.where(C_all > 0.0, S, -1e30), axis=1, keepdims=True))
+    scale_all = jnp.exp(m_prev_all - m_new_all)
+    # absent cells: exp(S - m) can now OVERFLOW when S > m (m is the
+    # real-cell max); clamp the argument — C = 0 zeroes the cell either
+    # way, the clamp just keeps inf·0 NaNs out
+    P_all = C_all * jnp.exp(jnp.minimum(S - m_new_all, 80.0))
     # dropout applies to the NORMALIZED attention (reference semantics:
     # drop after softmax) — the l denominator uses the full p-matrix,
     # the value accumulation the masked one
@@ -470,6 +474,19 @@ def _common(layout, nb):
     return P, n_pad
 
 
+def _gather_comb(v, ss, sd_cols, SDT, layout):
+    """ONE fused uniq gather for values AND scores (row-count-bound, so
+    the score lanes are ~free): scores ride lanes [DV:DV+SDT], lane-
+    padded to a full 128 tile (Mosaic DMA tiles must be lane-aligned).
+    The barrier pins the concat BEFORE the gather — XLA otherwise
+    rewrites gather(concat(x, zeros)) -> concat(gather(x), zeros) and a
+    narrow gather degenerates to 1-D (899 vs 248 us, xplane-measured)."""
+    comb = jax.lax.optimization_barrier(jnp.concatenate(
+        [v.astype(jnp.float32), ss,
+         jnp.zeros((ss.shape[0], SDT - sd_cols), jnp.float32)], 1))
+    return _take_ib(comb, layout.uv)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "dvh", "dsh",
                                              "additive", "leaky", "nb",
                                              "et", "w", "interpret",
@@ -483,7 +500,6 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
     H, DV = num_heads, v.shape[1]
     P, n_pad = _common(layout, nb)
     N = layout.num_segments
-    Upw = int(layout.uv.shape[0])
     if additive:
         SD, SDp = _hp(H), 128
     else:
@@ -496,17 +512,8 @@ def _dedup_attn_fwd_call(score_dst, score_src, v, layout: DedupLayout,
     # gather degenerates to a 1-D gather, ~4x slower than the 8-lane
     # row gather (xplane-measured 899 vs 248 us on the 65k GAT graph)
     ss = score_src.astype(jnp.float32)
-    # ONE fused gather for values AND scores (row-count-bound, so the
-    # score lanes are ~free): scores ride lanes [DV:DV+SDT] of the
-    # combined table, lane-padded to a full 128 tile (Mosaic DMA tiles
-    # must be lane-aligned). The barrier pins the concat BEFORE the
-    # gather — XLA otherwise rewrites gather(concat(x, zeros)) ->
-    # concat(gather(x), zeros) and a narrow gather degenerates to 1-D
     SDT = _pad_lanes(SD)
-    comb = jax.lax.optimization_barrier(jnp.concatenate(
-        [v.astype(jnp.float32), ss,
-         jnp.zeros((ss.shape[0], SDT - sd_cols), jnp.float32)], 1))
-    cu = _take_ib(comb, layout.uv)
+    cu = _gather_comb(v, ss, sd_cols, SDT, layout)
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
@@ -596,7 +603,6 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     Hp = _hp(H)
     P, n_pad = _common(layout, nb)
     N = layout.num_segments
-    Upw = int(layout.uv.shape[0])
     if additive:
         SD, SDp, SDo = Hp, 128, Hp
     else:
@@ -619,12 +625,8 @@ def _dedup_attn_bwd_call(score_dst, score_src, v, g, out, lse,
     delta_pad = delta_pad.reshape(n_pad // nb, nb, H).transpose(
         0, 2, 1).reshape(n_pad * H, 1)
     ss = score_src.astype(jnp.float32)
-    # ONE fused gather for values AND scores (see forward wrapper)
     SDT = _pad_lanes(SD)
-    comb = jax.lax.optimization_barrier(jnp.concatenate(
-        [v.astype(jnp.float32), ss,
-         jnp.zeros((ss.shape[0], SDT - sd_cols), jnp.float32)], 1))
-    cu = _take_ib(comb, layout.uv)
+    cu = _gather_comb(v, ss, sd_cols, SDT, layout)
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
