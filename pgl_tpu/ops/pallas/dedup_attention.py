@@ -210,20 +210,18 @@ def _attn_fwd_kernel(ts_ref, te_ref, blk_ref, wb_ref, seed_ref,
     m_prev_all = m_prev
     l_prev_all = l_prev
     C_all = jnp.concatenate([C] * H, axis=0) if H > 1 else C
-    # the running MAX must ignore absent (C == 0) cells: window tiles
-    # include real scores of NON-neighbors (uv pad rows alias node 0,
-    # densely-packed windows straddle blocks), and an absent score more
-    # than ~88 above a row's true max would underflow every real
-    # exp(S - m) to 0 → out = 0/0-guard = 0 silently. One select on the
-    # stacked tile; C·e^s itself needs no mask (C = 0 zeroes the cell)
-    m_new_all = jnp.maximum(
-        m_prev_all,
-        jnp.max(jnp.where(C_all > 0.0, S, -1e30), axis=1, keepdims=True))
+    # absent (C == 0) cells MUST be masked out of the scores: window
+    # tiles include real scores of NON-neighbors (uv pad rows alias
+    # node 0, densely-packed windows straddle blocks), and an absent
+    # score more than ~88 above a row's true max would underflow every
+    # real exp(S - m) to 0 → out = 0 silently. One select on the
+    # stacked tile (C_all is materialized anyway); masked cells then
+    # exp to exactly 0, so no clamp is needed
+    S = jnp.where(C_all > 0.0, S, -1e30)
+    m_new_all = jnp.maximum(m_prev_all,
+                            jnp.max(S, axis=1, keepdims=True))
     scale_all = jnp.exp(m_prev_all - m_new_all)
-    # absent cells: exp(S - m) can now OVERFLOW when S > m (m is the
-    # real-cell max); clamp the argument — C = 0 zeroes the cell either
-    # way, the clamp just keeps inf·0 NaNs out
-    P_all = C_all * jnp.exp(jnp.minimum(S - m_new_all, 80.0))
+    P_all = C_all * jnp.exp(S - m_new_all)
     # dropout applies to the NORMALIZED attention (reference semantics:
     # drop after softmax) — the l denominator uses the full p-matrix,
     # the value accumulation the masked one
