@@ -302,8 +302,14 @@ class Graph:
 
                     def run(f):
                         if dedup is not None:
-                            from .ops.pallas.dedup_kernels import spmm_dedup
-                            return spmm_dedup(f, *dedup)
+                            from .ops.pallas.dedup_kernels import (
+                                spmm_dedup, NBD_DEFAULT, ETD_DEFAULT)
+                            # positional w = layout's own window width (the
+                            # layout may be built with a non-default W via
+                            # PGL_TPU_DEDUP_W)
+                            return spmm_dedup(f, dedup[0], dedup[1],
+                                              NBD_DEFAULT, ETD_DEFAULT,
+                                              dedup[0].w)
                         return spmm(f, csc, csr)
 
                     d = feature.shape[1]
@@ -380,7 +386,7 @@ class Graph:
                 def run(f):
                     if dedup is not None:
                         from .ops.pallas.dedup_kernels import (
-                            spmm_dedup_weighted)
+                            spmm_dedup_weighted, NBD_DEFAULT, ETD_DEFAULT)
                         csc_d, csr_d = dedup
                         wd_csc = jnp.zeros(
                             csc_d.padded_v.shape[0], f.dtype
@@ -389,7 +395,9 @@ class Graph:
                             csr_d.padded_v.shape[0], f.dtype
                         ).at[:E].set(jnp.take(w_csr_e, csr_d.eid))
                         return spmm_dedup_weighted(f, wd_csc, wd_csr,
-                                                   csc_d, csr_d)
+                                                   csc_d, csr_d,
+                                                   NBD_DEFAULT, ETD_DEFAULT,
+                                                   csc_d.w)
                     def wshape(lay):
                         return (lay.padded_v.shape[0],) + w.shape[1:]
                     w_csc = jnp.zeros(wshape(csc), f.dtype
@@ -575,16 +583,22 @@ class Graph:
             max_e = int(os.environ.get("PGL_TPU_DEDUP_MAX_EDGES",
                                        64 * 1024 * 1024))
             if min_e <= self._num_edges <= max_e:
-                from .ops.pallas.dedup_kernels import build_dedup_layout
+                from .ops.pallas.dedup_kernels import (build_dedup_layout,
+                                                       W_DEFAULT)
                 # skip near-regular graphs where blocks see no src
                 # repetition (the kernel would pay its inner matmul for a
                 # ~1x gather); 0.55 ≈ break-even from the A/B sweep
+                # PGL_TPU_DEDUP_W: opt-in rank-window width override
+                # (perf probes; must be a multiple of 128)
+                dw = int(os.environ.get("PGL_TPU_DEDUP_W", W_DEFAULT))
                 csc_d = build_dedup_layout(np.asarray(dst_idx.indptr),
                                            np.asarray(dst_idx.sorted_v),
-                                           self._num_nodes, max_ratio=0.55)
+                                           self._num_nodes, w=dw,
+                                           max_ratio=0.55)
                 csr_d = build_dedup_layout(np.asarray(src_idx.indptr),
                                            np.asarray(src_idx.sorted_v),
-                                           self._num_nodes, max_ratio=0.55
+                                           self._num_nodes, w=dw,
+                                           max_ratio=0.55
                                            ) if csc_d is not None else None
                 if csr_d is None:
                     csc_d = None
