@@ -661,6 +661,63 @@ def test_dedup_spmm_matches_xla(N, E, hub):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_dedup_spmm_nondefault_window_width():
+    """Layouts built with a non-default rank-window width (w=256, the
+    PGL_TPU_DEDUP_W override) stay correct end-to-end — guards the
+    layout.w propagation in graph.py's spmm_dedup call (the kernel's
+    static ``w`` must always come from the layout, never W_DEFAULT)."""
+    from pgl_tpu.ops.pallas.dedup_kernels import (build_dedup_layout,
+                                                  spmm_dedup, NBD_DEFAULT,
+                                                  ETD_DEFAULT)
+    N, E, D, W = 600, 4000, 128, 256
+    edges, indptr, src_csc = _dedup_case(N, E, seed=N + E, hub=True)
+    deg_r = np.bincount(edges[:, 0], minlength=N)
+    indptr_r = np.concatenate([[0], np.cumsum(deg_r)])
+    dst_csr = edges[np.argsort(edges[:, 0], kind="stable"), 1]
+    csc_d = build_dedup_layout(indptr, src_csc, N, w=W)
+    csr_d = build_dedup_layout(indptr_r, dst_csr, N, w=W)
+    assert csc_d.w == W
+    feat = np.random.default_rng(1).normal(size=(N, D)).astype(np.float32)
+    out = spmm_dedup(jnp.asarray(feat), csc_d, csr_d,
+                     NBD_DEFAULT, ETD_DEFAULT, csc_d.w, True)
+    ref = jax.ops.segment_sum(jnp.asarray(feat)[edges[:, 0]],
+                              jnp.asarray(edges[:, 1]), num_segments=N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dedup_attention_nondefault_window_width():
+    """dedup_gat_attention over a w=256 layout matches the XLA
+    edge-softmax reference (fwd; layout.w is the kernels' only width
+    source)."""
+    from pgl_tpu.ops.pallas.dedup_kernels import build_dedup_layout
+    from pgl_tpu.ops.pallas.dedup_attention import (dedup_gat_attention,
+                                                    build_uniq_reduce)
+    N, E, H, DVH, W = 600, 4000, 4, 16, 256
+    edges, indptr, src_csc = _dedup_case(N, E, seed=11, hub=True)
+    csc_d = build_dedup_layout(indptr, src_csc, N, w=W)
+    red = build_uniq_reduce(csc_d, N)
+    rng = np.random.default_rng(2)
+    a_dst = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(N, H * DVH)).astype(np.float32))
+    out = dedup_gat_attention(a_dst, a_src, v, csc_d, red, num_heads=H,
+                              dvh=DVH, interpret=True)
+    src, dst = edges[:, 0], edges[:, 1]
+    s = np.asarray(a_dst)[dst] + np.asarray(a_src)[src]
+    s = np.where(s > 0, s, 0.2 * s)
+    mx = np.full((N, H), -1e30)
+    np.maximum.at(mx, dst, s)
+    e = np.exp(s - mx[dst])
+    den = np.zeros((N, H))
+    np.add.at(den, dst, e)
+    p = e / np.maximum(den[dst], 1e-30)
+    ref = np.zeros((N, H, DVH), np.float32)
+    np.add.at(ref, dst, p[:, :, None] * np.asarray(v).reshape(N, H, DVH)[src])
+    np.testing.assert_allclose(np.asarray(out).reshape(N, H, DVH), ref,
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_dedup_weighted_matches_xla():
     from pgl_tpu.ops.pallas.dedup_kernels import (build_dedup_layout,
                                                   spmm_dedup_weighted)
